@@ -1,0 +1,360 @@
+"""Parser: token-stream reducer wrapping the tree builder.
+
+Re-implements the reference parser (/root/reference/lib/parser.js): per-class
+irregular start-tag behaviors (parser.js:124-198), end-tag conversions
+(parser.js:218-303), after-body/frameset comment redirection modes
+(parser.js:51-55, 329-343), foster-parenting setup via a synthetic
+``#reparented`` element spliced before each <table> (parser.js:110-116),
+frameset takeover of an unused <body> (parser.js:100-107), and EOF synthesis
+of html/head/body (parser.js:347-354).
+
+``parse(input)`` mirrors /root/reference/lib/index.js:12-18.
+"""
+
+from __future__ import annotations
+
+from .builder import TreeBuilder
+from .grammar import (
+    BREAKOUT_RULES,
+    C,
+    CLASS_IDS as eq,
+    HTML_RULES,
+    MATH_RULES,
+    NS_HTML,
+    NS_MATH,
+    NS_SVG,
+    RULES,
+    SVG_RULES,
+    child_rule,
+)
+from .lexer import Tokeniser
+from .nodes import Document, Element
+
+# parser.js:34-38
+_leadingSpaceAdjust = C["table"] | C["caption"] | C["TBody"] | C["tr"]
+_dontSetMode = (
+    C["table"] | C["select"] | C["caption"] | C["TCell"] | C["svg"] | C["math"]
+)
+
+# lateral modes (parser.js:51-55)
+_afterBody = 1 << 0
+_afterAfterBody = 1 << 1
+_afterFrameset = 1 << 2
+_afterAfterFrameset = 1 << 3
+_clearMode = 0b1000  # no way to escape afterAfterFrameset
+
+_openHooks = C["html"] | C["head"] | C["body"] | C["frameset"] | C["table"]
+
+_C_TEXT = C["TEXT"]
+_C_SPACE = C["SPACE"]
+_C_COMMENT = C["COMMENT"]
+_C_DOCTYPE = C["DOCTYPE"]
+_C_Reformat = C["Reformat"]
+_C_VoidElement = C["VoidElement"]
+_C_FramesetOK = C["FramesetOK"]
+_C_select = C["select"]
+_C_form = C["form"]
+_C_frameset = C["frameset"]
+_C_img = C["img"]
+_C_br = C["br"]
+_C_p = C["p"]
+_C_Heading = C["Heading"]
+_C_body = C["body"]
+_C_head = C["head"]
+_C_html = C["html"]
+
+# SVG camelCase tag-name adjustments (parser.js:361-403)
+_CORRECTED_SVG_TAG_NAMES = (
+    "altGlyph", "altGlyphDef", "altGlyphItem", "animateColor", "animateMotion",
+    "animateTransform", "clipPath", "feBlend", "feColorMatrix",
+    "feComponentTransfer", "feComposite", "feConvolveMatrix",
+    "feDiffuseLighting", "feDisplacementMap", "feDistantLight", "feDropShadow",
+    "feFlood", "feFuncA", "feFuncB", "feFuncG", "feFuncR", "feGaussianBlur",
+    "feImage", "feMerge", "feMergeNode", "feMorphology", "feOffset",
+    "fePointLight", "feSpecularLighting", "feSpotLight", "feTile",
+    "feTurbulence", "foreignObject", "glyphRef", "linearGradient",
+    "radialGradient", "textPath",
+)
+_SVG_TAG_ADJUST = {n.lower(): n for n in _CORRECTED_SVG_TAG_NAMES}
+
+
+class Parser:
+    __slots__ = (
+        "mode", "html", "head", "body", "bodyIndex", "builder", "initial_rule",
+    )
+
+    def __init__(self, initial_rule=None):
+        self.mode = 0
+        self.html = None
+        self.head = None
+        self.body = None
+        self.bodyIndex = None
+        self.initial_rule = initial_rule or RULES["documentRule"]
+        self.builder = TreeBuilder(Document(), self.initial_rule)
+        self.builder.on_open(_openHooks, self._onopen)
+
+    @property
+    def document(self):
+        return self.builder.document
+
+    # ### tree-builder hooks (parser.js:81-118)
+
+    def _onopen(self, name, id, node, node_parent, node_index):
+        builder = self.builder
+        if id == eq["html"]:
+            self.html = node
+        elif id == eq["head"]:
+            builder.document.head = node
+            self.head = node
+            builder.stack[1].fosterParent = node  # html frame fosters to head
+        elif id == eq["body"]:
+            self.bodyIndex = node_index
+            builder.document.body = node
+            self.body = node
+        elif id == eq["frameset"]:
+            if self.body is None:
+                self.bodyIndex = node_index
+            elif self.body.name == "body":
+                node_parent.children.pop()
+                self.html.children[self.bodyIndex] = node
+            builder.document.body = node
+            self.body = node
+        elif id == eq["table"]:
+            # foster-parent setup: splice '#reparented' before the table
+            parent = Element("#reparented")
+            builder.tip.fosterParent = parent
+            siblings = node_parent.children
+            table = siblings.pop()
+            siblings.append(parent)
+            siblings.append(table)
+
+    # ### start tags (parser.js:124-198)
+
+    def write_tag(self, item):
+        builder = self.builder
+        tip = builder.tip
+        namespace = tip.namespace
+        nesting = tip.nestingContext
+        cid, rule = child_rule(item.name, item.attrs, tip)
+        kind = 1 << cid
+
+        self.mode &= _clearMode
+
+        if cid == eq["body"] or cid == eq["head"]:
+            # <body>/<head> escalate out of svg/math (parser.js:143-153)
+            if namespace & (NS_SVG | NS_MATH):
+                if namespace & NS_SVG:
+                    name, fid = "svg", eq["svg"]
+                else:
+                    name, fid = "math", eq["math"]
+                builder.try_close(name, 1 << fid)
+                return builder.tip.kind
+            return self._write_tag(item, cid, kind, rule)
+
+        if cid == eq["frameset"]:
+            if builder.allOpened & ~_C_FramesetOK:
+                return builder.tip.kind
+            return self._write_tag(item, cid, _C_frameset, rule)
+
+        if cid == eq["select"]:
+            if nesting & _C_select:
+                builder.try_close("select", _C_select)
+                return builder.tip.kind
+            return self._write_tag(item, cid, _C_select, rule)
+
+        if cid == eq["image"]:
+            return self._write_tag(Element("img", item.attrs), eq["img"], _C_img, rule)
+
+        if cid == eq["form"]:
+            if (nesting & _C_form) == 0:
+                self._write_tag(item, eq["form"], kind, rule)
+            return builder.tip.kind
+
+        if cid in _SELF_NESTING_IDS:
+            if nesting & kind:
+                builder.try_close_by_kind(kind)
+            return self._write_tag(item, cid, kind, rule)
+
+        return self._write_tag(item, cid, kind, rule)
+
+    def _write_tag(self, item, cid, kind, rule):
+        builder = self.builder
+        if kind & _C_Reformat:
+            builder.reconstruct_formatting()
+
+        in_svg = builder.tip.namespace & NS_SVG
+        node = None
+        if kind & _C_VoidElement or (item.selfclose and rule.allowAutoClose):
+            if builder.try_append(item, kind):
+                node = item
+        else:
+            if builder.try_open(item.name, item.attrs, cid, kind, rule):
+                node = builder.tip.node
+        if node is not None and in_svg:
+            node.name = _SVG_TAG_ADJUST.get(node.name, node.name)
+        return builder.tip.kind
+
+    # ### end tags (parser.js:218-303)
+
+    def write_end_tag(self, item):
+        builder = self.builder
+        name = item.name
+        tip = builder.tip
+        namespace = tip.namespace
+        nesting = tip.nestingContext
+        closable = tip.closableAncestors
+
+        hit = BREAKOUT_RULES.get(name)
+        cid = hit[0] if hit is not None else None
+
+        if cid == eq["br"]:
+            # </br> -> <br> without attributes (parser.js:233-236)
+            node = Element(name)
+            _, rule = child_rule(node.name, None, tip)
+            return self._write_tag(node, eq["br"], _C_br, rule)
+
+        if cid == eq["p"]:
+            # </p> outside a <p> becomes <p></p> (parser.js:238-247)
+            if not (closable & _C_p) and self.body is not None:
+                node = Element(name)
+                _, rule = HTML_RULES["p"]
+                self._write_tag(node, eq["p"], _C_p, rule)
+                builder.try_close(item.name, _C_p)
+                return builder.tip.kind
+
+        elif cid == eq["Heading"]:
+            builder.try_close_by_kind(_C_Heading)
+            return builder.tip.kind
+
+        elif cid == eq["body"]:
+            # </body> after head -> synthesize <body> (parser.js:256-264)
+            if self.head is None or nesting & _C_head:
+                _, rule = child_rule(item.name, None, tip)
+                builder.try_open(item.name, {}, eq["body"], _C_body, rule)
+            if self.body is not None and not (builder.tip.nestingContext & _dontSetMode):
+                self.mode = _afterBody
+            return builder.tip.kind
+
+        elif cid == eq["head"]:
+            r = builder.tip.rule
+            before_head = (
+                r is RULES["documentRule"]
+                or r is RULES["beforeHead"]
+                or r is RULES["beforeHtml"]
+            )
+            if before_head:
+                _, rule = child_rule(item.name, None, tip)
+                builder.try_open(item.name, {}, eq["head"], _C_head, rule)
+                builder.try_close(name, _C_head)
+                return builder.tip.kind
+
+        elif cid is None:
+            # </html> is ignored but sets after-after mode (parser.js:278-283)
+            if name == "html" and namespace & NS_HTML:
+                if self.html is not None and not (nesting & _dontSetMode):
+                    self.mode = (
+                        _afterAfterFrameset
+                        if builder.allOpened & _C_frameset
+                        else _afterAfterBody
+                    )
+                return builder.tip.kind
+            # </frameset> closes and sets mode (parser.js:285-291)
+            if name == "frameset":
+                if (
+                    self.body is not None
+                    and self.body.name == name
+                    and not (nesting & _dontSetMode)
+                ):
+                    self.mode = _afterFrameset
+                builder.try_close(item.name, _C_frameset)
+                return builder.tip.kind
+
+        # generic close: union of the name's class in all three namespaces
+        kind = (
+            (1 << _map_id(HTML_RULES, name))
+            | (1 << _map_id(SVG_RULES, name))
+            | (1 << _map_id(MATH_RULES, name))
+        )
+        builder.try_close(item.name, kind)
+        return builder.tip.kind
+
+    # ### character data / comments / doctype (parser.js:306-343)
+
+    def write_data(self, item):
+        self.mode &= _clearMode
+        builder = self.builder
+        builder.reconstruct_formatting()
+        builder.try_append(item, _C_TEXT)
+        return builder.tip.kind
+
+    def write_space(self, buff, allow_foster_parenting=False):
+        self.mode &= _clearMode
+        builder = self.builder
+        kind = (
+            _C_TEXT
+            if allow_foster_parenting and builder.tip.kind & _leadingSpaceAdjust
+            else _C_SPACE
+        )
+        if kind & _C_Reformat:
+            builder.reconstruct_formatting()
+        builder.try_append(buff, kind)
+        return builder.tip.kind
+
+    def write_doctype(self, buff):
+        self.mode &= _clearMode
+        builder = self.builder
+        builder.try_append(buff, _C_DOCTYPE)
+        return builder.tip.kind
+
+    def write_comment(self, item):
+        builder = self.builder
+        mode = self.mode
+        if mode == _afterBody or mode == _afterFrameset:
+            if self.html is not None:
+                self.html.children.append(item)
+        elif mode == _afterAfterFrameset or mode == _afterAfterBody:
+            builder.document.children.append(item)
+        else:
+            builder.try_append(item, _C_COMMENT)
+        return builder.tip.kind
+
+    def write_eof(self):
+        builder = self.builder
+        if self.initial_rule is RULES["documentRule"]:
+            if self.html is None:
+                builder.try_open("html", {}, eq["html"], _C_html, RULES["beforeHead"])
+            if self.head is None:
+                if not builder.try_open("head", {}, eq["head"], _C_head, RULES["inHead"]):
+                    self.html.children.append(Element("head"))
+            if self.body is None:
+                if not builder.try_open("body", {}, eq["body"], _C_body, RULES["inBody"]):
+                    self.html.children.append(Element("body"))
+        return builder.tip.kind
+
+
+_SELF_NESTING_IDS = frozenset(
+    eq[k]
+    for k in (
+        "DListItem", "Heading", "li", "p", "table", "TBody", "TCell",
+        "a", "button", "nobr", "option", "tr",
+    )
+)
+
+
+def _map_id(rules, name):
+    hit = rules.get(name)
+    if hit is None:
+        from .grammar import JS_PROTO_KEYS, ParseQuirkError
+
+        if name in JS_PROTO_KEYS:
+            raise ParseQuirkError("Cannot convert undefined to a BigInt")
+        hit = rules["#default"]
+    return hit[0]
+
+
+def parse(input_: str) -> Document:
+    """index.js:12-18."""
+    parser = Parser()
+    lexer = Tokeniser(parser)
+    lexer.parse(input_)
+    return parser.document
