@@ -1,0 +1,245 @@
+"""Distributed parse+extract pipeline (SURVEY.md §2B).
+
+Plan shape (all relational stages are built-in DataFrame ops; the only Python
+is the Arrow-batched ``mapInPandas`` parse stage):
+
+    scan (parquet/iceberg, column-pruned)
+      -> filter (lang / size caps, pushed down)
+      -> resume anti-join against the state table (broadcast)
+      -> salted repartition: part_id = pmod(xxhash64(url), P), oversized docs
+         get their own salt lane so one giant page cannot straggle a partition
+      -> mapInPandas(parse_batch): tokenize -> tree-build -> extract per doc
+      -> results sink (parquet) + per-partition progress/metrics rows
+
+Scale notes (100 TB / 10^12 docs):
+* per-doc cost varies ~1000x with page size; AQE cannot see that (it is not
+  join skew), hence the explicit size-salted repartition;
+* Arrow batches are capped by rows AND bytes inside the UDF iterator so an
+  oversized document cannot balloon worker memory;
+* everything upstream of the UDF stays in whole-stage codegen; the scan reads
+  only (url, html, ...) via column pruning.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from .extract import _render_pass, _score_pass, pick_target
+from .lexer import Tokeniser
+from .parse import Parser
+from .walk import print_tree, traverse
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("dom", StringType()),
+        StructField("text", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("n_nodes", LongType()),
+        StructField("n_errors", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("parse_ms", DoubleType()),
+        StructField("status", StringType()),
+        StructField("part_id", LongType()),
+    ]
+)
+
+
+class _CountingDelegate:
+    """Forwards tokeniser write* calls to the Parser, counting tokens."""
+
+    __slots__ = ("p", "n")
+
+    def __init__(self, parser):
+        self.p = parser
+        self.n = 0
+
+    def write_tag(self, t):
+        self.n += 1
+        return self.p.write_tag(t)
+
+    def write_end_tag(self, t):
+        self.n += 1
+        return self.p.write_end_tag(t)
+
+    def write_data(self, d):
+        self.n += 1
+        return self.p.write_data(d)
+
+    def write_space(self, d, allow=False):
+        self.n += 1
+        return self.p.write_space(d, allow)
+
+    def write_comment(self, t):
+        self.n += 1
+        return self.p.write_comment(t)
+
+    def write_doctype(self, t):
+        self.n += 1
+        return self.p.write_doctype(t)
+
+    def write_eof(self):
+        self.n += 1
+        return self.p.write_eof()
+
+
+def parse_document(html: str, include_dom: bool = True):
+    """Parse one document and extract its main text.
+
+    Returns (dom, text, n_tokens, n_nodes, status)."""
+    parser = Parser()
+    counting = _CountingDelegate(parser)
+    Tokeniser(counting).parse(html)
+    doc = parser.document
+    candidates, n_nodes = _score_pass(traverse(doc))
+    text = _render_pass(traverse(doc), pick_target(candidates))
+    dom = print_tree(doc) if include_dom else ""
+    return dom, text, counting.n, n_nodes, "ok"
+
+
+def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
+    """Build the mapInPandas function.  The inner generator re-chunks incoming
+    Arrow batches so a run of oversized documents cannot balloon the pandas
+    frame we materialize results into."""
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "lang", "dom", "text", "n_tokens", "n_nodes",
+                "n_errors", "n_bytes", "parse_ms", "status", "part_id",
+            )}
+            acc_bytes = 0
+            urls = pdf["url"].tolist()
+            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
+            parts = pdf["part_id"].tolist() if "part_id" in pdf else [0] * len(urls)
+            htmls = pdf["html"].tolist()
+            for url, lang, part_id, raw in zip(urls, langs, parts, htmls):
+                raw_bytes = bytes(raw)
+                t0 = time.perf_counter()
+                try:
+                    html = raw_bytes.decode("utf-8", "replace")
+                    dom, text, n_tokens, n_nodes, status = parse_document(
+                        html, include_dom
+                    )
+                    n_errors = 0
+                except Exception as exc:  # reference-equivalent throws
+                    dom, text, n_tokens, n_nodes = "", "", 0, 0
+                    n_errors = 1
+                    status = f"error:{type(exc).__name__}"
+                dt = (time.perf_counter() - t0) * 1000.0
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["dom"].append(dom)
+                out["text"].append(text)
+                out["n_tokens"].append(n_tokens)
+                out["n_nodes"].append(n_nodes)
+                out["n_errors"].append(n_errors)
+                out["n_bytes"].append(len(raw_bytes))
+                out["parse_ms"].append(dt)
+                out["status"].append(status)
+                out["part_id"].append(part_id)
+                acc_bytes += len(raw_bytes) + len(dom) + len(text)
+                if acc_bytes >= max_batch_bytes:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in out}
+                    acc_bytes = 0
+            if out["url"]:
+                yield pd.DataFrame(out)
+
+    return parse_batch
+
+
+# size above which a document is routed to its own salt lane
+OVERSIZE_BYTES = 256 * 1024
+
+
+def with_partitioning(pages: DataFrame, num_parts: int, salts: int = 8) -> DataFrame:
+    """Explicit shuffle control: url-hash partitioning; oversized documents
+    are spread across a salt dimension so parse-cost skew cannot straggle.
+    """
+    df = pages.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
+    ).withColumn(
+        "salt",
+        F.when(
+            F.length(F.col("html")) > OVERSIZE_BYTES,
+            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(salts)),
+        ).otherwise(F.lit(0)),
+    )
+    return df.repartition(num_parts, F.col("part_id"), F.col("salt"))
+
+
+def parse_extract(
+    pages: DataFrame,
+    num_parts: int | None = None,
+    include_dom: bool = True,
+    done_urls: DataFrame | None = None,
+) -> DataFrame:
+    """The flagship operator: pages(url, html[, lang]) -> results."""
+    spark = pages.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [c for c in ("url", "lang", "html") if c in pages.columns]
+    df = pages.select(*cols)
+    if done_urls is not None:
+        # resume: skip already-processed urls (broadcast anti-join)
+        df = df.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
+    df = with_partitioning(df, num_parts)
+    return df.mapInPandas(make_parse_batch(include_dom), RESULT_SCHEMA)
+
+
+def partition_metrics(results: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rollup (plain hash aggregation)."""
+    return results.groupBy("part_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("n_errors").alias("n_errors"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.sum("parse_ms").alias("parse_ms"),
+        F.max("parse_ms").alias("max_parse_ms"),
+    )
+
+
+def run_job(
+    spark,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_parts: int | None = None,
+    include_dom: bool = True,
+    resume: bool = True,
+):
+    """Checkpointed batch run: results + progress parquet sinks, idempotent
+    via url anti-join on resume.  (Iceberg writeTo(...).append() in prod; the
+    sandbox uses parquet append.)"""
+    import os
+
+    results_path = os.path.join(out_dir, "results")
+    progress_path = os.path.join(out_dir, "progress")
+    done = None
+    if resume and _exists_nonempty(spark, results_path):
+        done = spark.read.parquet(results_path).select("url")
+    results = parse_extract(
+        pages, num_parts=num_parts, include_dom=include_dom, done_urls=done
+    )
+    results.write.mode("append").parquet(results_path)
+    persisted = spark.read.parquet(results_path)
+    metrics = partition_metrics(persisted).withColumn("run_id", F.lit(run_id))
+    metrics.write.mode("append").parquet(progress_path)
+    return persisted
+
+
+def _exists_nonempty(spark, path: str) -> bool:
+    import glob
+    import os
+
+    return os.path.isdir(path) and bool(glob.glob(os.path.join(path, "*.parquet")))

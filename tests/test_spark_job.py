@@ -1,0 +1,93 @@
+"""Distributed pipeline tests at sf0.001: DuckDB-oracle value identity,
+partitioning invariance, resume idempotence, and plan shape."""
+
+import duckdb
+import pytest
+
+from htmlgraft.corpus import pages_df, pages_oracle_cte
+from htmlgraft.job import parse_extract, partition_metrics, run_job
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    df = pages_df(spark, sf_dir)
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def expected_map(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_dir}/documents.parquet'"
+    )
+    rows = con.execute(
+        pages_oracle_cte() + " select url, text from expected"
+    ).fetchall()
+    return dict(rows)
+
+
+def test_results_match_oracle(spark, pages, expected_map):
+    res = parse_extract(pages, num_parts=8)
+    rows = res.select("url", "text", "n_errors", "n_nodes").collect()
+    assert len(rows) == len(expected_map) == 500
+    assert sum(r["n_errors"] for r in rows) == 0
+    for r in rows:
+        assert r["text"] == expected_map[r["url"]], r["url"]
+        assert r["n_nodes"] > 10
+
+
+def test_partitioning_invariance(spark, pages, expected_map):
+    """Identical (url, text) results regardless of partition count."""
+    a = {
+        r["url"]: r["text"]
+        for r in parse_extract(pages, num_parts=3).select("url", "text").collect()
+    }
+    b = {
+        r["url"]: r["text"]
+        for r in parse_extract(pages, num_parts=17).select("url", "text").collect()
+    }
+    assert a == b == expected_map
+
+
+def test_resume_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "out")
+    half = pages.filter("doc_id % 2 = 0")
+    run_job(spark, half, out, run_id="r1", num_parts=4, include_dom=False)
+    n_half = spark.read.parquet(out + "/results").count()
+    # resume with the full corpus: only the missing half is parsed, no dupes
+    run_job(spark, pages, out, run_id="r2", num_parts=4, include_dom=False)
+    res = spark.read.parquet(out + "/results")
+    assert res.count() == pages.count()
+    assert res.select("url").distinct().count() == pages.count()
+    assert n_half < pages.count()
+    # progress table covers both runs
+    prog = spark.read.parquet(out + "/progress")
+    assert set(r["run_id"] for r in prog.select("run_id").distinct().collect()) == {
+        "r1",
+        "r2",
+    }
+
+
+def test_partition_metrics(spark, pages):
+    res = parse_extract(pages, num_parts=8, include_dom=False)
+    m = partition_metrics(res).collect()
+    assert sum(r["n_docs"] for r in m) == 500
+    assert all(r["n_tokens"] > 0 for r in m)
+
+
+def test_scan_is_pruned(spark, sf_dir):
+    """Column pruning must reach the parquet scan: parsing selects only
+    (url, lang, html); the scan must not read the documents 'text' column
+    twice nor carry unused derived columns through the exchange."""
+    spark.catalog.clearCache()  # avoid plan-fragment reuse from cached fixtures
+    pages = pages_df(spark, sf_dir)
+    res = parse_extract(pages, num_parts=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # derived columns (ts_seconds, warc_ts, host, r) are pruned before the
+    # exchange; the scan reads only the four needed document columns
+    assert "ts_seconds" not in plan
+    assert "n_chars" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>" in plan
