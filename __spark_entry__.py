@@ -1,38 +1,196 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the htmlgraft PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse+extract pipeline at sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2B/§2C plus the
+training-data operators) as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
+gives the DuckDB-checkable equivalent.  The HTML corpus itself is
+synthesized BY SQL from the ``documents`` table (htmlgraft/corpus.py), which
+is what makes even the mapInPandas parse+extract stage value-checkable: the
+oracle computes the expected extracted text relationally, the pipeline must
+reproduce it byte-for-byte through tokenize -> tree-build -> extract.
+
+All non-string outputs are integers (or exact min/max doubles) so value
+hashes are stable across engines; every computed column is aliased
+identically in both dialects.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from htmlgraft import eventops, media, simops, textops
+from htmlgraft.corpus import pages_df, pages_oracle_cte
+from htmlgraft.job import parse_extract, partition_metrics
+
+
+def _results(spark: SparkSession, sf_dir: str, include_dom: bool = False) -> DataFrame:
+    """Full pipeline: synthesize pages from documents, parse+extract."""
+    return parse_extract(pages_df(spark, sf_dir), include_dom=include_dom)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize+tree-build+extract the sf0.001 corpus."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    res = _results(spark, "/root/testdata/sf0.001", include_dom=True)
+    return res.select(
+        "url", "lang", "dom", "text", "n_tokens", "n_nodes", "n_errors", "n_bytes"
+    )
+
+
+# --- pipeline queries (corpus-backed, full value oracle) ---------------------
+
+def _q_extract_text(spark, sf_dir):
+    return _results(spark, sf_dir).select("url", "text")
+
+
+def _q_extract_stats_by_lang(spark, sf_dir):
+    return (
+        _results(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("text_chars"),
+            F.max(F.length("text")).cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+def _q_extract_stats_by_host(spark, sf_dir):
+    # host = authority component of the url; skew report for the salted
+    # repartition (one heavy host carries ~20% of pages by construction)
+    return (
+        _results(spark, sf_dir)
+        .withColumn("host", F.split("url", "/").getItem(2))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("text_chars"),
+        )
+    )
+
+
+def _q_extract_skew_topk(spark, sf_dir):
+    return (
+        _results(spark, sf_dir)
+        .select("url", F.length("text").cast("bigint").alias("text_chars"))
+        .orderBy(F.col("text_chars").desc(), F.col("url"))
+        .limit(20)
+    )
+
+
+def _q_resume_antijoin(spark, sf_dir):
+    # resumability primitive: pages minus the done-set (broadcast anti-join);
+    # done = every even doc_id, as if a prior run committed half the corpus
+    pages = pages_df(spark, sf_dir)
+    done = pages.filter("doc_id % 2 = 0").select("url")
+    return pages.join(F.broadcast(done), "url", "left_anti").select("url", "lang")
+
+
+def _q_extract_reconcile(spark, sf_dir):
+    # set-op audit: result urls must exactly cover the corpus urls
+    pages = pages_df(spark, sf_dir)
+    res = _results(spark, sf_dir)
+    return res.select("url").exceptAll(pages.select("url"))
+
+
+def _expected(select: str) -> str:
+    return pages_oracle_cte() + " " + select
+
+
+_PIPELINE_ORACLES = {
+    "extract_text": _expected("select url, text from expected"),
+    "extract_stats_by_lang": _expected(
+        """select lang, count(*) as n_docs,
+                  cast(sum(length(text)) as bigint) as text_chars,
+                  cast(max(length(text)) as bigint) as max_chars
+           from expected group by lang"""
+    ),
+    "extract_stats_by_host": _expected(
+        """select host, count(*) as n_docs,
+                  cast(sum(length(text)) as bigint) as text_chars
+           from expected group by host"""
+    ),
+    "extract_skew_topk": _expected(
+        """select url, cast(length(text) as bigint) as text_chars
+           from expected
+           order by text_chars desc, url limit 20"""
+    ),
+    "resume_antijoin": _expected(
+        "select url, lang from expected where doc_id % 2 = 1"
+    ),
+    "extract_reconcile": _expected("select url from expected where 1 = 0"),
+}
+
+
+# --- operator registry --------------------------------------------------------
+
+def _textop(builder):
+    return lambda spark, sf_dir: textops.run(spark, sf_dir, builder)
+
+
+def _simop(builder):
+    return lambda spark, sf_dir: simops.run(spark, sf_dir, builder)
+
+
+def _eventop(builder):
+    return lambda spark, sf_dir: eventops.run(spark, sf_dir, builder)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
+        "extract_text": _q_extract_text,
+        "extract_stats_by_lang": _q_extract_stats_by_lang,
+        "extract_stats_by_host": _q_extract_stats_by_host,
+        "extract_skew_topk": _q_extract_skew_topk,
+        "resume_antijoin": _q_resume_antijoin,
+        "extract_reconcile": _q_extract_reconcile,
+        # deduplication suite (documents table)
+        "dedup_exact": _textop(textops.dedup_exact_sql),
+        "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
+        "dedup_minhash_lsh": _textop(textops.minhash_lsh_sql),
+        "dedup_simhash": _textop(textops.simhash_sql),
+        # text analysis
+        "lang_id": _textop(textops.lang_id_sql),
+        "quality_score": _textop(textops.quality_sql),
+        "token_count": _textop(textops.token_count_sql),
+        "fingerprint": _textop(textops.fingerprint_sql),
+        # similarity search (embeddings table)
+        "ann_brute_topk": _simop(simops.ann_topk_sql),
+        "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
+        "ann_lsh_topk": _simop(simops.ann_lsh_topk_sql),
+        "embedding_neardup": _simop(simops.embedding_neardup_sql),
+        # events: windowed rollups / sessionization / top-k
+        "events_hourly": _eventop(eventops.events_hourly_sql),
+        "events_sessionize": _eventop(eventops.sessionize_sql),
+        "events_top_users": _eventop(eventops.top_users_sql),
+        # multimodal plumbing (binary column -> mapInPandas feature extract)
+        "media_features": media.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_PIPELINE_ORACLES)
+    out.update(
+        {
+            "dedup_exact": textops.dedup_exact_sql(duck=True),
+            "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
+            "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
+            "dedup_simhash": textops.simhash_sql(duck=True),
+            "lang_id": textops.lang_id_sql(duck=True),
+            "quality_score": textops.quality_sql(duck=True),
+            "token_count": textops.token_count_sql(duck=True),
+            "fingerprint": textops.fingerprint_sql(duck=True),
+            "ann_brute_topk": simops.ann_topk_sql(duck=True),
+            "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
+            "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),
+            "embedding_neardup": simops.embedding_neardup_sql(duck=True),
+            "events_hourly": eventops.events_hourly_sql(duck=True),
+            "events_sessionize": eventops.sessionize_sql(duck=True),
+            "events_top_users": eventops.top_users_sql(duck=True),
+            "media_features": media.media_features_oracle_sql(),
+        }
+    )
+    return out

@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[64], label): brute-force top-k by quantized inner product, and an
+LSH-bucketed scale path (sign-bit random-hyperplane analogue).
+
+Like textops, each operator is one SQL template rendered for Spark SQL
+(Catalyst; array ops stay JVM-side via higher-order functions — no Python in
+the hot path) and DuckDB (the oracle).  Float math is NOT hash-stable across
+engines, so scoring uses int8-style quantization: each component is
+``cast(round(cast(x as double) * 1000.0) as bigint)`` (exact in both
+engines: float->double cast is exact, both round half away from zero), and
+similarity is the exact integer dot product of the quantized vectors —
+deterministic, order-independent, overflow-safe (|q| <= ~5000, 64 dims
+=> |dot| <= 1.6e9 << 2^63).
+
+Scale notes (10^9+ vectors):
+* brute-force top-k is the correctness baseline: broadcast the (tiny) query
+  set, score per partition, per-query top-k via window — one shuffle on
+  q_id, no all-pairs materialization beyond the scored stream;
+* the LSH path buckets vectors by the sign pattern of the first SIGN_BITS
+  components (a fixed-hyperplane simhash); candidate generation then only
+  joins within buckets — shuffle keyed by bucket, O(n) not O(n^2);
+* at 100 TB the quantized vectors would be precomputed once and stored
+  (array<tinyint> column), amortizing the transform across queries.
+"""
+
+from __future__ import annotations
+
+from .textops import DUCK, SPARK, _d
+
+N_QUERIES = 5   # queries = vec_id < N_QUERIES
+TOP_K = 5
+SIGN_BITS = 8   # LSH bucket = sign pattern of components 1..SIGN_BITS
+
+
+def _quant(duck: bool, col: str = "embedding") -> str:
+    """array<bigint> quantized embedding, identical in both engines."""
+    d = _d(duck)
+    lam = d["lambda"].format(
+        "x", "cast(round(cast(x as double) * 1000.0) as bigint)"
+    )
+    return d["transform"].format(col, lam)
+
+
+def _dot(duck: bool, a: str, b: str) -> str:
+    """Exact integer dot product of two bigint arrays (sequential fold —
+    order-deterministic, though integer addition is associative anyway)."""
+    if duck:
+        return f"list_sum(list_transform({a}, (x, i) -> x * {b}[i]))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def ann_topk_sql(duck: bool, emb: str = "embeddings") -> str:
+    """Brute-force top-k: for each query vector (vec_id < N_QUERIES), the
+    TOP_K nearest neighbors by quantized inner product.  The query set is
+    tiny -> Spark broadcasts it (hinted); candidates stream through the
+    scorer partition-local, then one shuffle on q_id for the window top-k."""
+    q = _quant(duck)
+    dot = _dot(duck, "qv.qe", "cv.ce")
+    hint = "" if duck else "/*+ BROADCAST(qv) */"
+    return f"""
+      with qv as (
+        select vec_id as q_id, {q} as qe from {emb} where vec_id < {N_QUERIES}
+      ),
+      cv as (
+        select vec_id as n_id, label, {q} as ce from {emb}
+      ),
+      scored as (
+        select {hint} qv.q_id, cv.n_id, cv.label,
+               cast({dot} as bigint) as dot_q
+        from qv cross join cv
+        where qv.q_id <> cv.n_id
+      ),
+      ranked as (
+        select q_id, n_id, label, dot_q,
+               row_number() over (
+                 partition by q_id order by dot_q desc, n_id asc
+               ) as rk
+        from scored
+      )
+      select q_id, n_id, cast(label as bigint) as label, dot_q,
+             cast(rk as bigint) as rk
+      from ranked where rk <= {TOP_K}
+      order by q_id, rk
+    """
+
+
+def _bucket(duck: bool, col: str = "embedding") -> str:
+    """LSH bucket id: sign bits of the first SIGN_BITS components (1-based
+    element access in both engines; float sign compare is exact)."""
+    d = _d(duck)
+    terms = " + ".join(
+        f"(case when {d['elem'].format(col, str(i))} > 0 then {1 << (i - 1)} else 0 end)"
+        for i in range(1, SIGN_BITS + 1)
+    )
+    return f"cast({terms} as bigint)"
+
+
+def lsh_buckets_sql(duck: bool, emb: str = "embeddings") -> str:
+    """LSH bucket histogram: how the sign-bit partitioner spreads the
+    corpus (skew diagnostics for the bucketed join)."""
+    b = _bucket(duck)
+    return f"""
+      select {b} as bucket,
+             count(*) as n_vectors,
+             min(vec_id) as min_vec_id
+      from {emb}
+      group by {b}
+      order by bucket
+    """
+
+
+def ann_lsh_topk_sql(duck: bool, emb: str = "embeddings") -> str:
+    """Bucketed ANN: neighbors are only searched inside the query's LSH
+    bucket — the join is keyed on bucket (O(n) shuffle), trading recall for
+    scale.  Same quantized-dot scoring and deterministic ranking."""
+    q = _quant(duck)
+    b = _bucket(duck)
+    dot = _dot(duck, "qv.qe", "cv.ce")
+    return f"""
+      with qv as (
+        select vec_id as q_id, {q} as qe, {b} as bucket
+        from {emb} where vec_id < {N_QUERIES}
+      ),
+      cv as (
+        select vec_id as n_id, {q} as ce, {b} as bucket from {emb}
+      ),
+      scored as (
+        select qv.q_id, cv.n_id, cast({dot} as bigint) as dot_q
+        from qv join cv on qv.bucket = cv.bucket and qv.q_id <> cv.n_id
+      ),
+      ranked as (
+        select q_id, n_id, dot_q,
+               row_number() over (
+                 partition by q_id order by dot_q desc, n_id asc
+               ) as rk
+        from scored
+      )
+      select q_id, n_id, dot_q, cast(rk as bigint) as rk
+      from ranked where rk <= {TOP_K}
+      order by q_id, rk
+    """
+
+
+def embedding_neardup_sql(duck: bool, emb: str = "embeddings") -> str:
+    """Embedding near-duplicate pairs inside LSH buckets: pairs (a < b)
+    sharing a bucket whose quantized dot exceeds a fixed threshold.  The
+    bucket join keeps this O(n * bucket_width), never all-pairs."""
+    q = _quant(duck)
+    b = _bucket(duck)
+    dot = _dot(duck, "a.qe", "b.qe")
+    return f"""
+      with v as (
+        select vec_id, {q} as qe, {b} as bucket from {emb}
+      )
+      select a.vec_id as a_id, b.vec_id as b_id,
+             cast({dot} as bigint) as dot_q
+      from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+      where {dot} > 350000
+      order by a_id, b_id
+    """
+
+
+def run(spark, sf_dir: str, sql_builder, **kw):
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(sql_builder(duck=False, **kw))

@@ -1,0 +1,372 @@
+"""Training-data text operators over the ``documents`` table: deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), language-ID, quality scoring,
+token counting, and document fingerprinting.
+
+Each operator is ONE logical plan written as a SQL template rendered for two
+dialects: Spark SQL (executed through Catalyst — whole-stage codegen, no
+Python in the hot path) and DuckDB SQL (the driver's value-level oracle).
+Sharing the template is what makes the oracle a real byte-level check: both
+engines agree on md5() (hex string of the UTF-8 bytes), 1-based list
+indexing (``element_at`` / ``l[i]``), and integer arithmetic, so every
+operator below emits only strings/integers — no floats — and is
+hash-comparable across engines.
+
+Scale notes (100 TB / 10^12 docs):
+* shingle explode multiplies rows ~100x but stays narrow (doc_id, shingle)
+  and aggregates map-side before the shuffle on shingle/doc_id;
+* the all-pairs shingle self-join (``ngram_jaccard``) is the small-scale
+  oracle path; at scale candidate pairs come from ``minhash_lsh`` banding
+  (shuffle on band key ~ O(n), not O(n^2)) and only candidates are verified;
+* hot shingles (stopword 3-grams) would skew the self-join — the LSH path
+  avoids it entirely, and the verify join is pre-filtered to candidates;
+* simhash is a pure map + two hash aggregations (doc_id, bit) — linear.
+"""
+
+from __future__ import annotations
+
+SPARK = {
+    "str": "string",
+    # 32-bit int from the first 8 hex chars of md5
+    "h32_open": "cast(conv(substr(md5(",
+    "h32_close": "),1,8),16,10) as bigint)",
+    "split": "split({0}, ' ')",
+    "elem": "element_at({0}, {1})",
+    "shl1": "shiftleft(cast(1 as bigint), {0})",
+    "bit": "(shiftright({0}, {1}) & 1)",
+    "range_incl": "sequence({0}, {1})",  # guarded: only used when hi >= lo
+    "lambda": "{0} -> {1}",
+    "transform": "transform({0}, {1})",
+    "strpos": "instr({0}, {1})",
+    "re_count": "regexp_count({0}, {1})",
+}
+
+DUCK = {
+    "str": "varchar",
+    "h32_open": "(('0x' || substr(md5(",
+    "h32_close": "),1,8))::bigint)",
+    "split": "string_split({0}, ' ')",
+    "elem": "{0}[{1}]",
+    "shl1": "((1::bigint) << {0})",
+    "bit": "(({0} >> {1}) & 1)",
+    "range_incl": "generate_series({0}, {1})",
+    "lambda": "{0} -> {1}",
+    "transform": "list_transform({0}, {1})",
+    "strpos": "strpos({0}, {1})",
+    "re_count": "len(regexp_extract_all({0}, {1}))",
+}
+
+
+def _d(duck: bool) -> dict:
+    return DUCK if duck else SPARK
+
+
+def h32(expr: str, duck: bool) -> str:
+    """Deterministic 32-bit token hash shared by both engines."""
+    d = _d(duck)
+    return d["h32_open"] + expr + d["h32_close"]
+
+
+# --- shared relational fragments -------------------------------------------
+
+def duped_docs_cte(duck: bool, docs: str = "documents") -> str:
+    """Deterministic dedup corpus: the documents table plus exact copies
+    (doc_id%10=0 -> +1_000_000) and near-duplicates with 3 words appended
+    (doc_id%17=0 -> +2_000_000).  No RNG, both dialects identical."""
+    return f"""
+      ddocs as (
+        select doc_id, text from {docs}
+        union all
+        select doc_id + 1000000, text from {docs} where doc_id % 10 = 0
+        union all
+        select doc_id + 2000000, concat(text, ' zq1 zq2 zq3')
+        from {docs} where doc_id % 17 = 0
+      )"""
+
+
+def shingles_cte(duck: bool, src: str = "ddocs", k: int = 3) -> str:
+    """Distinct word k-gram shingles per doc: ws, then shingle i =
+    ws[i]..ws[i+k-1] for i in 1..len(ws)-k+1 (1-based in both engines)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    parts = " || ' ' || ".join(
+        d["elem"].format("ws", f"i + {j}") if j else d["elem"].format("ws", "i")
+        for j in range(k)
+    )
+    lam = d["lambda"].format("i", parts)
+    mk = d["transform"].format(d["range_incl"].format("1", f"len(ws) - {k - 1}"), lam)
+    if duck:
+        return f"""
+      words as (select doc_id, {ws} as ws from {src}),
+      shingles as (
+        select distinct doc_id, unnest({mk}) as shingle
+        from words where len(ws) >= {k}
+      )"""
+    # Spark: len() -> size(), unnest -> explode
+    mk_s = mk.replace("len(ws)", "size(ws)")
+    return f"""
+      words as (select doc_id, {ws} as ws from {src}),
+      shingles as (
+        select distinct doc_id, explode({mk_s}) as shingle
+        from words where size(ws) >= {k}
+      )"""
+
+
+def tokens_cte(duck: bool, src: str = "documents") -> str:
+    """All word tokens per doc (with multiplicity)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    if duck:
+        return f"tokens as (select doc_id, unnest({ws}) as tok from {src})"
+    return f"tokens as (select doc_id, explode({ws}) as tok from {src})"
+
+
+# --- operators ---------------------------------------------------------------
+
+def dedup_exact_sql(duck: bool, docs: str = "documents") -> str:
+    """Exact dedup: hash-groupBy on md5(text); one shuffle on the hash.
+    Output: duplicate groups with the kept (minimum) doc_id."""
+    return f"""
+      with {duped_docs_cte(duck, docs)}
+      select md5(text) as text_md5,
+             count(*) as n_copies,
+             min(doc_id) as keeper_id
+      from ddocs
+      group by md5(text)
+      having count(*) > 1
+      order by text_md5
+    """
+
+
+def ngram_jaccard_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (2*inter >= union; pure
+    integer output so both engines hash identically).  All-pairs shingle
+    self-join — correct at any scale but O(pairs); the scale path is
+    minhash_lsh_sql below."""
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {shingles_cte(duck, "ddocs", k)},
+      sizes as (select doc_id, count(*) as n from shingles group by doc_id),
+      inter as (
+        select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_inter
+        from shingles a join shingles b
+          on a.shingle = b.shingle and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+      )
+      select a_id, b_id, n_inter,
+             sa.n + sb.n - n_inter as n_union
+      from inter
+      join sizes sa on sa.doc_id = a_id
+      join sizes sb on sb.doc_id = b_id
+      where 2 * n_inter >= sa.n + sb.n - n_inter
+      order by a_id, b_id
+    """
+
+
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band
+
+
+def minhash_lsh_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+    """MinHash+LSH near-dup detection, the 100 TB-scale path:
+    shingle -> 16 min-hashes (min of md5(seed||'#'||shingle), lexicographic)
+    -> 8 bands x 2 rows -> candidates share a band key -> verified by exact
+    Jaccard (2*inter >= union) computed ONLY for candidate pairs.
+    Shuffles: groupBy(doc_id, seed), groupBy(band key), candidate verify join
+    — all ~O(n), never all-pairs."""
+    d = _d(duck)
+    seeds = d["range_incl"].format("0", str(N_HASHES - 1))
+    seed_src = (
+        f"select unnest({seeds}) as seed" if duck
+        else f"select explode({seeds}) as seed"
+    )
+    cast_seed = f"cast(seed as {d['str']})"
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {shingles_cte(duck, "ddocs", k)},
+      seeds as ({seed_src}),
+      mh as (
+        select doc_id, seed,
+               min(md5(concat({cast_seed}, '#', shingle))) as h
+        from shingles cross join seeds
+        group by doc_id, seed
+      ),
+      bands as (
+        -- floor(): '/' is float division in DuckDB (and double in Spark),
+        -- and DuckDB's double->int cast ROUNDS while Spark's truncates
+        select doc_id, cast(floor(seed / 2) as int) as band,
+               concat(max(case when seed % 2 = 0 then h end),
+                      max(case when seed % 2 = 1 then h end)) as band_key
+        from mh group by doc_id, cast(floor(seed / 2) as int)
+      ),
+      cand as (
+        select distinct a.doc_id as a_id, b.doc_id as b_id
+        from bands a join bands b
+          on a.band = b.band and a.band_key = b.band_key
+         and a.doc_id < b.doc_id
+      ),
+      sizes as (select doc_id, count(*) as n from shingles group by doc_id),
+      inter as (
+        select c.a_id, c.b_id, count(*) as n_inter
+        from cand c
+        join shingles sa on sa.doc_id = c.a_id
+        join shingles sb on sb.doc_id = c.b_id and sb.shingle = sa.shingle
+        group by c.a_id, c.b_id
+      )
+      select i.a_id, i.b_id
+      from inter i
+      join sizes sa on sa.doc_id = i.a_id
+      join sizes sb on sb.doc_id = i.b_id
+      where 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+      order by i.a_id, i.b_id
+    """
+
+
+def simhash_sql(duck: bool, docs: str = "documents") -> str:
+    """32-bit SimHash per document: per-token 32-bit md5-derived hash, each
+    bit votes +1/-1, bit set iff the vote sum is > 0.  Pure map + two hash
+    aggregations — linear, no joins, ideal at 10^12 docs."""
+    d = _d(duck)
+    th = h32("tok", duck)
+    bits = d["range_incl"].format("0", "31")
+    bit_src = (
+        f"select unnest({bits}) as i" if duck
+        else f"select explode({bits}) as i"
+    )
+    bitexpr = d["bit"].format("h", "i")
+    shl = d["shl1"].format("i")
+    return f"""
+      with {tokens_cte(duck, docs)},
+      hashed as (select doc_id, {th} as h from tokens),
+      bits as ({bit_src}),
+      votes as (
+        select doc_id, i,
+               sum(case when {bitexpr} = 1 then 1 else -1 end) as v
+        from hashed cross join bits
+        group by doc_id, i
+      )
+      select doc_id,
+             cast(sum(case when v > 0 then {shl} else 0 end) as bigint) as simhash
+      from votes
+      group by doc_id
+      order by doc_id
+    """
+
+
+# deterministic marker profiles for the n-gram language-ID heuristic; the
+# corpus vocabulary is synthetic, so "language" here means "which profile
+# matches best" — the heuristic itself is the operator under test
+LANG_MARKERS = {
+    "en": ("the", "a", "line"),
+    "de": ("data", "stream", "group"),
+    "es": ("query", "row", "table"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("hash", "key", "batch"),
+}
+
+
+def lang_id_sql(duck: bool, docs: str = "documents") -> str:
+    """Language-ID by marker-token counting: explode tokens, join a tiny
+    inline marker table (broadcast in Spark), count hits per candidate
+    language, argmax with lexicographic tiebreak; zero-hit docs -> 'und'."""
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(LANG_MARKERS.items()) for w in ws
+    )
+    markers = f"(values {rows})" + (
+        " as m(mlang, mtok)" if duck else " as m(mlang, mtok)"
+    )
+    return f"""
+      with {tokens_cte(duck, docs)},
+      hits as (
+        select t.doc_id, m.mlang, count(*) as n_hits
+        from tokens t join {markers} on t.tok = m.mtok
+        group by t.doc_id, m.mlang
+      ),
+      best as (
+        select doc_id, mlang, n_hits,
+               row_number() over (
+                 partition by doc_id order by n_hits desc, mlang asc
+               ) as rk
+        from hits
+      )
+      select d.doc_id,
+             coalesce(b.mlang, 'und') as pred_lang,
+             cast(coalesce(b.n_hits, 0) as bigint) as n_hits
+      from {docs} d
+      left join best b on b.doc_id = d.doc_id and b.rk = 1
+      order by d.doc_id
+    """
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def quality_sql(duck: bool, docs: str = "documents") -> str:
+    """Quality scoring: token/char counts, distinct-token and stopword
+    ratios as integer percents (floor(100*x) — identical in both engines)."""
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+      with {tokens_cte(duck, docs)},
+      stats as (
+        select doc_id,
+               count(*) as n_tokens,
+               count(distinct tok) as n_distinct,
+               sum(case when tok in ({stop_in}) then 1 else 0 end) as n_stop
+        from tokens group by doc_id
+      )
+      select d.doc_id,
+             cast(length(d.text) as bigint) as n_chars,
+             cast(s.n_tokens as bigint) as n_tokens,
+             cast(s.n_distinct as bigint) as n_distinct,
+             cast(s.n_stop as bigint) as n_stop,
+             cast(floor(100.0 * s.n_distinct / s.n_tokens) as bigint) as distinct_pct,
+             cast(floor(100.0 * s.n_stop / s.n_tokens) as bigint) as stop_pct
+      from {docs} d join stats s on s.doc_id = d.doc_id
+      order by d.doc_id
+    """
+
+
+def token_count_sql(duck: bool, docs: str = "documents") -> str:
+    """Token counting: whitespace tokens plus a BPE-ish regex token count
+    (letter runs / digit runs / single punctuation)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_ws = f"len({ws})" if duck else f"size({ws})"
+    n_sub = d["re_count"].format("text", "'[a-z]+|[0-9]+|[^a-z0-9 ]'")
+    return f"""
+      select doc_id,
+             cast({n_ws} as bigint) as ws_tokens,
+             cast({n_sub} as bigint) as subword_tokens,
+             cast(length(text) as bigint) as n_chars
+      from {docs}
+      order by doc_id
+    """
+
+
+def fingerprint_sql(duck: bool, docs: str = "documents", k: int = 4) -> str:
+    """Document fingerprinting: whole-text md5 plus a winnowing-style
+    min-hash over word 4-grams (rolling window); short docs fall back to
+    the whole-text hash."""
+    return f"""
+      with src as (select doc_id, text from {docs}),
+      {shingles_cte(duck, "src", k)},
+      mins as (select doc_id, min(md5(shingle)) as min_sh from shingles group by doc_id)
+      select d.doc_id,
+             md5(d.text) as fp,
+             coalesce(m.min_sh, md5(d.text)) as winnow_fp
+      from {docs} d left join mins m on m.doc_id = d.doc_id
+      order by d.doc_id
+    """
+
+
+# --- Spark-side runners -------------------------------------------------------
+
+def _register_documents(spark, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+
+
+def run(spark, sf_dir: str, sql_builder, **kw):
+    """Execute one textops plan on Spark over the sf_dir documents table."""
+    _register_documents(spark, sf_dir)
+    return spark.sql(sql_builder(duck=False, **kw))
