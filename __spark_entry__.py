@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
-        "dedup_minhash_lsh": _textop(textops.minhash_lsh_sql),
+        "dedup_minhash_lsh": textops.run_minhash_lsh,
         "dedup_simhash": _textop(textops.simhash_sql),
         # text analysis
         "lang_id": _textop(textops.lang_id_sql),

@@ -137,11 +137,32 @@ def pages_sql(documents_ref: str, multiplier: int = 1) -> str:
     """
 
 
-def pages_df(spark, sf_dir: str, multiplier: int = 1):
-    """DataFrame of synthesized pages for the documents table in sf_dir."""
+def pages_df(spark, sf_dir: str, multiplier: int = 1, num_parts: int | None = None):
+    """DataFrame of synthesized pages for the documents table in sf_dir.
+
+    ``num_parts`` repartitions the (tiny) document rows BEFORE the html
+    synthesis projection: the source parquet is a single small file, so
+    without this the string building runs in as few tasks as there are
+    union branches and serializes the whole downstream pipeline.
+    """
     path = f"{sf_dir}/documents.parquet"
-    spark.read.parquet(path).createOrReplaceTempView("__graft_documents")
-    return spark.sql(pages_sql("__graft_documents", multiplier))
+    docs = spark.read.parquet(path)
+    if multiplier > 1:
+        from functools import reduce
+
+        docs = reduce(
+            lambda a, b: a.unionAll(b),
+            [
+                docs.selectExpr(
+                    f"doc_id + {k} * 1000000 as doc_id", "text", "lang", "source"
+                )
+                for k in range(multiplier)
+            ],
+        )
+    if num_parts:
+        docs = docs.repartition(num_parts)
+    docs.createOrReplaceTempView("__graft_documents")
+    return spark.sql(pages_sql("__graft_documents", 1))
 
 
 # --- DuckDB oracle mirrors -------------------------------------------------

@@ -163,6 +163,171 @@ def extract_main_text(root) -> str:
     return extract_from_events(lambda: traverse(root))
 
 
+def analyze_tree(root, include_dom: bool = True):
+    """Fused single-walk pipeline core: computes the html5lib-format dom
+    string (identical to walk.print_tree) AND the extraction candidates in
+    ONE direct tree walk with no intermediate event tuples, then renders
+    only the winning subtree.  Semantics are event-path-identical (asserted
+    against extract_from_events/print_tree in tests); the fusion exists
+    because the per-event tuple stream dominated memory traffic, which is
+    what limits multi-core scaling of the Arrow-batched parse stage.
+
+    Returns (dom, text, n_nodes)."""
+    from .nodes import Comment, Doctype, Document, Element
+
+    out = [] if include_dom else None
+    buf = []           # pending adjacent text (print coalescing)
+    buf_depth = 0
+    depth = 0
+    order = 0
+    candidates = []
+    cand_nodes = {}
+    root_frame = _Frame("#root", -1, False, False)
+    fstack = [root_frame]
+    # walk stack entries: [children, idx, element_or_None, frame_or_None]
+    if isinstance(root, Document):
+        stack = [[root.children, 0, None, None]]
+    else:
+        stack = [[(root,), 0, None, None]]
+
+    def flush():
+        if buf:
+            text = "".join(buf)
+            del buf[:]
+            if text:
+                out.append('| %s"%s"\n' % ("  " * buf_depth, text))
+
+    while stack:
+        top = stack[-1]
+        children, i = top[0], top[1]
+        if i >= len(children):
+            stack.pop()
+            el = top[2]
+            if el is not None:
+                if out is not None:
+                    flush()
+                depth -= 1
+                # score bookkeeping (post-order close)
+                f = fstack.pop()
+                parent = fstack[-1]
+                if not f.skip:
+                    parent.tag_count += f.tag_count + 1
+                    parent.text_len += f.text_len
+                    parent.link_len += f.link_len
+                    if f.name in CANDIDATE_TAGS:
+                        if f.text_len > 0:
+                            density = f.text_len / (1 + f.tag_count)
+                            link_density = f.link_len / f.text_len
+                            score = (
+                                density
+                                * (1.0 - link_density) ** 2
+                                * log(1 + f.text_len)
+                            )
+                        else:
+                            score = 0.0
+                        candidates.append((f.order, f.name, score))
+            continue
+        top[1] = i + 1
+        node = children[i]
+        t = type(node)
+        if t is str or t is bytes:
+            if t is bytes:
+                node = node.decode("utf-8")
+            if out is not None:
+                if not buf:
+                    buf_depth = depth
+                buf.append(node)
+            f = fstack[-1]
+            if not f.skip:
+                n = len(node)
+                f.text_len += n
+                if f.in_link:
+                    f.link_len += n
+        elif t is Element:
+            name = node.name
+            if name[:1] == "#":
+                stack.append([node.children, 0, None, None])
+            else:
+                if out is not None:
+                    flush()
+                    out.append("| %s<%s>\n" % ("  " * depth, name))
+                depth += 1
+                parent = fstack[-1]
+                skip = parent.skip or name in SKIP_TAGS
+                fstack.append(
+                    _Frame(name, order, skip, parent.in_link or name == "a")
+                )
+                if name in CANDIDATE_TAGS and not skip:
+                    cand_nodes[order] = node
+                order += 1
+                stack.append([node.children, 0, node, None])
+        elif t is Comment:
+            if out is not None:
+                flush()
+                out.append("| %s<!--%s-->\n" % ("  " * depth, "".join(node.data)))
+        elif t is Doctype:
+            if out is not None:
+                flush()
+                out.append("| %s<!doctype>\n" % ("  " * depth))
+        elif t is Document:
+            stack.append([node.children, 0, None, None])
+    if out is not None:
+        flush()
+
+    target = pick_target(candidates)
+    if target is None:
+        text = _render_pass(traverse(root), None)
+    else:
+        text = _render_subtree(cand_nodes[target])
+    return ("".join(out) if out is not None else ""), text, order
+
+
+def _render_subtree(el) -> str:
+    """Visible-text rendering of one element subtree — equivalent to
+    ``_render_pass(traverse(document), order_of(el))`` but walking only the
+    subtree.  SKIP_TAGS below the target are pruned (the target itself is
+    rendered even if its tag is skippable, matching the event path)."""
+    from .nodes import Comment, Doctype, Element
+
+    parts = []
+    if el.name in BLOCK_TAGS:
+        parts.append("\n")
+    stack = [[el.children, 0, el.name]]
+    while stack:
+        top = stack[-1]
+        children, i = top[0], top[1]
+        if i >= len(children):
+            stack.pop()
+            name = top[2]
+            if name is not None and name in BLOCK_TAGS:
+                parts.append("\n")
+            continue
+        top[1] = i + 1
+        node = children[i]
+        t = type(node)
+        if t is str:
+            parts.append(node)
+        elif t is bytes:
+            parts.append(node.decode("utf-8"))
+        elif t is Element:
+            name = node.name
+            if name[:1] == "#":
+                stack.append([node.children, 0, None])
+            elif name in SKIP_TAGS:
+                continue
+            else:
+                if name in BLOCK_TAGS:
+                    parts.append("\n")
+                stack.append([node.children, 0, name])
+    raw = "".join(parts)
+    lines = []
+    for line in raw.split("\n"):
+        line = _WS_RUN.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
 def pick_target(candidates):
     """Winner selection: highest score (> 0), first in close order on ties;
     fallback <body>, else whole document (None)."""

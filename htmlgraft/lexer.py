@@ -139,6 +139,17 @@ _RE_CMT = re.compile("[^\x00\r\n\x80-]+")
 # additionally allows '/' (dfa.js rows ValueUnquoted/Val).
 _RE_VALU = re.compile("[^\r\n\t &>/\x80][^\r\n\t &>\x80]*")
 
+# Merged text run (perf): when the delegate's ``can_merge_text()`` confirms
+# that in the CURRENT tree context a space token and a data token are
+# appended identically (content accepts both, no foster trap, no sibling
+# rules, no table space re-kinding, empty formatting list), a whole
+# words-and-spaces run is lexed as ONE data token instead of alternating
+# data/space tokens.  The run must contain at least one non-space char:
+# pure-space runs keep their space token so C.SPACE-vs-C.TEXT bookkeeping
+# (FramesetOK / allOpened) stays exact.  Tree output is identical because
+# adjacent text children are coalesced by every consumer.
+_RE_MERGED = re.compile("[\t ]*[^\x00\r\n\t &<\x80][^\x00\r\n&<\x80]*")
+
 
 class LexerError(SyntaxError):
     pass
@@ -196,12 +207,14 @@ class Tokeniser:
     """Push tokeniser; ``parse(input)`` == ``write(input); end()``."""
 
     __slots__ = (
-        "delegate", "token_state", "anchor", "end", "pos", "line", "lastnl",
-        "parser_context", "last_start_tag", "tag", "attr", "emit",
+        "delegate", "can_merge", "token_state", "anchor", "end", "pos",
+        "line", "lastnl", "parser_context", "last_start_tag", "tag", "attr",
+        "emit",
     )
 
     def __init__(self, delegate):
         self.delegate = delegate
+        self.can_merge = getattr(delegate, "can_merge_text", None)
         self._reset()
 
     def _reset(self):
@@ -228,6 +241,7 @@ class Tokeniser:
     def write(self, s: str) -> None:  # noqa: C901 - mirrors the reference switch
         length = len(s)
         delegate = self.delegate
+        can_merge = self.can_merge
         table = _TABLE
         eq = _EQ
         pos = self.pos
@@ -241,10 +255,16 @@ class Tokeniser:
             # --- fast path: extend run tokens with a C-level regex ---
             token_type = 0
             if token_state == S_MAIN:
-                m = _RE_MAIN.match(s, pos)
-                if m is not None:
-                    end = m.end()
-                    token_type = _space if m.lastgroup == "sp" else _data
+                if tag is None and can_merge is not None and can_merge():
+                    m = _RE_MERGED.match(s, pos)
+                    if m is not None:
+                        end = m.end()
+                        token_type = _data
+                if not token_type:
+                    m = _RE_MAIN.match(s, pos)
+                    if m is not None:
+                        end = m.end()
+                        token_type = _space if m.lastgroup == "sp" else _data
             elif token_state == S_RAWTEXT:
                 m = _RE_RAW.match(s, pos)
                 if m is not None:

@@ -280,6 +280,31 @@ class Parser:
 
     # ### character data / comments / doctype (parser.js:306-343)
 
+    def can_merge_text(self) -> bool:
+        """Perf gate for the lexer's merged-text fast path: True iff in the
+        CURRENT context a space token and a data token are appended
+        identically — same parent (content accepts both directly, so no
+        escalate/extend), no foster trap, no sibling-rule tip mutation, no
+        table space re-kinding (``_leadingSpaceAdjust``), and an empty
+        formatting list (so ``reconstruct_formatting`` is a no-op).  A merged
+        run always contains a non-space char, so C.TEXT is set in
+        allOpened/children either way; C.SPACE may be missing, which no
+        consumer can observe: sibling_rule only tests html/head/body/
+        frameset/DOCTYPE bits, and the FramesetOK subset check already fails
+        on C.TEXT (SPACE is inside FramesetOK)."""
+        builder = self.builder
+        if builder.formatting:
+            return False
+        tip = builder.tip
+        rule = tip.rule
+        return (
+            (rule.content & _C_TEXT) != 0
+            and (rule.content & _C_SPACE) != 0
+            and (rule.trap & (_C_TEXT | _C_SPACE)) == 0
+            and not rule.siblingRules
+            and (tip.kind & _leadingSpaceAdjust) == 0
+        )
+
     def write_data(self, item):
         self.mode &= _clearMode
         builder = self.builder

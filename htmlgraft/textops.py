@@ -166,13 +166,21 @@ N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
 
 
-def minhash_lsh_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+def minhash_lsh_sql(
+    duck: bool, docs: str = "documents", k: int = 3, shingles_ref: str | None = None
+) -> str:
     """MinHash+LSH near-dup detection, the 100 TB-scale path:
     shingle -> 16 min-hashes (min of md5(seed||'#'||shingle), lexicographic)
     -> 8 bands x 2 rows -> candidates share a band key -> verified by exact
     Jaccard (2*inter >= union) computed ONLY for candidate pairs.
     Shuffles: groupBy(doc_id, seed), groupBy(band key), candidate verify join
-    — all ~O(n), never all-pairs."""
+    — all ~O(n), never all-pairs.
+
+    ``shingles_ref``: name of a pre-materialized (doc_id, shingle) relation.
+    The shingle set is referenced three times (min-hashing, set sizes, the
+    verify join); SQL engines inline CTEs, so without materialization the
+    explode is computed three times — ``run_minhash_lsh`` persists it once
+    on the Spark side (at 100 TB this would be a checkpointed table)."""
     d = _d(duck)
     seeds = d["range_incl"].format("0", str(N_HASHES - 1))
     seed_src = (
@@ -180,9 +188,12 @@ def minhash_lsh_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
         else f"select explode({seeds}) as seed"
     )
     cast_seed = f"cast(seed as {d['str']})"
+    if shingles_ref is None:
+        pre = f"with {duped_docs_cte(duck, docs)},\n      {shingles_cte(duck, 'ddocs', k)},"
+    else:
+        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
     return f"""
-      with {duped_docs_cte(duck, docs)},
-      {shingles_cte(duck, "ddocs", k)},
+      {pre}
       seeds as ({seed_src}),
       mh as (
         select doc_id, seed,
@@ -370,3 +381,16 @@ def run(spark, sf_dir: str, sql_builder, **kw):
     """Execute one textops plan on Spark over the sf_dir documents table."""
     _register_documents(spark, sf_dir)
     return spark.sql(sql_builder(duck=False, **kw))
+
+
+def run_minhash_lsh(spark, sf_dir: str, k: int = 3):
+    """Spark-side MinHash+LSH with the shingle relation persisted once
+    (it feeds three consumers; Catalyst inlines CTEs, so an unpersisted
+    plan would recompute the explode three times)."""
+    _register_documents(spark, sf_dir)
+    sh = spark.sql(
+        f"with {duped_docs_cte(False)}, {shingles_cte(False, 'ddocs', k)} "
+        "select doc_id, shingle from shingles"
+    ).persist()
+    sh.createOrReplaceTempView("__mh_shingles")
+    return spark.sql(minhash_lsh_sql(duck=False, k=k, shingles_ref="__mh_shingles"))

@@ -78,9 +78,15 @@ def _attr_list(attrs):
 
 
 def print_tree(node) -> str:
+    return print_events(traverse(node))
+
+
+def print_events(events) -> str:
+    """html5lib-format rendering from an event stream/list (lets callers
+    materialize ``traverse`` once and reuse it across extract + print)."""
     out = []
     depth = 0
-    for token in coalesce(traverse(node)):
+    for token in coalesce(events):
         indent = "  " * depth
         kind = token[0]
         if kind == START:

@@ -1,0 +1,75 @@
+"""Streaming ingest: the stream over a drop directory must produce exactly
+the batch pipeline's results (same UDF, exactly-once sink), and restarting
+the same checkpoint must not duplicate."""
+
+import duckdb
+import pytest
+
+from htmlgraft.corpus import pages_df, pages_oracle_cte
+from htmlgraft.job import parse_extract
+from htmlgraft.streaming import (
+    start_metrics_sink, start_results_sink, stream_pages,
+    stream_parse_extract, windowed_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def drop_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("drops") / "pages")
+    # the "crawler": several files dropped into the directory
+    pages_df(spark, sf_dir).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).repartition(4).write.parquet(d)
+    return d
+
+
+def test_stream_matches_batch(spark, sf_dir, drop_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_results_sink(
+        stream_parse_extract(stream_pages(spark, drop_dir, max_files_per_trigger=2)),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(out).select("url", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf_dir}/documents.parquet'")
+    want = dict(
+        con.execute(pages_oracle_cte() + " select url, text from expected").fetchall()
+    )
+    assert got == want
+
+    # restart on the same checkpoint: no new files -> no duplicates
+    q2 = start_results_sink(
+        stream_parse_extract(stream_pages(spark, drop_dir)), out, ckpt
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == len(want)
+
+
+def test_windowed_metrics(spark, sf_dir, drop_dir):
+    # complete mode (memory sink): every window visible regardless of the
+    # watermark, so totals must equal the batch rollup exactly.  Append-mode
+    # emission (watermark-gated) is exercised by the results-sink test.
+    q = (
+        windowed_metrics(stream_pages(spark, drop_dir, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("graft_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = spark.table("graft_metrics")
+    batch = pages_df(spark, sf_dir)
+    assert m.agg({"n_pages": "sum"}).collect()[0][0] == batch.count()
+    assert (
+        m.agg({"n_bytes": "sum"}).collect()[0][0]
+        == batch.selectExpr("sum(length(html)) as s").collect()[0]["s"]
+    )
+    assert set(r["lang"] for r in m.select("lang").distinct().collect()) == {
+        "en", "de", "es", "fr", "zh"
+    }
