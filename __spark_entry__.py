@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from htmlgraft import eventops, media, simops, textops
+from htmlgraft import eventops, media, relops, simops, textops
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
 
@@ -138,6 +138,10 @@ def _eventop(builder):
     return lambda spark, sf_dir: eventops.run(spark, sf_dir, builder)
 
 
+def _relop(builder):
+    return lambda spark, sf_dir: relops.run(spark, sf_dir, builder)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
@@ -168,6 +172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _eventop(eventops.top_users_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
+        # relational warehouse queries (broadcast joins, rollup, top-k)
+        "tpch_pricing_summary": _relop(relops.pricing_summary_sql),
+        "tpch_segment_stats": _relop(relops.segment_stats_sql),
+        "tpch_region_rollup": _relop(relops.region_rollup_sql),
+        "tpch_top_parts": _relop(relops.top_parts_sql),
+        "events_rollup": _relop(relops.events_rollup_sql),
     }
 
 
@@ -191,6 +201,11 @@ def oracle_sql() -> dict[str, str]:
             "events_sessionize": eventops.sessionize_sql(duck=True),
             "events_top_users": eventops.top_users_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
+            "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
+            "tpch_segment_stats": relops.segment_stats_sql(duck=True),
+            "tpch_region_rollup": relops.region_rollup_sql(duck=True),
+            "tpch_top_parts": relops.top_parts_sql(duck=True),
+            "events_rollup": relops.events_rollup_sql(duck=True),
         }
     )
     return out

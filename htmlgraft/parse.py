@@ -42,6 +42,7 @@ _afterAfterBody = 1 << 1
 _afterFrameset = 1 << 2
 _afterAfterFrameset = 1 << 3
 _clearMode = 0b1000  # no way to escape afterAfterFrameset
+_END_KIND = {}  # name -> generic end-tag kind (memo)
 
 _openHooks = C["html"] | C["head"] | C["body"] | C["frameset"] | C["table"]
 
@@ -270,11 +271,14 @@ class Parser:
                 return builder.tip.kind
 
         # generic close: union of the name's class in all three namespaces
-        kind = (
-            (1 << _map_id(HTML_RULES, name))
-            | (1 << _map_id(SVG_RULES, name))
-            | (1 << _map_id(MATH_RULES, name))
-        )
+        # (pure function of the tag name -> memoized)
+        kind = _END_KIND.get(name)
+        if kind is None:
+            kind = _END_KIND[name] = (
+                (1 << _map_id(HTML_RULES, name))
+                | (1 << _map_id(SVG_RULES, name))
+                | (1 << _map_id(MATH_RULES, name))
+            )
         builder.try_close(item.name, kind)
         return builder.tip.kind
 

@@ -1,0 +1,58 @@
+"""Relational operators: physical-plan shape (broadcast joins must
+broadcast; scans must prune) and the error-status path of the parse
+pipeline."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from htmlgraft import relops
+from htmlgraft.job import parse_extract
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_segment_stats_broadcasts(spark, sf_dir):
+    df = relops.run(spark, sf_dir, relops.segment_stats_sql)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_region_rollup_broadcasts_dims(spark, sf_dir):
+    df = relops.run(spark, sf_dir, relops.region_rollup_sql)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Expand" in plan  # rollup grouping sets
+
+
+def test_pricing_summary_prunes_scan(spark, sf_dir):
+    df = relops.run(spark, sf_dir, relops.pricing_summary_sql)
+    df.collect()
+    plan = _plan(df)
+    # only 4 of 11 lineitem columns may reach the scan
+    assert "l_returnflag" in plan and "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_parse_error_rows(spark):
+    """Inputs the reference parser throws on must surface as status=error
+    rows with n_errors=1, not kill the partition (poison-pill isolation)."""
+    rows = [
+        ("https://ok.example/1", "en", bytearray(b"<p>fine</p>")),
+        # the reference throws on <math><font>x (undefined-rule quirk)
+        ("https://bad.example/2", "en", bytearray(b"<math><font>x")),
+        # U+0080 hits the undefined eqClass entry -> lexer error
+        ("https://bad.example/3", "en", bytearray("prepost".encode())),
+    ]
+    pages = spark.createDataFrame(rows, "url string, lang string, html binary")
+    res = {r["url"]: r for r in parse_extract(pages, num_parts=2).collect()}
+    assert res["https://ok.example/1"]["status"] == "ok"
+    assert res["https://ok.example/1"]["n_errors"] == 0
+    for bad in ("https://bad.example/2", "https://bad.example/3"):
+        assert res[bad]["n_errors"] == 1
+        assert res[bad]["status"].startswith("error:")
+        assert res[bad]["text"] == ""
+    # metrics roll up the poison pills
+    agg = parse_extract(pages, num_parts=2).agg(F.sum("n_errors")).collect()[0][0]
+    assert agg == 2
