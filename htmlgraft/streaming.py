@@ -91,3 +91,72 @@ def start_metrics_sink(metrics: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- custom stateful operator: per-host crawl-session tracking --------------
+
+HOST_STATE_SCHEMA = "n_pages BIGINT, n_bytes BIGINT, last_ts TIMESTAMP"
+HOST_OUT_SCHEMA = (
+    "host STRING, n_pages BIGINT, n_bytes BIGINT, "
+    "first_seen TIMESTAMP, last_seen TIMESTAMP, closed BOOLEAN"
+)
+HOST_IDLE_TIMEOUT_MS = 30 * 60 * 1000  # close a host session after 30 min idle
+
+
+def _host_session_fn(key, pdfs, state):
+    """applyInPandasWithState update function: accumulate per-host page and
+    byte counts; emit a snapshot each micro-batch and a final closed=True
+    row when the processing-time timeout fires."""
+    import pandas as pd
+
+    (host,) = key
+    if state.hasTimedOut:
+        n_pages, n_bytes, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[host, n_pages, n_bytes, None, last_ts, True]],
+            columns=["host", "n_pages", "n_bytes", "first_seen", "last_seen",
+                     "closed"],
+        )
+        return
+    n_pages, n_bytes, last_ts = state.get if state.exists else (0, 0, None)
+    first = last = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n_pages += len(pdf)
+        n_bytes += int(pdf["n_bytes"].sum())
+        ts_min, ts_max = pdf["warc_ts"].min(), pdf["warc_ts"].max()
+        first = ts_min if first is None else min(first, ts_min)
+        last = ts_max if last is None else max(last, ts_max)
+    if last is not None and (last_ts is None or last > last_ts):
+        last_ts = last
+    state.update((n_pages, n_bytes, last_ts))
+    state.setTimeoutDuration(HOST_IDLE_TIMEOUT_MS)
+    yield pd.DataFrame(
+        [[host, n_pages, n_bytes, first, last_ts, False]],
+        columns=["host", "n_pages", "n_bytes", "first_seen", "last_seen",
+                 "closed"],
+    )
+
+
+def host_sessions(pages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-host crawl statistics with idle-timeout session close.  State is
+    keyed by host — bounded by the crawl frontier, and each key holds three
+    scalars, so a 10^12-page crawl carries state proportional to distinct
+    hosts only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = pages.select(
+        F.expr("split(url, '/')[2]").alias("host"),
+        F.col("warc_ts"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _host_session_fn,
+        outputStructType=HOST_OUT_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -3,6 +3,7 @@ the batch pipeline's results (same UDF, exactly-once sink), and restarting
 the same checkpoint must not duplicate."""
 
 import duckdb
+import pyspark.sql.functions as F
 import pytest
 
 from htmlgraft.corpus import pages_df, pages_oracle_cte
@@ -73,3 +74,35 @@ def test_windowed_metrics(spark, sf_dir, drop_dir):
     assert set(r["lang"] for r in m.select("lang").distinct().collect()) == {
         "en", "de", "es", "fr", "zh"
     }
+
+
+def test_host_sessions_stateful(spark, sf_dir, drop_dir):
+    """applyInPandasWithState: running per-host stats accumulate across
+    micro-batches; final snapshots must equal the batch rollup."""
+    from htmlgraft.streaming import host_sessions
+
+    q = (
+        host_sessions(stream_pages(spark, drop_dir, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("graft_hosts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.table("graft_hosts")
+    # last snapshot per host (largest n_pages; counts are monotone)
+    final = {
+        r["host"]: (r["n_pages"], r["n_bytes"])
+        for r in snaps.orderBy("n_pages").collect()
+    }
+    batch = {
+        r["host"]: (r["n"], r["b"])
+        for r in pages_df(spark, sf_dir)
+        .selectExpr("split(url, '/')[2] as host", "length(html) as len")
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum("len").cast("bigint").alias("b"))
+        .collect()
+    }
+    assert final == batch
+    assert final["popular.example.com"][0] == 100  # the skewed host
