@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
         "ann_lsh_topk": _simop(simops.ann_lsh_topk_sql),
         "embedding_neardup": _simop(simops.embedding_neardup_sql),
+        "ann_ivf_assign": _simop(simops.ivf_assign_sql),
+        "ann_ivf_topk": _simop(simops.ivf_topk_sql),
         # events: windowed rollups / sessionization / top-k
         "events_hourly": _eventop(eventops.events_hourly_sql),
         "events_sessionize": _eventop(eventops.sessionize_sql),
@@ -197,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),
             "embedding_neardup": simops.embedding_neardup_sql(duck=True),
+            "ann_ivf_assign": simops.ivf_assign_sql(duck=True),
+            "ann_ivf_topk": simops.ivf_topk_sql(duck=True),
             "events_hourly": eventops.events_hourly_sql(duck=True),
             "events_sessionize": eventops.sessionize_sql(duck=True),
             "events_top_users": eventops.top_users_sql(duck=True),

@@ -163,6 +163,110 @@ def embedding_neardup_sql(duck: bool, emb: str = "embeddings") -> str:
     """
 
 
+# --- IVF (inverted-file) variant ---------------------------------------------
+
+N_LIST = 16   # coarse centroids (sampled: the first N_LIST vec_ids)
+N_PROBE = 2   # lists searched per query
+
+
+def _l2(duck: bool, a: str, b: str) -> str:
+    """Exact integer squared-L2 between two quantized bigint arrays."""
+    if duck:
+        return f"list_sum(list_transform({a}, (x, i) -> (x - {b}[i]) * (x - {b}[i])))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign_sql(duck: bool, emb: str = "embeddings") -> str:
+    """IVF coarse assignment: centroids are the quantized vectors of the
+    first N_LIST vec_ids (deterministic sampled coarse quantizer — no
+    float k-means, so the oracle parity is exact); every vector joins the
+    inverted list of its nearest centroid by integer squared-L2.  Output:
+    inverted-list histogram (skew diagnostic for the probe join)."""
+    q = _quant(duck)
+    l2 = _l2(duck, "v.qe", "c.qe")
+    return f"""
+      with v as (select vec_id, {q} as qe from {emb}),
+      cents as (select vec_id as list_id, qe from v where vec_id < {N_LIST}),
+      dists as (
+        select v.vec_id, c.list_id, cast({l2} as bigint) as d2
+        from v cross join cents c
+      ),
+      assign as (
+        select vec_id, list_id, d2,
+               row_number() over (
+                 partition by vec_id order by d2 asc, list_id asc
+               ) as rk
+        from dists
+      )
+      select list_id,
+             count(*) as n_vectors,
+             min(vec_id) as min_vec_id,
+             cast(min(d2) as bigint) as min_d2,
+             cast(max(d2) as bigint) as max_d2
+      from assign where rk = 1
+      group by list_id
+      order by list_id
+    """
+
+
+def ivf_topk_sql(duck: bool, emb: str = "embeddings") -> str:
+    """IVF-flat search: each query probes its N_PROBE nearest inverted
+    lists and ranks only those lists' members by quantized dot product.
+    The candidate join is keyed on list_id — O(n * nprobe / nlist) scored
+    pairs instead of brute force."""
+    q = _quant(duck)
+    l2_assign = _l2(duck, "v.qe", "c.qe")
+    l2_probe = _l2(duck, "qv.qe", "c.qe")
+    dot = _dot(duck, "qv.qe", "cand.qe")
+    return f"""
+      with v as (select vec_id, {q} as qe from {emb}),
+      cents as (select vec_id as list_id, qe from v where vec_id < {N_LIST}),
+      assign as (
+        select vec_id, list_id from (
+          select v.vec_id, c.list_id,
+                 row_number() over (
+                   partition by v.vec_id
+                   order by {l2_assign} asc, c.list_id asc
+                 ) as rk
+          from v cross join cents c
+        ) a where rk = 1
+      ),
+      qv as (select vec_id as q_id, qe from v where vec_id < {N_QUERIES}),
+      probes as (
+        select q_id, list_id from (
+          select qv.q_id, c.list_id,
+                 row_number() over (
+                   partition by qv.q_id
+                   order by {l2_probe} asc, c.list_id asc
+                 ) as rk
+          from qv cross join cents c
+        ) p where rk <= {N_PROBE}
+      ),
+      scored as (
+        select qv.q_id, cand.vec_id as n_id,
+               cast({dot} as bigint) as dot_q
+        from probes
+        join assign on assign.list_id = probes.list_id
+        join v cand on cand.vec_id = assign.vec_id
+        join qv on qv.q_id = probes.q_id
+        where cand.vec_id <> qv.q_id
+      ),
+      ranked as (
+        select q_id, n_id, dot_q,
+               row_number() over (
+                 partition by q_id order by dot_q desc, n_id asc
+               ) as rk
+        from scored
+      )
+      select q_id, n_id, dot_q, cast(rk as bigint) as rk
+      from ranked where rk <= {TOP_K}
+      order by q_id, rk
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
