@@ -100,10 +100,13 @@ def main() -> None:
         ).collect()
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # warm the Python workers (imports, Arrow setup) outside the timing
+    # warm to steady state outside the timing: python workers (imports,
+    # Arrow), JVM JIT for the scan/codegen path, and the parse UDF itself —
+    # a 64-doc warmup leaves the first timed run ~1.5-2x slower than hot
     parse_extract(
-        pages_df(spark, sf_dir).limit(2 * cpus), num_parts=cpus, include_dom=False
-    ).count()
+        pages_df(spark, sf_dir, num_parts=2 * cpus),
+        num_parts=2 * cpus, include_dom=True,
+    ).agg(F.sum("n_nodes")).collect()
     all_runs = []
     for i in range(runs):
         timed("parse_extract", lambda: run_parse(True))
