@@ -97,7 +97,11 @@ def parse_document(html: str, include_dom: bool = True):
     Returns (dom, text, n_tokens, n_nodes, status)."""
     parser = Parser()
     counting = _CountingDelegate(parser)
-    Tokeniser(counting).parse(html)
+    lexer = Tokeniser(counting)
+    lexer.parse(html)
+    # second end: the reference's parse() entry ends the tokeniser twice
+    # (see htmlgraft.parse.parse docstring) — replicated for byte-identity
+    lexer.end_input()
     # fused single walk: dom print + candidate scoring + subtree render
     dom, text, n_nodes = analyze_tree(parser.document, include_dom)
     return dom, text, counting.n, n_nodes, "ok"

@@ -382,8 +382,16 @@ def _map_id(rules, name):
 
 
 def parse(input_: str) -> Document:
-    """index.js:12-18."""
+    """index.js:12-18.  NB the reference's ``parse`` ends the tokeniser
+    TWICE: ``lexer.parse(input)`` is write+end (tokeniser.js:107-110) and
+    index.js then calls ``lexer.end()`` again — so ``writeEOF`` runs twice.
+    Normally idempotent, but when the EOF <body> synthesis cannot open a
+    body (e.g. EOF inside <template>), each writeEOF pushes a bare body
+    element: ``<template>`` at EOF yields TWO sibling <body> nodes.
+    Byte-identity requires replicating the double end (found by fuzz
+    differential, tools/fuzz_diff.py)."""
     parser = Parser()
     lexer = Tokeniser(parser)
     lexer.parse(input_)
+    lexer.end_input()
     return parser.document

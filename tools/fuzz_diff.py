@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Seeded fuzz differential: generate random tag-soup documents, parse with
+BOTH the reference (under Node) and htmlgraft, and require byte-identical
+html5lib-format output + canonical trees — including throw parity (inputs
+the reference throws on must raise here too).
+
+Usage: python tools/fuzz_diff.py [n_cases] [seed]
+Exits non-zero on the first divergence, printing the repro input.
+"""
+
+import json
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TAGS = (
+    "div p span a b i u s em strong small nobr table tbody thead tfoot tr td"
+    " th caption colgroup col ul ol li dl dt dd select option optgroup"
+    " h1 h2 h3 form input img br hr pre code blockquote article section"
+    " nav header footer aside main figure button label textarea title style"
+    " script svg circle rect path foreignObject math mi mo mn annotation-xml"
+    " font frameset frame noframes iframe body head html template video audio"
+).split()
+
+WORDS = "alpha beta gamma delta eps zeta eta theta lorem ipsum x y z".split()
+
+ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#65;", "&#x41;", "&#x80;",
+            "&notin;", "&bogus;", "&apos;", "&AMP", "&lt", "&#1114112;", "&#xD800;"]
+
+
+def gen_doc(rng: random.Random) -> str:
+    parts = []
+    if rng.random() < 0.3:
+        parts.append("<!doctype html>")
+    n = rng.randint(3, 40)
+    open_stack = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.35:
+            tag = rng.choice(TAGS)
+            attrs = ""
+            for _ in range(rng.randint(0, 2)):
+                k = rng.choice(["id", "class", "href", "x", "data-a", "toString"])
+                style = rng.random()
+                v = rng.choice(WORDS)
+                if style < 0.33:
+                    attrs += f' {k}="{v}"'
+                elif style < 0.66:
+                    attrs += f" {k}='{v}'"
+                else:
+                    attrs += f" {k}={v}"
+            selfclose = "/" if rng.random() < 0.1 else ""
+            parts.append(f"<{tag}{attrs}{selfclose}>")
+            open_stack.append(tag)
+        elif r < 0.55:
+            if open_stack and rng.random() < 0.7:
+                # close something (maybe out of order)
+                idx = rng.randrange(len(open_stack))
+                parts.append(f"</{open_stack.pop(idx)}>")
+            else:
+                parts.append(f"</{rng.choice(TAGS)}>")
+        elif r < 0.8:
+            words = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 6)))
+            if rng.random() < 0.2:
+                words += rng.choice(ENTITIES)
+            if rng.random() < 0.1:
+                words = "  " + words + "   "
+            parts.append(words)
+        elif r < 0.88:
+            parts.append(rng.choice(["\n", "\r\n", "\r", "\t", "\x00",
+                                     "<!-- c -->", "<!--->", "<?pi?>", "</>"]))
+        else:
+            # pathological fragments
+            parts.append(rng.choice([
+                "<", ">", "</", "<!", "<a", "=x", '"', "'", "<b/", "< p>",
+                "<p x=", "<p x='unterminated", '<p x="q', "<--", "&#",
+            ]))
+    return "".join(parts)
+
+
+NODE_SCRIPT = r"""
+import { readFileSync, writeFileSync } from "fs";
+import { parse } from "/root/reference/lib/index.js";
+import { printTree } from "/root/reference/lib/traversal.js";
+import { Document, Element, Comment, Doctype } from "/root/reference/lib/dom.js";
+const decode = new TextDecoder();
+const helper = readFileSync("/root/repo/tools/gen_fixtures.mjs","utf8");
+const fns = helper.match(/function treeJson[\s\S]*?\n}\n\nfunction childrenJson[\s\S]*?\n}/);
+const [treeJson] = eval("(() => { " + fns[0] + "; return [treeJson]; })()");
+const inp = readFileSync(process.argv[2], "utf8").split("\n").filter(x=>x).map(l=>JSON.parse(l));
+const out = inp.map(rec => {
+  try {
+    const d = parse(rec.s);
+    return { id: rec.id, dom: printTree(d), tree: treeJson(d) };
+  } catch (e) {
+    return { id: rec.id, error: true };
+  }
+});
+writeFileSync(process.argv[3], out.map(o=>JSON.stringify(o)).join("\n"));
+"""
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    rng = random.Random(seed)
+    cases = [gen_doc(rng) for _ in range(n)]
+
+    with tempfile.TemporaryDirectory() as td:
+        inp, outp, script = (os.path.join(td, x) for x in ("in.jsonl", "out.jsonl", "ref.mjs"))
+        with open(inp, "w") as fh:
+            for i, s in enumerate(cases):
+                fh.write(json.dumps({"id": i, "s": s}) + "\n")
+        with open(script, "w") as fh:
+            fh.write(NODE_SCRIPT)
+        subprocess.run(["node", script, inp, outp], check=True)
+        ref = {}
+        with open(outp) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                ref[rec["id"]] = rec
+
+    from htmlgraft import parse as gparse, print_tree, tree_to_jsonable
+
+    n_err = 0
+    for i, s in enumerate(cases):
+        want = ref[i]
+        try:
+            doc = gparse(s)
+            got = {"dom": print_tree(doc), "tree": tree_to_jsonable(doc)}
+            ok_err = False
+        except Exception:
+            got = None
+            ok_err = True
+        if want.get("error"):
+            n_err += 1
+            if not ok_err:
+                print(f"DIVERGENCE case {i}: reference throws, htmlgraft parses")
+                print(repr(s))
+                sys.exit(1)
+            continue
+        if ok_err:
+            print(f"DIVERGENCE case {i}: htmlgraft throws, reference parses")
+            print(repr(s))
+            sys.exit(1)
+        if got["dom"] != want["dom"] or json.dumps(
+            got["tree"], sort_keys=True
+        ) != json.dumps(want["tree"], sort_keys=True):
+            print(f"DIVERGENCE case {i}:")
+            print(repr(s))
+            print("--- reference dom ---"); print(want["dom"])
+            print("--- htmlgraft dom ---"); print(got["dom"])
+            sys.exit(1)
+    print(f"fuzz diff OK: {n} cases byte-identical (seed={seed}, "
+          f"{n_err} throw-parity cases)")
+
+
+if __name__ == "__main__":
+    main()
