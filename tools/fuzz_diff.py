@@ -42,6 +42,8 @@ def gen_doc(rng: random.Random) -> str:
         r = rng.random()
         if r < 0.35:
             tag = rng.choice(TAGS)
+            if rng.random() < 0.2:  # case-variant names hit the lowercase path
+                tag = tag.upper() if rng.random() < 0.5 else tag.capitalize()
             attrs = ""
             for _ in range(rng.randint(0, 2)):
                 k = rng.choice(["id", "class", "href", "x", "data-a", "toString"])
@@ -73,6 +75,15 @@ def gen_doc(rng: random.Random) -> str:
         elif r < 0.88:
             parts.append(rng.choice(["\n", "\r\n", "\r", "\t", "\x00",
                                      "<!-- c -->", "<!--->", "<?pi?>", "</>"]))
+        elif r < 0.94:
+            # rawtext/rcdata bodies with lookalike closers
+            el = rng.choice(["script", "style", "textarea", "title", "xmp", "iframe"])
+            body = rng.choice([
+                "var x = '</div>';", "</scr", "<!-- </script> -->", "a </STYLE x",
+                "&amp; &#65; text", "</%s" % el, "</%s x>done" % el, "a<b>c",
+            ])
+            close = rng.choice(["</%s>" % el, "</%s >" % el.upper(), ""])
+            parts.append("<%s>%s%s" % (el, body, close))
         else:
             # pathological fragments
             parts.append(rng.choice([
