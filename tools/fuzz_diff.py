@@ -29,7 +29,8 @@ TAGS = (
 WORDS = "alpha beta gamma delta eps zeta eta theta lorem ipsum x y z".split()
 
 ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#65;", "&#x41;", "&#x80;",
-            "&notin;", "&bogus;", "&apos;", "&AMP", "&lt", "&#1114112;", "&#xD800;"]
+            "&notin;", "&bogus;", "&apos;", "&AMP", "&lt", "&#1114112;", "&#xD800;",
+            "&#0;", "&#x0;", "&#999999999999999999;", "&#x10FFFF;", "&#x9f;"]
 
 
 def gen_doc(rng: random.Random) -> str:
@@ -46,9 +47,13 @@ def gen_doc(rng: random.Random) -> str:
                 tag = tag.upper() if rng.random() < 0.5 else tag.capitalize()
             attrs = ""
             for _ in range(rng.randint(0, 2)):
-                k = rng.choice(["id", "class", "href", "x", "data-a", "toString"])
+                k = rng.choice(["id", "class", "href", "x", "data-a", "toString",
+                                "ID", "Class", "x\x00y"])
                 style = rng.random()
-                v = rng.choice(WORDS)
+                v = rng.choice(WORDS + [
+                    "&amp;x", "a&#65;b", "&#0;", "&#x0;", "&#999999999999999999;",
+                    "a\nb", "a\rb", "</div>", "x=y", "a b", "&bogus", "q'q",
+                ])
                 if style < 0.33:
                     attrs += f' {k}="{v}"'
                 elif style < 0.66:
