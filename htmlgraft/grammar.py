@@ -160,6 +160,8 @@ def _has_type_hidden_attribute(attrs) -> bool:
 _C_p = T.VECTORS["p"]
 _C_table = T.VECTORS["table"]
 _C_select = T.VECTORS["select"]
+_CR_CTX_MASK = _C_p | _C_table | _C_select
+_CR_MEMO = {}
 
 
 def child_rule(name: str, attrs, frame):
@@ -197,7 +199,22 @@ def child_rule(name: str, attrs, frame):
             return SVG_RULES["#default"]
         return rule
 
-    ruleset = PHRASING_RULES if frame.closableAncestors & _C_p else HTML_RULES
+    # Hot HTML-namespace path: the result is a pure function of
+    # (name, closableAncestors & (p|table|select)) except for <input>,
+    # whose class depends on type=hidden — memoized accordingly.
+    ctx = frame.closableAncestors & _CR_CTX_MASK
+    if not attrs or name != "input":
+        hit = _CR_MEMO.get((name, ctx))
+        if hit is not None:
+            return hit
+        res = _child_rule_html(name, attrs, ctx)
+        _CR_MEMO[(name, ctx)] = res
+        return res
+    return _child_rule_html(name, attrs, ctx)
+
+
+def _child_rule_html(name: str, attrs, ctx: int):
+    ruleset = PHRASING_RULES if ctx & _C_p else HTML_RULES
     rule = _map_get(ruleset, name)
     rid = rule[0]
 
@@ -206,15 +223,15 @@ def child_rule(name: str, attrs, frame):
             return (_eq["hiddenInput"], RULES["voidRule"])
         return rule
     if rid == _eq["select"]:
-        if frame.closableAncestors & _C_table:
+        if ctx & _C_table:
             return (_eq["select"], RULES["inSelectInTable"])
         return HTML_RULES["select"]
     if rid == _eq["option"]:
-        if frame.closableAncestors & _C_select:
+        if ctx & _C_select:
             return (_eq["option"], RULES["optionInSelect"])
         return rule
     if rid == _eq["optgroup"]:
-        if frame.closableAncestors & _C_select:
+        if ctx & _C_select:
             return (_eq["optgroup"], RULES["optgroupInSelect"])
         return rule
     return rule
