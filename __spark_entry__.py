@@ -88,11 +88,24 @@ def _q_resume_antijoin(spark, sf_dir):
     return pages.join(F.broadcast(done), "url", "left_anti").select("url", "lang")
 
 
-def _q_extract_reconcile(spark, sf_dir):
-    # set-op audit: result urls must exactly cover the corpus urls
+def _q_resume_antijoin_large(spark, sf_dir):
+    # scale path: a done-set too large (or of unknown size) to broadcast —
+    # parse_extract's size gate falls back to the shuffle sort-merge
+    # anti-join, and the surviving half parses through the full pipeline
     pages = pages_df(spark, sf_dir)
-    res = _results(spark, sf_dir)
-    return res.select("url").exceptAll(pages.select("url"))
+    done = pages.filter("doc_id % 2 = 0").select("url")
+    return parse_extract(pages, done_urls=done, broadcast_done=False).select(
+        "url", "lang"
+    )
+
+
+def _q_extract_reconcile(spark, sf_dir):
+    # set-op audit: result urls must exactly cover the corpus urls — checked
+    # in BOTH directions (spurious results AND silently dropped rows), so a
+    # pipeline losing urls cannot pass the audit one-directionally
+    pages = pages_df(spark, sf_dir).select("url")
+    res = _results(spark, sf_dir).select("url")
+    return res.exceptAll(pages).unionAll(pages.exceptAll(res))
 
 
 def _expected(select: str) -> str:
@@ -118,6 +131,9 @@ _PIPELINE_ORACLES = {
            order by text_chars desc, url limit 20"""
     ),
     "resume_antijoin": _expected(
+        "select url, lang from expected where doc_id % 2 = 1"
+    ),
+    "resume_antijoin_large": _expected(
         "select url, lang from expected where doc_id % 2 = 1"
     ),
     "extract_reconcile": _expected("select url from expected where 1 = 0"),
@@ -150,12 +166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stats_by_host": _q_extract_stats_by_host,
         "extract_skew_topk": _q_extract_skew_topk,
         "resume_antijoin": _q_resume_antijoin,
+        "resume_antijoin_large": _q_resume_antijoin_large,
         "extract_reconcile": _q_extract_reconcile,
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
         "dedup_minhash_lsh": textops.run_minhash_lsh,
         "dedup_simhash": _textop(textops.simhash_sql),
+        "dedup_simhash_neardup": _textop(textops.simhash_neardup_sql),
         # text analysis
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
@@ -191,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
             "dedup_simhash": textops.simhash_sql(duck=True),
+            "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),
             "token_count": textops.token_count_sql(duck=True),

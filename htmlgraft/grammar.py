@@ -162,6 +162,14 @@ _C_table = T.VECTORS["table"]
 _C_select = T.VECTORS["select"]
 _CR_CTX_MASK = _C_p | _C_table | _C_select
 _CR_MEMO = {}
+# Bound on the memo: only names with an explicit rule get their own key.
+# Every other (non-proto-key) name resolves to the ruleset's #default with no
+# name-dependent special-casing, so all unknown names share one sentinel key
+# per ctx — the memo stays O(|rule tables| * 8 ctx values) no matter how many
+# distinct made-up tag names a document emits (long-lived executor workers
+# must not grow document-controlled caches).
+_CR_KNOWN = frozenset(HTML_RULES) | frozenset(PHRASING_RULES)
+_CR_UNKNOWN = "\x00#unknown"
 
 
 def child_rule(name: str, attrs, frame):
@@ -204,11 +212,18 @@ def child_rule(name: str, attrs, frame):
     # whose class depends on type=hidden — memoized accordingly.
     ctx = frame.closableAncestors & _CR_CTX_MASK
     if not attrs or name != "input":
-        hit = _CR_MEMO.get((name, ctx))
+        if name in _CR_KNOWN:
+            key = (name, ctx)
+        elif name not in JS_PROTO_KEYS:
+            key = (_CR_UNKNOWN, ctx)
+        else:
+            # proto-key names must raise per call, never be memoized
+            return _child_rule_html(name, attrs, ctx)
+        hit = _CR_MEMO.get(key)
         if hit is not None:
             return hit
         res = _child_rule_html(name, attrs, ctx)
-        _CR_MEMO[(name, ctx)] = res
+        _CR_MEMO[key] = res
         return res
     return _child_rule_html(name, attrs, ctx)
 

@@ -52,59 +52,22 @@ RESULT_SCHEMA = StructType(
 )
 
 
-class _CountingDelegate:
-    """Forwards tokeniser write* calls to the Parser, counting tokens."""
-
-    __slots__ = ("p", "n", "can_merge_text")
-
-    def __init__(self, parser):
-        self.p = parser
-        self.n = 0
-        self.can_merge_text = parser.can_merge_text
-
-    def write_tag(self, t):
-        self.n += 1
-        return self.p.write_tag(t)
-
-    def write_end_tag(self, t):
-        self.n += 1
-        return self.p.write_end_tag(t)
-
-    def write_data(self, d):
-        self.n += 1
-        return self.p.write_data(d)
-
-    def write_space(self, d, allow=False):
-        self.n += 1
-        return self.p.write_space(d, allow)
-
-    def write_comment(self, t):
-        self.n += 1
-        return self.p.write_comment(t)
-
-    def write_doctype(self, t):
-        self.n += 1
-        return self.p.write_doctype(t)
-
-    def write_eof(self):
-        self.n += 1
-        return self.p.write_eof()
-
-
 def parse_document(html: str, include_dom: bool = True):
     """Parse one document and extract its main text.
 
-    Returns (dom, text, n_tokens, n_nodes, status)."""
+    Returns (dom, text, n_tokens, n_nodes, status).  Token counting lives in
+    the Parser itself (Parser.n_tokens, one per tokeniser write_* call) so no
+    wrapper-delegate layer sits between tokeniser and parser in the hot path.
+    """
     parser = Parser()
-    counting = _CountingDelegate(parser)
-    lexer = Tokeniser(counting)
+    lexer = Tokeniser(parser)
     lexer.parse(html)
     # second end: the reference's parse() entry ends the tokeniser twice
     # (see htmlgraft.parse.parse docstring) — replicated for byte-identity
     lexer.end_input()
     # fused single walk: dom print + candidate scoring + subtree render
     dom, text, n_nodes = analyze_tree(parser.document, include_dom)
-    return dom, text, counting.n, n_nodes, "ok"
+    return dom, text, parser.n_tokens, n_nodes, "ok"
 
 
 def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
@@ -120,7 +83,18 @@ def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
         # measurably faster under high core counts.
         import gc
 
+        # Restore the worker's prior GC state afterwards: PySpark reuses
+        # Python workers (spark.python.worker.reuse), so a bare disable()
+        # would leak into every later UDF stage in the same app.
+        was_enabled = gc.isenabled()
         gc.disable()
+        try:
+            yield from _parse_batches(batches)
+        finally:
+            if was_enabled:
+                gc.enable()
+
+    def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
                 "url", "lang", "dom", "text", "n_tokens", "n_nodes",
@@ -194,11 +168,20 @@ def with_partitioning(pages: DataFrame, num_parts: int, salts: int = 8) -> DataF
     return df.repartition(num_parts, F.col("url"), F.col("salt"))
 
 
+# resume done-sets up to this many urls are broadcast (~60 B/url -> a few
+# hundred MB, inside executor/driver budgets); anything larger — and any
+# done-set of UNKNOWN size — takes the shuffle anti-join (sort-merge), which
+# scales to the 10^12-url state tables an unconditional broadcast would OOM on
+BROADCAST_DONE_MAX = 4_000_000
+
+
 def parse_extract(
     pages: DataFrame,
     num_parts: int | None = None,
     include_dom: bool = True,
     done_urls: DataFrame | None = None,
+    done_count: int | None = None,
+    broadcast_done: bool | None = None,
     pre_partitioned: bool = False,
 ) -> DataFrame:
     """The flagship operator: pages(url, html[, lang]) -> results.
@@ -208,15 +191,26 @@ def parse_extract(
     source is already balanced (e.g. many same-sized parquet files of a
     crawl dump): shuffling the full html payload costs a write+read of the
     entire corpus and buys nothing.  The default keeps the explicit
-    repartition for unbalanced/skewed sources."""
+    repartition for unbalanced/skewed sources.
+
+    Resume anti-join strategy (size-gated, never unconditional broadcast):
+    ``broadcast_done=None`` auto-selects — broadcast only when the done-set
+    is KNOWN (``done_count``) to fit ``BROADCAST_DONE_MAX``, else a merge
+    hint forces the shuffle sort-merge anti-join that survives
+    terabyte-scale done-sets."""
     spark = pages.sparkSession
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [c for c in ("url", "lang", "html") if c in pages.columns]
     df = pages.select(*cols)
     if done_urls is not None:
-        # resume: skip already-processed urls (broadcast anti-join)
-        df = df.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
+        if broadcast_done is None:
+            broadcast_done = (
+                done_count is not None and done_count <= BROADCAST_DONE_MAX
+            )
+        done = done_urls.select("url")
+        done = F.broadcast(done) if broadcast_done else done.hint("merge")
+        df = df.join(done, "url", "left_anti")
     if not pre_partitioned:
         df = with_partitioning(df, num_parts)
     return df.mapInPandas(make_parse_batch(include_dom), RESULT_SCHEMA)
@@ -246,22 +240,43 @@ def run_job(
 ):
     """Checkpointed batch run: results + progress parquet sinks, idempotent
     via url anti-join on resume.  (Iceberg writeTo(...).append() in prod; the
-    sandbox uses parquet append.)"""
+    sandbox uses parquet append.)
+
+    Scale shape of a resume (100 TB state):
+    * the done-set comes from a COMPACT (url, part_id) state table, never
+      from re-reading the full results (which carry dom/text payloads);
+    * its count is taken on that narrow table (parquet-footer cheap) and
+      gates broadcast vs shuffle anti-join in ``parse_extract``;
+    * per-run metrics aggregate ONLY the current run's results partition
+      (results are partitioned by run_id -> partition-pruned scan), so an
+      incremental run never pays a full-history scan.
+
+    ``run_id`` must be unique per invocation (it names the results
+    partition and the metrics rows)."""
     import os
 
     results_path = os.path.join(out_dir, "results")
+    state_path = os.path.join(out_dir, "state_urls")
     progress_path = os.path.join(out_dir, "progress")
-    done = None
-    if resume and _exists_nonempty(spark, results_path):
-        done = spark.read.parquet(results_path).select("url")
+    done = done_count = None
+    if resume and _exists_nonempty(spark, state_path):
+        done = spark.read.parquet(state_path).select("url")
+        done_count = done.count()
     results = parse_extract(
-        pages, num_parts=num_parts, include_dom=include_dom, done_urls=done
+        pages, num_parts=num_parts, include_dom=include_dom,
+        done_urls=done, done_count=done_count,
     )
-    results.write.mode("append").parquet(results_path)
-    persisted = spark.read.parquet(results_path)
-    metrics = partition_metrics(persisted).withColumn("run_id", F.lit(run_id))
+    results.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "run_id"
+    ).parquet(results_path)
+    # read back ONLY this run's partition: metrics + the compact resume state
+    cur = spark.read.parquet(results_path).where(F.col("run_id") == run_id)
+    metrics = partition_metrics(cur.drop("run_id")).withColumn(
+        "run_id", F.lit(run_id)
+    )
     metrics.write.mode("append").parquet(progress_path)
-    return persisted
+    cur.select("url", "part_id").write.mode("append").parquet(state_path)
+    return spark.read.parquet(results_path)
 
 
 def _exists_nonempty(spark, path: str) -> bool:

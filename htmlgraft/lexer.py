@@ -150,6 +150,41 @@ _RE_VALU = re.compile("[^\r\n\t &>/\x80][^\r\n\t &>\x80]*")
 # adjacent text children are coalesced by every consumer.
 _RE_MERGED = re.compile("[\t ]*[^\x00\r\n\t &<\x80][^\x00\r\n&<\x80]*")
 
+# Whole-tag fast path (perf): a single C-level regex matches an ENTIRE
+# common-shape tag — lowercase name, attributes with quoted/unquoted values —
+# replacing ~4-6 outer-loop iterations per attribute with one.  The character
+# classes are deliberately CONSERVATIVE SUBSETS of what the DFA accepts
+# (lowercase-only names, no newline inside the tag so line counting stays
+# exact, no NUL / CR / U+0080 / '&' anywhere): any tag the regex cannot match
+# falls through to the generic DFA loop, so the fast path can only ever agree
+# with it.  Verified semantics it replicates exactly (probed against the
+# generic path; equivalence-tested in tests/test_lexer_goldens.py):
+# * attr spaces around '=' bind the value ('x = 1' -> x=1);
+# * unquoted values take every non-space/>&-char including '/', '<', quotes;
+# * first-name-wins incl. the JS Object.prototype-key quirk;
+# * tag.attrs is created (possibly staying empty) iff >=1 attr name was seen;
+# * selfclose iff the char directly before '>' is '/', EVEN when that '/'
+#   also belongs to an unquoted value (the reference checks input[end-2]).
+# NB unquoted values: a LEADING quote always starts a quoted value in the
+# DFA (an unterminated one swallows the rest of the input), so the unquoted
+# alternative must not accept it as a first char — only as a continuation.
+_FT_VAL = (
+    "\"[^\x00\r\n\"&\x80]*\""
+    "|'[^\x00\r\n'&\x80]*'"
+    "|[^\x00\r\n\t &>\x80\"'][^\x00\r\n\t &>\x80]*"
+)
+_RE_FASTSTART = re.compile(
+    "<([a-z][a-z0-9]*)"
+    "((?:[\t ]+[a-z][a-z0-9_:.\\-]*(?:[\t ]*=[\t ]*(?:" + _FT_VAL + "))?)*)"
+    "[\t ]*/?>"
+)
+_RE_FASTEND = re.compile("</([a-z][a-z0-9]*)>")
+_RE_FASTATTR = re.compile(
+    "([a-z][a-z0-9_:.\\-]*)(?:[\t ]*=[\t ]*"
+    "(?:\"([^\x00\r\n\"&\x80]*)\"|'([^\x00\r\n'&\x80]*)'"
+    "|([^\x00\r\n\t &>\x80\"'][^\x00\r\n\t &>\x80]*)))?"
+)
+
 
 class LexerError(SyntaxError):
     pass
@@ -304,6 +339,48 @@ class Tokeniser:
             if token_type:
                 pos = end
             else:
+                # --- whole-tag fast path (see _RE_FASTSTART above) ---
+                if token_state == S_MAIN and tag is None:
+                    m = _RE_FASTSTART.match(s, pos)
+                    if m is not None:
+                        name = m.group(1)
+                        mend = m.end()
+                        self.last_start_tag = name
+                        el = Element(name)
+                        raw_attrs = m.group(2)
+                        if raw_attrs:
+                            attrs = el.attrs = {}
+                            for am in _RE_FASTATTR.finditer(raw_attrs):
+                                an = am.group(1)
+                                if an in attrs or an in JS_PROTO_KEYS:
+                                    continue
+                                v = am.group(2)
+                                if v is None:
+                                    v = am.group(3)
+                                    if v is None:
+                                        v = am.group(4)
+                                        if v is None:
+                                            v = ""
+                                attrs[an] = v
+                        if s[mend - 2] == "/":
+                            el.selfclose = True
+                        anchor = end = pos = mend
+                        self._sync(pos, anchor, end, token_state, None, None)
+                        pc = delegate.write_tag(el)
+                        self.parser_context = pc
+                        token_state = (
+                            _CONTENT_MAP.get(name, S_MAIN)
+                            if not (pc & _FOREIGN) else S_MAIN
+                        )
+                        continue
+                    m = _RE_FASTEND.match(s, pos)
+                    if m is not None:
+                        anchor = end = pos = m.end()
+                        self._sync(pos, anchor, end, token_state, None, None)
+                        self.parser_context = delegate.write_end_tag(
+                            EndTag(m.group(1))
+                        )
+                        continue
                 # --- generic DFA longest-match loop (tokeniser.js:114-130) ---
                 state = token_state
                 match = S_FAIL

@@ -19,6 +19,7 @@ from .grammar import (
     C,
     CLASS_IDS as eq,
     HTML_RULES,
+    JS_PROTO_KEYS as _JS_PROTO_KEYS,
     MATH_RULES,
     NS_HTML,
     NS_MATH,
@@ -43,6 +44,11 @@ _afterFrameset = 1 << 2
 _afterAfterFrameset = 1 << 3
 _clearMode = 0b1000  # no way to escape afterAfterFrameset
 _END_KIND = {}  # name -> generic end-tag kind (memo)
+# Bound: unknown (non-proto-key) names all map to the three rulesets'
+# #default ids, so they share one sentinel entry — the memo cannot be grown
+# by documents emitting arbitrarily many distinct end-tag names (executor
+# Python workers are long-lived; document-controlled caches must stay O(1)).
+_EK_UNKNOWN = "\x00#unknown"
 
 _openHooks = C["html"] | C["head"] | C["body"] | C["frameset"] | C["table"]
 
@@ -82,9 +88,13 @@ _SVG_TAG_ADJUST = {n.lower(): n for n in _CORRECTED_SVG_TAG_NAMES}
 class Parser:
     __slots__ = (
         "mode", "html", "head", "body", "bodyIndex", "builder", "initial_rule",
+        "n_tokens",
     )
 
     def __init__(self, initial_rule=None):
+        # delegate-call counter (one per tokeniser write_* call); folded into
+        # the parser so the pipeline needs no counting-wrapper delegate layer
+        self.n_tokens = 0
         self.mode = 0
         self.html = None
         self.head = None
@@ -132,6 +142,7 @@ class Parser:
     # ### start tags (parser.js:124-198)
 
     def write_tag(self, item):
+        self.n_tokens += 1
         builder = self.builder
         tip = builder.tip
         namespace = tip.namespace
@@ -198,6 +209,7 @@ class Parser:
     # ### end tags (parser.js:218-303)
 
     def write_end_tag(self, item):
+        self.n_tokens += 1
         builder = self.builder
         name = item.name
         tip = builder.tip
@@ -272,9 +284,13 @@ class Parser:
 
         # generic close: union of the name's class in all three namespaces
         # (pure function of the tag name -> memoized)
-        kind = _END_KIND.get(name)
+        key = name if (
+            name in HTML_RULES or name in SVG_RULES or name in MATH_RULES
+            or name in _JS_PROTO_KEYS
+        ) else _EK_UNKNOWN
+        kind = _END_KIND.get(key)
         if kind is None:
-            kind = _END_KIND[name] = (
+            kind = _END_KIND[key] = (
                 (1 << _map_id(HTML_RULES, name))
                 | (1 << _map_id(SVG_RULES, name))
                 | (1 << _map_id(MATH_RULES, name))
@@ -310,6 +326,7 @@ class Parser:
         )
 
     def write_data(self, item):
+        self.n_tokens += 1
         self.mode &= _clearMode
         builder = self.builder
         builder.reconstruct_formatting()
@@ -317,6 +334,7 @@ class Parser:
         return builder.tip.kind
 
     def write_space(self, buff, allow_foster_parenting=False):
+        self.n_tokens += 1
         self.mode &= _clearMode
         builder = self.builder
         kind = (
@@ -330,12 +348,14 @@ class Parser:
         return builder.tip.kind
 
     def write_doctype(self, buff):
+        self.n_tokens += 1
         self.mode &= _clearMode
         builder = self.builder
         builder.try_append(buff, _C_DOCTYPE)
         return builder.tip.kind
 
     def write_comment(self, item):
+        self.n_tokens += 1
         builder = self.builder
         mode = self.mode
         if mode == _afterBody or mode == _afterFrameset:
@@ -348,6 +368,7 @@ class Parser:
         return builder.tip.kind
 
     def write_eof(self):
+        self.n_tokens += 1
         builder = self.builder
         if self.initial_rule is RULES["documentRule"]:
             if self.html is None:

@@ -95,7 +95,9 @@ def start_metrics_sink(metrics: DataFrame, out_dir: str, checkpoint_dir: str):
 
 # --- custom stateful operator: per-host crawl-session tracking --------------
 
-HOST_STATE_SCHEMA = "n_pages BIGINT, n_bytes BIGINT, last_ts TIMESTAMP"
+HOST_STATE_SCHEMA = (
+    "n_pages BIGINT, n_bytes BIGINT, first_ts TIMESTAMP, last_ts TIMESTAMP"
+)
 HOST_OUT_SCHEMA = (
     "host STRING, n_pages BIGINT, n_bytes BIGINT, "
     "first_seen TIMESTAMP, last_seen TIMESTAMP, closed BOOLEAN"
@@ -110,16 +112,17 @@ def _host_session_fn(key, pdfs, state):
     import pandas as pd
 
     (host,) = key
+    cols = ["host", "n_pages", "n_bytes", "first_seen", "last_seen", "closed"]
     if state.hasTimedOut:
-        n_pages, n_bytes, last_ts = state.get
+        n_pages, n_bytes, first_ts, last_ts = state.get
         state.remove()
         yield pd.DataFrame(
-            [[host, n_pages, n_bytes, None, last_ts, True]],
-            columns=["host", "n_pages", "n_bytes", "first_seen", "last_seen",
-                     "closed"],
+            [[host, n_pages, n_bytes, first_ts, last_ts, True]], columns=cols
         )
         return
-    n_pages, n_bytes, last_ts = state.get if state.exists else (0, 0, None)
+    n_pages, n_bytes, first_ts, last_ts = (
+        state.get if state.exists else (0, 0, None, None)
+    )
     first = last = None
     for pdf in pdfs:
         if len(pdf) == 0:
@@ -129,14 +132,17 @@ def _host_session_fn(key, pdfs, state):
         ts_min, ts_max = pdf["warc_ts"].min(), pdf["warc_ts"].max()
         first = ts_min if first is None else min(first, ts_min)
         last = ts_max if last is None else max(last, ts_max)
+    # first_ts is set once on session open and persisted for the session's
+    # lifetime, so both snapshots and the timeout close row report the true
+    # session start (not the batch-local minimum)
+    if first is not None and (first_ts is None or first < first_ts):
+        first_ts = first
     if last is not None and (last_ts is None or last > last_ts):
         last_ts = last
-    state.update((n_pages, n_bytes, last_ts))
+    state.update((n_pages, n_bytes, first_ts, last_ts))
     state.setTimeoutDuration(HOST_IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
-        [[host, n_pages, n_bytes, first, last_ts, False]],
-        columns=["host", "n_pages", "n_bytes", "first_seen", "last_seen",
-                 "closed"],
+        [[host, n_pages, n_bytes, first_ts, last_ts, False]], columns=cols
     )
 
 

@@ -232,34 +232,101 @@ def minhash_lsh_sql(
     """
 
 
-def simhash_sql(duck: bool, docs: str = "documents") -> str:
-    """32-bit SimHash per document: per-token 32-bit md5-derived hash, each
-    bit votes +1/-1, bit set iff the vote sum is > 0.  Pure map + two hash
-    aggregations — linear, no joins, ideal at 10^12 docs."""
+def _simhash_expr(duck: bool) -> str:
+    """32-bit SimHash of the token-hash array column ``hv`` as ONE scalar
+    expression: for each bit, every token hash votes +1/-1; the bit is set
+    iff the vote sum is > 0.  A single projection over the row's own array —
+    zero shuffles, zero row explosion (the previous formulation exploded
+    every token hash into 32 (doc_id, bit) rows through two hash
+    aggregations; same values, 32x the intermediate)."""
     d = _d(duck)
-    th = h32("tok", duck)
-    bits = d["range_incl"].format("0", "31")
-    bit_src = (
-        f"select unnest({bits}) as i" if duck
-        else f"select explode({bits}) as i"
-    )
     bitexpr = d["bit"].format("h", "i")
     shl = d["shl1"].format("i")
+    vote = f"case when {bitexpr} = 1 then 1 else -1 end"
+    bits = d["range_incl"].format("0", "31")
+    if duck:
+        inner = f"list_sum(list_transform(hv, h -> {vote}))"
+        return (
+            f"cast(list_sum(list_transform({bits}, i -> "
+            f"case when {inner} > 0 then {shl} else (0::bigint) end)) as bigint)"
+        )
+    inner = f"aggregate(hv, 0, (a, h) -> a + {vote})"
+    return (
+        f"cast(aggregate({bits}, cast(0 as bigint), (acc, i) -> "
+        f"acc + case when {inner} > 0 then {shl} "
+        f"else cast(0 as bigint) end) as bigint)"
+    )
+
+
+def _hashed_tokens_cte(duck: bool, src: str = "documents") -> str:
+    """Per-doc array of 32-bit token hashes (with multiplicity), built by a
+    pure projection: split -> transform(h32)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    th = h32("t", duck)
+    tf = d["transform"].format(ws, d["lambda"].format("t", th))
+    return f"hv_docs as (select doc_id, {tf} as hv from {src})"
+
+
+def simhash_sql(duck: bool, docs: str = "documents") -> str:
+    """32-bit SimHash per document — a single narrow map stage (split,
+    hash, per-bit vote, pack) with no joins and no shuffle; linear and
+    ideal at 10^12 docs."""
     return f"""
-      with {tokens_cte(duck, docs)},
-      hashed as (select doc_id, {th} as h from tokens),
-      bits as ({bit_src}),
-      votes as (
-        select doc_id, i,
-               sum(case when {bitexpr} = 1 then 1 else -1 end) as v
-        from hashed cross join bits
-        group by doc_id, i
-      )
-      select doc_id,
-             cast(sum(case when v > 0 then {shl} else 0 end) as bigint) as simhash
-      from votes
-      group by doc_id
+      with {_hashed_tokens_cte(duck, docs)}
+      select doc_id, {_simhash_expr(duck)} as simhash
+      from hv_docs
       order by doc_id
+    """
+
+
+# 3 = the distance for which 4-byte banding guarantees candidate recall
+# (<=3 flipped bits cannot touch all 4 bytes)
+SIMHASH_NEARDUP_MAX_HAMMING = 3
+
+
+def simhash_neardup_sql(duck: bool, docs: str = "documents") -> str:
+    """SimHash near-dup detection: Hamming-distance banding over the duped
+    corpus.  The 32-bit simhash splits into 4 byte-bands; docs sharing any
+    (band, byte) pair become candidates (guaranteed to catch every pair
+    within Hamming distance 3, since <=3 flipped bits leave >=1 of 4 bytes
+    intact); candidates are verified by popcount(xor) <= {max}.
+
+    Scale shape: 4 rows per doc into the band join — O(n) shuffle keyed by
+    (band, byte), never all-pairs; byte-bands of a simhash are near-uniform
+    so no hot keys."""
+    d = _d(duck)
+    xor = "xor(a.simhash, b.simhash)" if duck else "(a.simhash ^ b.simhash)"
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {_hashed_tokens_cte(duck, "ddocs")},
+      sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),
+      bands as (
+        select doc_id, simhash, b.band,
+               cast({d['bit'].format('simhash', '8 * b.band')} +
+                    2 * {d['bit'].format('simhash', '8 * b.band + 1')} +
+                    4 * {d['bit'].format('simhash', '8 * b.band + 2')} +
+                    8 * {d['bit'].format('simhash', '8 * b.band + 3')} +
+                    16 * {d['bit'].format('simhash', '8 * b.band + 4')} +
+                    32 * {d['bit'].format('simhash', '8 * b.band + 5')} +
+                    64 * {d['bit'].format('simhash', '8 * b.band + 6')} +
+                    128 * {d['bit'].format('simhash', '8 * b.band + 7')} as int)
+                 as byte_key
+        from sh cross join (
+          select {"unnest" if duck else "explode"}({d['range_incl'].format('0', '3')}) as band
+        ) b
+      ),
+      cand as (
+        select distinct a.doc_id as a_id, b.doc_id as b_id,
+               cast(bit_count({xor}) as bigint) as hamming
+        from bands a join bands b
+          on a.band = b.band and a.byte_key = b.byte_key
+         and a.doc_id < b.doc_id
+      )
+      select a_id, b_id, hamming
+      from cand
+      where hamming <= {SIMHASH_NEARDUP_MAX_HAMMING}
+      order by a_id, b_id
     """
 
 

@@ -77,6 +77,49 @@ def test_partition_metrics(spark, pages):
     assert all(r["n_tokens"] > 0 for r in m)
 
 
+def test_resume_antijoin_size_gate(spark, pages):
+    """The resume anti-join must never unconditionally broadcast: a known
+    small done-set broadcasts, a large or UNKNOWN-size one takes the shuffle
+    sort-merge anti-join (the only shape that survives a 10^12-url state
+    table)."""
+    done = pages.filter("doc_id % 2 = 0").select("url")
+    small = parse_extract(pages, done_urls=done, done_count=10)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    for df in (
+        parse_extract(pages, done_urls=done, broadcast_done=False),
+        parse_extract(pages, done_urls=done),  # unknown size -> shuffle
+        parse_extract(pages, done_urls=done, done_count=10**9),  # too big
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+
+
+def test_run_job_incremental_state(spark, pages, tmp_path):
+    """Resume reads the compact state table, not the full results; metrics
+    rows cover only each run's own partitions; results are partitioned by
+    run_id so per-run reads prune."""
+    out = str(tmp_path / "out")
+    half = pages.filter("doc_id % 2 = 0")
+    run_job(spark, half, out, run_id="r1", num_parts=4, include_dom=False)
+    state = spark.read.parquet(out + "/state_urls")
+    assert state.count() == half.count()
+    assert set(state.columns) == {"url", "part_id"}
+    run_job(spark, pages, out, run_id="r2", num_parts=4, include_dom=False)
+    state = spark.read.parquet(out + "/state_urls")
+    assert state.count() == pages.count()
+    # per-run metrics: r2 processed only the missing half
+    prog = spark.read.parquet(out + "/progress")
+    n_by_run = {
+        r["run_id"]: r["n"]
+        for r in prog.groupBy("run_id").sum("n_docs")
+        .withColumnRenamed("sum(n_docs)", "n").collect()
+    }
+    assert n_by_run["r1"] == half.count()
+    assert n_by_run["r2"] == pages.count() - half.count()
+
+
 def test_scan_is_pruned(spark, sf_dir):
     """Column pruning must reach the parquet scan: parsing selects only
     (url, lang, html); the scan must not read the documents 'text' column
