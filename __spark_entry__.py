@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from htmlgraft import eventops, media, relops, simops, textops
+from htmlgraft import eventops, media, pdfops, relops, simops, textops
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
 
@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _eventop(eventops.top_users_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
+        # PDF layout parse (binary column -> content-stream text extraction)
+        "pdf_extract_text": pdfops.pdf_extract_text,
         # relational warehouse queries (broadcast joins, rollup, top-k)
         "tpch_pricing_summary": _relop(relops.pricing_summary_sql),
         "tpch_segment_stats": _relop(relops.segment_stats_sql),
@@ -224,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
             "events_sessionize": eventops.sessionize_sql(duck=True),
             "events_top_users": eventops.top_users_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
+            "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
             "tpch_segment_stats": relops.segment_stats_sql(duck=True),
             "tpch_region_rollup": relops.region_rollup_sql(duck=True),
