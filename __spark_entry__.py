@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
         "dedup_minhash_lsh": textops.run_minhash_lsh,
         "dedup_simhash": _textop(textops.simhash_sql),
-        "dedup_simhash_neardup": _textop(textops.simhash_neardup_sql),
+        "dedup_simhash_neardup": textops.run_simhash_neardup,
         # text analysis
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),

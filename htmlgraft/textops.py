@@ -285,7 +285,9 @@ def simhash_sql(duck: bool, docs: str = "documents") -> str:
 SIMHASH_NEARDUP_MAX_HAMMING = 3
 
 
-def simhash_neardup_sql(duck: bool, docs: str = "documents") -> str:
+def simhash_neardup_sql(
+    duck: bool, docs: str = "documents", sh_ref: str | None = None
+) -> str:
     """SimHash near-dup detection: Hamming-distance banding over the duped
     corpus.  The 32-bit simhash splits into 4 byte-bands; docs sharing any
     (band, byte) pair become candidates (guaranteed to catch every pair
@@ -294,13 +296,23 @@ def simhash_neardup_sql(duck: bool, docs: str = "documents") -> str:
 
     Scale shape: 4 rows per doc into the band join — O(n) shuffle keyed by
     (band, byte), never all-pairs; byte-bands of a simhash are near-uniform
-    so no hot keys."""
+    so no hot keys.
+
+    ``sh_ref``: name of a pre-materialized (doc_id, simhash) relation.  The
+    bands relation self-joins, and SQL engines inline CTEs — without
+    materialization the per-token vote aggregation runs TWICE;
+    ``run_simhash_neardup`` persists it once on the Spark side (measured
+    ~4x on the sf0.1 duped corpus)."""
     d = _d(duck)
     xor = "xor(a.simhash, b.simhash)" if duck else "(a.simhash ^ b.simhash)"
-    return f"""
-      with {duped_docs_cte(duck, docs)},
+    if sh_ref is None:
+        pre = f"""with {duped_docs_cte(duck, docs)},
       {_hashed_tokens_cte(duck, "ddocs")},
-      sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),
+      sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),"""
+    else:
+        pre = f"with sh as (select doc_id, simhash from {sh_ref}),"
+    return f"""
+      {pre}
       bands as (
         select doc_id, simhash, b.band,
                cast({d['bit'].format('simhash', '8 * b.band')} +
@@ -317,15 +329,18 @@ def simhash_neardup_sql(duck: bool, docs: str = "documents") -> str:
         ) b
       ),
       cand as (
+        -- hamming filter BEFORE the distinct: a pair sharing k bands
+        -- appears k times, and in template-heavy corpora band buckets are
+        -- large — deduplicate only the pairs that already verified
         select distinct a.doc_id as a_id, b.doc_id as b_id,
                cast(bit_count({xor}) as bigint) as hamming
         from bands a join bands b
           on a.band = b.band and a.byte_key = b.byte_key
          and a.doc_id < b.doc_id
+        where bit_count({xor}) <= {SIMHASH_NEARDUP_MAX_HAMMING}
       )
       select a_id, b_id, hamming
       from cand
-      where hamming <= {SIMHASH_NEARDUP_MAX_HAMMING}
       order by a_id, b_id
     """
 
@@ -461,3 +476,17 @@ def run_minhash_lsh(spark, sf_dir: str, k: int = 3):
     ).persist()
     sh.createOrReplaceTempView("__mh_shingles")
     return spark.sql(minhash_lsh_sql(duck=False, k=k, shingles_ref="__mh_shingles"))
+
+
+def run_simhash_neardup(spark, sf_dir: str):
+    """Spark-side SimHash near-dup with the (doc_id, simhash) relation
+    persisted once: the banding self-join consumes it twice, and Catalyst's
+    CTE inlining would otherwise run the O(32 * tokens) vote aggregation
+    for both sides (at 100 TB this would be a checkpointed table)."""
+    _register_documents(spark, sf_dir)
+    sh = spark.sql(
+        f"with {duped_docs_cte(False)}, {_hashed_tokens_cte(False, 'ddocs')} "
+        f"select doc_id, {_simhash_expr(False)} as simhash from hv_docs"
+    ).persist()
+    sh.createOrReplaceTempView("__sh_simhash")
+    return spark.sql(simhash_neardup_sql(duck=False, sh_ref="__sh_simhash"))
