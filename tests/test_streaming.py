@@ -106,3 +106,19 @@ def test_host_sessions_stateful(spark, sf_dir, drop_dir):
     }
     assert final == batch
     assert final["popular.example.com"][0] == 100  # the skewed host
+    # first_seen is persisted in state: every snapshot of a host reports the
+    # session-wide first timestamp (equal to the batch-wide min), not the
+    # micro-batch-local one — even in snapshots emitted by later batches
+    final_first = {
+        r["host"]: r["first_seen"]
+        for r in snaps.orderBy("n_pages").collect()  # last row per host wins
+    }
+    batch_min = {
+        r["host"]: r["mn"]
+        for r in pages_df(spark, sf_dir)
+        .selectExpr("split(url, '/')[2] as host", "warc_ts")
+        .groupBy("host").agg(F.min("warc_ts").alias("mn")).collect()
+    }
+    for host, mn in batch_min.items():
+        assert final_first[host] == mn, host
+    assert snaps.where(F.col("first_seen").isNull()).count() == 0

@@ -90,10 +90,20 @@ def gen_doc(rng: random.Random) -> str:
             close = rng.choice(["</%s>" % el, "</%s >" % el.upper(), ""])
             parts.append("<%s>%s%s" % (el, body, close))
         else:
-            # pathological fragments
+            # pathological fragments, incl. whole-tag-fast-path adversaries:
+            # spaces around '=', '/'-terminated unquoted values, leading-'/'
+            # values, quotes inside unquoted values, values with '<' and '=',
+            # no-space attr after a quoted value, proto-key attr names
             parts.append(rng.choice([
                 "<", ">", "</", "<!", "<a", "=x", '"', "'", "<b/", "< p>",
                 "<p x=", "<p x='unterminated", '<p x="q', "<--", "&#",
+                "<a x = 1>", "<a x =1>", "<a x= 1>", "<img a=1/>",
+                "<a href=/>", "<a href=/x/>", "<a x=/y z=1>", "<a x=y/ >",
+                '<i a="1"b=2>', "<i a=a\"b>", "<i a='>x", "<a x=a<b>",
+                "<a x==y>", "<a constructor=1 x=2>", "<a x=`t`>",
+                "<br />", "<br / >", "<b x/>", '<a x="1"/>', "<a x=1 x=2>",
+                "<a x\ty=2>", "<a x=1\fz=2>", "<a 2x=3>", "<a x:y.z-w_v=1>",
+                "<a x=&amp;>", "<a x='&'>", "<a x=\r\nb>",
             ]))
     return "".join(parts)
 
