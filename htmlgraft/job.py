@@ -289,7 +289,8 @@ def _exists_nonempty(spark, path: str) -> bool:
 def main(argv=None):
     """spark-submit entry:
 
-        spark-submit --py-files htmlgraft.zip -m htmlgraft.job \\
+        python tools/make_pyfiles_zip.py  # builds htmlgraft.zip
+        spark-submit --py-files htmlgraft.zip tools/submit_job.py \\
             --input <pages parquet/iceberg path> --out <state dir> \\
             [--run-id r1] [--parts 4096] [--no-dom] [--no-resume]
 
