@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from htmlgraft import eventops, media, pdfops, relops, simops, textops
+from htmlgraft import eventops, media, pdfops, relops, simops, textops, urlops
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
 
@@ -158,6 +158,10 @@ def _relop(builder):
     return lambda spark, sf_dir: relops.run(spark, sf_dir, builder)
 
 
+def _urlop(builder):
+    return lambda spark, sf_dir: urlops.run(spark, sf_dir, builder)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
@@ -175,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _textop(textops.simhash_sql),
         "dedup_simhash_neardup": textops.run_simhash_neardup,
         # text analysis
+        "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
+        "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
@@ -212,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
             "dedup_simhash": textops.simhash_sql(duck=True),
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
+            "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
+            "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),
             "token_count": textops.token_count_sql(duck=True),

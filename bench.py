@@ -117,7 +117,7 @@ def main() -> None:
     # corpus multiplier: unions deterministic shifted copies so the parse
     # stage carries enough work to amortize fixed stage overheads
     mult = int(os.environ.get("SPARK_GRAFT_MULT", "30"))
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pyspark.sql import functions as F

@@ -1,0 +1,148 @@
+"""URL canonicalization operators — the crawl-pipeline primitive that decides
+which pages are "the same" before any content dedup runs.
+
+``url_canonicalize``: scheme+host lowercased, default ports stripped
+(http:80, https:443), fragment dropped, trailing path slash removed (except
+root), query parameters sorted — all as ONE dual-dialect SQL projection
+(Spark via Catalyst, DuckDB as the oracle), no UDFs: string surgery is
+exactly what whole-stage codegen is good at, and at 10^12 urls a per-row
+Python canonicalizer would dominate the job.
+
+``url_canon_dedup``: groups the canonical form — messy variants of the same
+resource collapse to one key; the group-by is a single hash shuffle on the
+canonical url (the same shape as exact text dedup).
+
+The messy inputs are synthesized deterministically per document (two
+guaranteed-equivalent variants per doc: upper-cased scheme/host + explicit
+:80 + fragment + unsorted query vs the clean spelling; every third doc adds
+a third NON-equivalent variant on port 8080 with a trailing slash), so the
+oracle independently verifies every canonicalization rule.
+"""
+
+from __future__ import annotations
+
+from .textops import _d
+
+
+def _messy_urls_cte(duck: bool, docs: str = "documents") -> str:
+    d = _d(duck)
+    p = f"concat(source, '/', cast(doc_id as {d['str']}))"
+    return f"""
+      raw as (select doc_id, source, {p} as p from {docs}),
+      urls as (
+        select doc_id,
+               concat('HTTP://WWW.', upper(source), '.EXAMPLE.ORG:80/', p,
+                      '?b=2&a=1#frag') as url
+        from raw
+        union all
+        select doc_id,
+               concat('http://www.', source, '.example.org/', p, '?a=1&b=2')
+        from raw
+        union all
+        select doc_id,
+               concat('https://www.', source, '.example.org:8080/', p, '/')
+        from raw where doc_id % 3 = 0
+      )"""
+
+
+def _canon_ctes(duck: bool) -> str:
+    """CTE chain: urls(doc_id, url) -> canon(doc_id, url_raw, url_canon,
+    host, n_params).  Step names follow the canonicalization rules."""
+    d = _d(duck)
+    strpos = d["strpos"]
+    # split-on-# built explicitly (the dialect split template is for spaces)
+    split_hash = ("string_split(url, '#')" if duck else "split(url, '#')")
+    split_amp = ("string_split(query, '&')" if duck else "split(query, '&')")
+    sort_join = (
+        f"array_to_string(list_sort({split_amp}), '&')" if duck
+        else f"array_join(array_sort({split_amp}), '&')"
+    )
+    nq = f"len({split_amp})" if duck else f"size({split_amp})"
+    return f"""
+      c_frag as (  -- rule: drop the fragment
+        select doc_id, url, {d['elem'].format(split_hash, '1')} as nofrag
+        from urls),
+      c_q as (
+        select doc_id, url, nofrag, {strpos.format('nofrag', "'?'")} as qpos
+        from c_frag),
+      c_split as (  -- split base vs query
+        select doc_id, url,
+               case when qpos > 0 then substr(nofrag, 1, qpos - 1)
+                    else nofrag end as base,
+               case when qpos > 0 then substr(nofrag, qpos + 1)
+                    else '' end as query
+        from c_q),
+      c_scheme as (  -- rule: lowercase the scheme
+        select doc_id, url, query,
+               lower(substr(base, 1, {strpos.format('base', "'://'")} - 1))
+                 as scheme,
+               substr(base, {strpos.format('base', "'://'")} + 3) as rest
+        from c_split),
+      c_auth as (
+        select doc_id, url, query, scheme,
+               case when {strpos.format('rest', "'/'")} > 0
+                    then substr(rest, 1, {strpos.format('rest', "'/'")} - 1)
+                    else rest end as hostport,
+               case when {strpos.format('rest', "'/'")} > 0
+                    then substr(rest, {strpos.format('rest', "'/'")})
+                    else '/' end as path
+        from c_scheme),
+      c_host as (  -- rule: lowercase host, split off the port
+        select doc_id, url, query, scheme, path,
+               lower(case when {strpos.format('hostport', "':'")} > 0
+                    then substr(hostport, 1,
+                                {strpos.format('hostport', "':'")} - 1)
+                    else hostport end) as host,
+               case when {strpos.format('hostport', "':'")} > 0
+                    then substr(hostport, {strpos.format('hostport', "':'")} + 1)
+                    else '' end as port
+        from c_auth),
+      c_port as (  -- rule: strip scheme-default ports only
+        select doc_id, url, query, scheme, host, path,
+               case when port = '' or (scheme = 'http' and port = '80')
+                         or (scheme = 'https' and port = '443')
+                    then '' else concat(':', port) end as portsuf
+        from c_host),
+      canon as (  -- rules: strip trailing path slash (not root), sort params
+        select doc_id, url as url_raw, host,
+               concat(scheme, '://', host, portsuf,
+                      case when path <> '/'
+                                and substr(path, length(path), 1) = '/'
+                           then substr(path, 1, length(path) - 1)
+                           else path end,
+                      case when query = '' then ''
+                           else concat('?', {sort_join}) end) as url_canon,
+               cast(case when query = '' then 0 else {nq} end as bigint)
+                 as n_params
+        from c_port)"""
+
+
+def url_canonicalize_sql(duck: bool, docs: str = "documents") -> str:
+    return f"""
+      with {_messy_urls_cte(duck, docs)},
+      {_canon_ctes(duck)}
+      select doc_id, url_raw, url_canon, host, n_params
+      from canon
+      order by doc_id, url_raw
+    """
+
+
+def url_canon_dedup_sql(duck: bool, docs: str = "documents") -> str:
+    """Variants of the same resource collapse onto one canonical key: one
+    hash-shuffle group-by, the scale shape of crawl-frontier dedup."""
+    return f"""
+      with {_messy_urls_cte(duck, docs)},
+      {_canon_ctes(duck)}
+      select url_canon, count(*) as n_variants, min(doc_id) as first_doc
+      from canon
+      group by url_canon
+      having count(*) > 1
+      order by url_canon
+    """
+
+
+def run(spark, sf_dir: str, sql_builder, **kw):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(sql_builder(duck=False, **kw))
