@@ -490,3 +490,41 @@ def run_simhash_neardup(spark, sf_dir: str):
     ).persist()
     sh.createOrReplaceTempView("__sh_simhash")
     return spark.sql(simhash_neardup_sql(duck=False, sh_ref="__sh_simhash"))
+
+
+def keyword_extract_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+    """Keyword extraction: top-k tokens per document ranked by
+    (term frequency DESC, document frequency ASC, token ASC) — the exact
+    integer ordering surrogate for tf-idf (rare-in-corpus but
+    frequent-in-doc), chosen over the float formula so both engines hash
+    identically.
+
+    Scale shape: one shuffle to (doc_id, tok) counts; the document-frequency
+    relation is vocabulary-sized (broadcast-joinable); top-k via a window
+    partitioned by doc_id — never a global sort."""
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tf as (
+        select doc_id, tok, count(*) as tf
+        from tokens group by doc_id, tok
+      ),
+      df as (
+        select tok, count(distinct doc_id) as df
+        from tokens group by tok
+      ),
+      ranked as (
+        select tf.doc_id, tf.tok, tf.tf, df.df,
+               row_number() over (
+                 partition by tf.doc_id
+                 order by tf.tf desc, df.df asc, tf.tok asc
+               ) as rk
+        from tf join df on df.tok = tf.tok
+      )
+      select doc_id, rk as rank,
+             tok as keyword,
+             cast(tf as bigint) as tf,
+             cast(df as bigint) as df
+      from ranked
+      where rk <= {k}
+      order by doc_id, rk
+    """
