@@ -49,6 +49,14 @@ CANDIDATE_TAGS = frozenset(
 
 _WS_RUN = re.compile(r"[\t\n\r\f ]+")
 
+# precomputed two-space indents for the dom printer (depth > 255 falls back
+# to the multiply; real pages nest far shallower)
+_INDENTS = tuple("  " * i for i in range(256))
+
+
+def _indent(depth: int) -> str:
+    return _INDENTS[depth] if depth < 256 else "  " * depth
+
 
 class _Frame:
     __slots__ = ("name", "order", "text_len", "tag_count", "link_len", "skip",
@@ -195,7 +203,7 @@ def analyze_tree(root, include_dom: bool = True):
             text = "".join(buf)
             del buf[:]
             if text:
-                out.append('| %s"%s"\n' % ("  " * buf_depth, text))
+                out.append('| %s"%s"\n' % (_indent(buf_depth), text))
 
     while stack:
         top = stack[-1]
@@ -250,7 +258,7 @@ def analyze_tree(root, include_dom: bool = True):
             else:
                 if out is not None:
                     flush()
-                    out.append("| %s<%s>\n" % ("  " * depth, name))
+                    out.append("| %s<%s>\n" % (_indent(depth), name))
                 depth += 1
                 parent = fstack[-1]
                 skip = parent.skip or name in SKIP_TAGS
@@ -264,11 +272,11 @@ def analyze_tree(root, include_dom: bool = True):
         elif t is Comment:
             if out is not None:
                 flush()
-                out.append("| %s<!--%s-->\n" % ("  " * depth, "".join(node.data)))
+                out.append("| %s<!--%s-->\n" % (_indent(depth), "".join(node.data)))
         elif t is Doctype:
             if out is not None:
                 flush()
-                out.append("| %s<!doctype>\n" % ("  " * depth))
+                out.append("| %s<!doctype>\n" % (_indent(depth)))
         elif t is Document:
             stack.append([node.children, 0, None, None])
     if out is not None:

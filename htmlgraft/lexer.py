@@ -290,16 +290,20 @@ class Tokeniser:
             # --- fast path: extend run tokens with a C-level regex ---
             token_type = 0
             if token_state == S_MAIN:
-                if tag is None and can_merge is not None and can_merge():
-                    m = _RE_MERGED.match(s, pos)
-                    if m is not None:
-                        end = m.end()
-                        token_type = _data
-                if not token_type:
-                    m = _RE_MAIN.match(s, pos)
-                    if m is not None:
-                        end = m.end()
-                        token_type = _space if m.lastgroup == "sp" else _data
+                # one char peek gates the regex attempts: at '<' the text
+                # regexes always fail, elsewhere the tag regexes always
+                # fail — skip the guaranteed-miss C calls
+                if s[pos] != "<":
+                    if tag is None and can_merge is not None and can_merge():
+                        m = _RE_MERGED.match(s, pos)
+                        if m is not None:
+                            end = m.end()
+                            token_type = _data
+                    if not token_type:
+                        m = _RE_MAIN.match(s, pos)
+                        if m is not None:
+                            end = m.end()
+                            token_type = _space if m.lastgroup == "sp" else _data
             elif token_state == S_RAWTEXT:
                 m = _RE_RAW.match(s, pos)
                 if m is not None:
@@ -340,8 +344,9 @@ class Tokeniser:
                 pos = end
             else:
                 # --- whole-tag fast path (see _RE_FASTSTART above) ---
-                if token_state == S_MAIN and tag is None:
-                    m = _RE_FASTSTART.match(s, pos)
+                if token_state == S_MAIN and tag is None and s[pos] == "<":
+                    nxt = s[pos + 1] if pos + 1 < length else ""
+                    m = _RE_FASTSTART.match(s, pos) if nxt != "/" else None
                     if m is not None:
                         name = m.group(1)
                         mend = m.end()
