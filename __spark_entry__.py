@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from htmlgraft import eventops, media, pdfops, relops, simops, textops, urlops
+from htmlgraft import clusterops, eventops, media, pdfops, relops, simops, textops, urlops
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
 
@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _simop(simops.ann_lsh_topk_sql),
         "embedding_neardup": _simop(simops.embedding_neardup_sql),
         "ann_ivf_assign": _simop(simops.ivf_assign_sql),
+        "kmeans_assign": clusterops.run_kmeans_assign,
+        "kmeans_centroids": clusterops.run_kmeans_centroids,
         "ann_ivf_topk": _simop(simops.ivf_topk_sql),
         # events: windowed rollups / sessionization / top-k
         "events_hourly": _eventop(eventops.events_hourly_sql),
@@ -231,6 +233,8 @@ def oracle_sql() -> dict[str, str]:
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),
             "embedding_neardup": simops.embedding_neardup_sql(duck=True),
             "ann_ivf_assign": simops.ivf_assign_sql(duck=True),
+            "kmeans_assign": clusterops.kmeans_assign_sql(duck=True),
+            "kmeans_centroids": clusterops.kmeans_centroids_sql(duck=True),
             "ann_ivf_topk": simops.ivf_topk_sql(duck=True),
             "events_hourly": eventops.events_hourly_sql(duck=True),
             "events_sessionize": eventops.sessionize_sql(duck=True),
