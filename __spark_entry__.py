@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _textop(textops.token_count_sql),
         "fingerprint": _textop(textops.fingerprint_sql),
         "keyword_extract": _textop(textops.keyword_extract_sql),
+        "stratified_sample": _textop(textops.stratified_sample_sql),
+        "decontaminate": _textop(textops.decontaminate_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
             "token_count": textops.token_count_sql(duck=True),
             "fingerprint": textops.fingerprint_sql(duck=True),
             "keyword_extract": textops.keyword_extract_sql(duck=True),
+            "stratified_sample": textops.stratified_sample_sql(duck=True),
+            "decontaminate": textops.decontaminate_sql(duck=True),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),

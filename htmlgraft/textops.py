@@ -83,9 +83,13 @@ def duped_docs_cte(duck: bool, docs: str = "documents") -> str:
       )"""
 
 
-def shingles_cte(duck: bool, src: str = "ddocs", k: int = 3) -> str:
+def shingles_cte(
+    duck: bool, src: str = "ddocs", k: int = 3, prefix: str = ""
+) -> str:
     """Distinct word k-gram shingles per doc: ws, then shingle i =
-    ws[i]..ws[i+k-1] for i in 1..len(ws)-k+1 (1-based in both engines)."""
+    ws[i]..ws[i+k-1] for i in 1..len(ws)-k+1 (1-based in both engines).
+    ``prefix`` renames the emitted CTEs ({prefix}words / {prefix}shingles)
+    so two shingle relations can coexist in one query."""
     d = _d(duck)
     ws = d["split"].format("text")
     parts = " || ' ' || ".join(
@@ -94,20 +98,21 @@ def shingles_cte(duck: bool, src: str = "ddocs", k: int = 3) -> str:
     )
     lam = d["lambda"].format("i", parts)
     mk = d["transform"].format(d["range_incl"].format("1", f"len(ws) - {k - 1}"), lam)
+    w, sh = prefix + "words", prefix + "shingles"
     if duck:
         return f"""
-      words as (select doc_id, {ws} as ws from {src}),
-      shingles as (
+      {w} as (select doc_id, {ws} as ws from {src}),
+      {sh} as (
         select distinct doc_id, unnest({mk}) as shingle
-        from words where len(ws) >= {k}
+        from {w} where len(ws) >= {k}
       )"""
     # Spark: len() -> size(), unnest -> explode
     mk_s = mk.replace("len(ws)", "size(ws)")
     return f"""
-      words as (select doc_id, {ws} as ws from {src}),
-      shingles as (
+      {w} as (select doc_id, {ws} as ws from {src}),
+      {sh} as (
         select distinct doc_id, explode({mk_s}) as shingle
-        from words where size(ws) >= {k}
+        from {w} where size(ws) >= {k}
       )"""
 
 
@@ -527,4 +532,59 @@ def keyword_extract_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
       from ranked
       where rk <= {k}
       order by doc_id, rk
+    """
+
+
+SAMPLE_MOD = 8  # keep 1/8 of documents per stratum
+
+
+def stratified_sample_sql(duck: bool, docs: str = "documents") -> str:
+    """Deterministic stratified sampling: keep the documents whose 32-bit
+    content-independent hash of doc_id falls in one residue class — a pure
+    filter (no shuffle, no RNG, reproducible across runs and engines), with
+    per-language stratum accounting.  The per-row decision is exactly what
+    a 100 TB sampling pass must be: no global count, no sort, no state."""
+    h = h32(f"cast(doc_id as {_d(duck)['str']})", duck)
+    return f"""
+      with sampled as (
+        select doc_id, lang from {docs}
+        where {h} % {SAMPLE_MOD} = 0
+      )
+      select lang,
+             count(*) as n_sampled,
+             min(doc_id) as min_doc_id,
+             max(doc_id) as max_doc_id
+      from sampled
+      group by lang
+      order by lang
+    """
+
+
+DECONTAM_K = 13  # the classic 13-gram contamination window
+EVAL_MOD = 50    # fake benchmark set: every 50th document
+
+
+def decontaminate_sql(duck: bool, docs: str = "documents") -> str:
+    """Benchmark decontamination: flag training documents sharing any word
+    {k}-gram with the held-out eval set (here: every {mod}th document
+    stands in for the benchmark).  The eval-side shingle relation is tiny
+    (benchmark-sized — broadcast-joinable); the train side streams through
+    one hash join keyed on the shingle, so the pass is linear in the corpus
+    like every production decontamination sweep.  Output: contaminated
+    doc_id with the count of distinct shared {k}-grams."""
+    return f"""
+      with train as (
+        select doc_id, text from {docs} where doc_id % {EVAL_MOD} <> 0
+      ),
+      evalset as (
+        select doc_id, text from {docs} where doc_id % {EVAL_MOD} = 0
+      ),
+      {shingles_cte(duck, "train", DECONTAM_K, prefix="train_")},
+      {shingles_cte(duck, "evalset", DECONTAM_K, prefix="eval_")},
+      eval_grams as (select distinct shingle from eval_shingles)
+      select t.doc_id,
+             count(distinct t.shingle) as n_shared_grams
+      from train_shingles t join eval_grams e on e.shingle = t.shingle
+      group by t.doc_id
+      order by t.doc_id
     """
