@@ -91,12 +91,14 @@ def _run_parse(spark, pages_path: str, cpus: int, pre_partitioned: bool):
     ).collect()
 
 
-def _timed_parse(spark, pages_path: str, cpus: int, runs: int):
+def _timed_parse(spark, pages_path: str, cpus: int, runs: int,
+                 with_shuffled: bool = True):
     """Headline timing protocol: AQE off (its bytes-based coalescing cannot
     see per-row Python parse cost), one FULL uncounted warm pass (python
     worker imports + JVM JIT leave the first pass 2-3x slower than steady
     state), then `runs` timed passes of each path; headline = min over both
-    the scan-direct and salted-shuffle variants."""
+    the scan-direct and salted-shuffle variants.  The scaling levels skip
+    the shuffled variant (only the headline stage reports it)."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     _run_parse(spark, pages_path, cpus, True)  # deep warm, uncounted
     direct, shuffled = [], []
@@ -104,9 +106,10 @@ def _timed_parse(spark, pages_path: str, cpus: int, runs: int):
         t0 = time.perf_counter()
         _run_parse(spark, pages_path, cpus, True)
         direct.append(round(time.perf_counter() - t0, 3))
-    t0 = time.perf_counter()
-    _run_parse(spark, pages_path, cpus, False)
-    shuffled.append(round(time.perf_counter() - t0, 3))
+    if with_shuffled:
+        t0 = time.perf_counter()
+        _run_parse(spark, pages_path, cpus, False)
+        shuffled.append(round(time.perf_counter() - t0, 3))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return direct, shuffled
 
@@ -189,19 +192,28 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # north-rule scaling evidence: identical job + input at local[4]
-        # (N) and local[16] (4N); see module docstring for why not 8->32
-        pair = {}
-        for level in (16, 4):
+        # (N) and local[16] (4N); see module docstring for why not 8->32.
+        # The shared host has transient multi-second noise spikes that a
+        # 13-second 16-core run absorbs as +30% wall — so each level runs
+        # in TWO interleaved sessions (decorrelated windows) and the
+        # efficiency uses the min per level across all runs.
+        pair = {16: [], 4: []}
+        for level in (16, 4, 16, 4):
             s = _session(level)
             s.sparkContext.setLogLevel("ERROR")
-            d, sh = _timed_parse(s, pages_path, level, max(2, runs))
-            pair[level] = min(d)
+            d, _sh = _timed_parse(
+                s, pages_path, level, 3 if level == 16 else 2,
+                with_shuffled=False,
+            )
+            pair[level].extend(d)
             s.stop()
         out["scaling"] = {
             "n_cores": 4,
-            "t_n": pair[4],
-            "t_4n": pair[16],
-            "efficiency": round(pair[4] / (4 * pair[16]), 3),
+            "t_n": min(pair[4]),
+            "t_4n": min(pair[16]),
+            "t_n_runs": pair[4],
+            "t_4n_runs": pair[16],
+            "efficiency": round(min(pair[4]) / (4 * min(pair[16])), 3),
         }
 
     sys.stdout.write(json.dumps(out) + "\n")
