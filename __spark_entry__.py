@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extract": _textop(textops.keyword_extract_sql),
         "stratified_sample": _textop(textops.stratified_sample_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
+        "lm_score": _textop(textops.lm_score_sql),
+        "repetition_stats": _textop(textops.repetition_stats_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -232,6 +234,8 @@ def oracle_sql() -> dict[str, str]:
             "keyword_extract": textops.keyword_extract_sql(duck=True),
             "stratified_sample": textops.stratified_sample_sql(duck=True),
             "decontaminate": textops.decontaminate_sql(duck=True),
+            "lm_score": textops.lm_score_sql(duck=True),
+            "repetition_stats": textops.repetition_stats_sql(duck=True),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),

@@ -588,3 +588,102 @@ def decontaminate_sql(duck: bool, docs: str = "documents") -> str:
       group by t.doc_id
       order by t.doc_id
     """
+
+
+def bigrams_cte(duck: bool, src: str = "documents", prefix: str = "") -> str:
+    """Consecutive word bigrams per doc WITH multiplicity (unlike the
+    distinct shingle relation): one explode over a transform of positions."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    pair = (
+        d["elem"].format("ws", "i") + " || ' ' || "
+        + d["elem"].format("ws", "i + 1")
+    )
+    lam = d["lambda"].format("i", pair)
+    n = "len(ws)" if duck else "size(ws)"
+    mk = d["transform"].format(d["range_incl"].format("1", f"{n} - 1"), lam)
+    w, b = prefix + "bg_words", prefix + "bigrams"
+    un = "unnest" if duck else "explode"
+    return f"""
+      {w} as (select doc_id, {ws} as ws from {src}),
+      {b} as (
+        select doc_id, {un}({mk}) as bg
+        from {w} where {n} >= 2
+      )"""
+
+
+LM_SCALE = 1_000_000
+
+
+def lm_score_sql(duck: bool, docs: str = "documents") -> str:
+    """N-gram language-model quality scoring (self-trained): a bigram model
+    is counted over the corpus itself, then every document is scored by the
+    sum of its bigram conditional frequencies — the KenLM-filter shape
+    (score docs by how typical their n-grams are) with integer surrogate
+    math: each bigram contributes floor({scale} * count(w1 w2) /
+    count(w1-as-prefix)), exact in both engines (numerators < 2^53).
+
+    Scale shape: the model relation is vocabulary^2-bounded (shuffle on the
+    bigram key with map-side partials); scoring is one hash join of doc
+    bigrams against the model — linear in the corpus."""
+    return f"""
+      with {bigrams_cte(duck, docs)},
+      model as (
+        select bg, count(*) as c2 from bigrams group by bg
+      ),
+      prefixes as (
+        select {_d(duck)['elem'].format(_d(duck)['split'].format('bg'), '1')}
+                 as w1, bg, c2
+        from model
+      ),
+      prefix_totals as (
+        select w1, sum(c2) as c1 from prefixes group by w1
+      ),
+      scored as (
+        select p.bg,
+               cast(floor({LM_SCALE}.0 * p.c2 / t.c1) as bigint) as logit
+        from prefixes p join prefix_totals t on t.w1 = p.w1
+      )
+      select b.doc_id,
+             count(*) as n_bigrams,
+             cast(sum(s.logit) as bigint) as lm_score,
+             cast(min(s.logit) as bigint) as min_logit
+      from bigrams b join scored s on s.bg = b.bg
+      group by b.doc_id
+      order by b.doc_id
+    """
+
+
+def repetition_stats_sql(duck: bool, docs: str = "documents") -> str:
+    """Gopher-style repetition filters (Rae et al. 2021, public): fraction
+    of tokens taken by the most frequent token and by the most frequent
+    bigram, as integer floor-percents.  Two bounded aggregations — linear,
+    and the per-doc tops come from a window max, never a global sort."""
+    return f"""
+      with {tokens_cte(duck, docs)},
+      {bigrams_cte(duck, docs)},
+      tok_counts as (
+        select doc_id, tok, count(*) as c from tokens group by doc_id, tok
+      ),
+      tok_stats as (
+        select doc_id, sum(c) as n_tokens, max(c) as top_tok
+        from tok_counts group by doc_id
+      ),
+      bg_counts as (
+        select doc_id, bg, count(*) as c from bigrams group by doc_id, bg
+      ),
+      bg_stats as (
+        select doc_id, sum(c) as n_bigrams, max(c) as top_bg
+        from bg_counts group by doc_id
+      )
+      select t.doc_id,
+             cast(t.n_tokens as bigint) as n_tokens,
+             cast(t.top_tok as bigint) as top_token_count,
+             cast(floor(100.0 * t.top_tok / t.n_tokens) as bigint)
+               as top_token_pct,
+             cast(b.top_bg as bigint) as top_bigram_count,
+             cast(floor(100.0 * 2 * b.top_bg / t.n_tokens) as bigint)
+               as top_bigram_token_pct
+      from tok_stats t join bg_stats b on b.doc_id = t.doc_id
+      order by t.doc_id
+    """
