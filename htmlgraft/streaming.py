@@ -166,3 +166,15 @@ def host_sessions(pages: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_dedup(pages: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Streaming url dedup: dropDuplicatesWithinWatermark on the url key —
+    a re-crawled url arriving within the watermark horizon is suppressed
+    before it pays the parse.  State holds one row per url seen within the
+    horizon and is expired by the watermark (bounded by crawl rate x
+    horizon, not by corpus size — the indefinitely-growing exact-dedup
+    state belongs to the batch resume table, job.run_job)."""
+    return pages.withWatermark("warc_ts", horizon).dropDuplicatesWithinWatermark(
+        ["url"]
+    )

@@ -76,6 +76,37 @@ def test_windowed_metrics(spark, sf_dir, drop_dir):
     }
 
 
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark on url: a re-crawled url arriving
+    within the watermark horizon is suppressed before the parse.  The drop
+    dir carries every page TWICE (two file sets, identical url + warc_ts —
+    a crawler re-emitting its frontier); the deduped stream must equal the
+    batch distinct."""
+    from htmlgraft.streaming import stream_pages, streaming_dedup
+
+    d = str(tmp_path / "dedup_drops")
+    base = pages_df(spark, sf_dir).select(
+        "url", F.to_timestamp(F.lit("2026-03-01 00:00:00")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    base.repartition(3).write.mode("append").parquet(d)
+    base.repartition(2).write.mode("append").parquet(d)
+    q = (
+        streaming_dedup(stream_pages(spark, d, max_files_per_trigger=2))
+        .select("url")
+        .writeStream.format("memory")
+        .queryName("graft_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("graft_dedup")
+    n_batch = base.select("url").distinct().count()
+    assert spark.read.parquet(d).count() == 2 * n_batch  # dups really exist
+    assert got.count() == got.select("url").distinct().count() == n_batch
+
+
 def test_host_sessions_stateful(spark, sf_dir, drop_dir):
     """applyInPandasWithState: running per-host stats accumulate across
     micro-batches; final snapshots must equal the batch rollup."""
