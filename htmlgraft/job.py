@@ -5,7 +5,8 @@ is the Arrow-batched ``mapInPandas`` parse stage):
 
     scan (parquet/iceberg, column-pruned)
       -> filter (lang / size caps, pushed down)
-      -> resume anti-join against the state table (broadcast)
+      -> resume anti-join against the compact state table (size-gated:
+         broadcast when known-small, else shuffle sort-merge)
       -> salted repartition: part_id = pmod(xxhash64(url), P), oversized docs
          get their own salt lane so one giant page cannot straggle a partition
       -> mapInPandas(parse_batch): tokenize -> tree-build -> extract per doc
