@@ -280,6 +280,20 @@ def run_job(
     return spark.read.parquet(results_path)
 
 
+def read_pages(spark, input_path: str):
+    """Input dispatch: ``iceberg:<catalog.db.table>`` loads through the
+    Iceberg DataSourceV2 (table NAME after the prefix — the prefix itself
+    is routing, not part of the identifier); anything else is a parquet
+    path.  The Iceberg runtime jars are absent in this sandbox, so that
+    branch is covered by a unit test with a stub reader; the parquet branch
+    is exercised end-to-end everywhere else."""
+    if input_path.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(
+            input_path[len("iceberg:"):]
+        )
+    return spark.read.parquet(input_path)
+
+
 def _exists_nonempty(spark, path: str) -> bool:
     import glob
     import os
@@ -312,11 +326,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("htmlgraft-parse").getOrCreate()
-    pages = (
-        spark.read.format("iceberg").load(args.input)
-        if args.input.startswith("iceberg:")
-        else spark.read.parquet(args.input)
-    )
+    pages = read_pages(spark, args.input)
     results = run_job(
         spark, pages, args.out,
         run_id=args.run_id, num_parts=args.parts,

@@ -134,3 +134,35 @@ def test_scan_is_pruned(spark, sf_dir):
     assert "ts_seconds" not in plan
     assert "n_chars" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>" in plan
+
+
+def test_read_pages_dispatch():
+    """Input routing: iceberg:-prefixed identifiers go through the Iceberg
+    DataSourceV2 with the PREFIX STRIPPED (the identifier Iceberg sees is
+    catalog.db.table); everything else reads as a parquet path.  Stubbed —
+    no Iceberg runtime jars exist in this sandbox."""
+    from htmlgraft.job import read_pages
+
+    calls = []
+
+    class _Reader:
+        def format(self, fmt):
+            calls.append(("format", fmt))
+            return self
+
+        def load(self, ident):
+            calls.append(("load", ident))
+            return "iceberg-df"
+
+        def parquet(self, path):
+            calls.append(("parquet", path))
+            return "parquet-df"
+
+    class _Spark:
+        read = _Reader()
+
+    assert read_pages(_Spark(), "iceberg:warehouse.crawl.pages") == "iceberg-df"
+    assert calls == [("format", "iceberg"), ("load", "warehouse.crawl.pages")]
+    calls.clear()
+    assert read_pages(_Spark(), "/data/pages.parquet") == "parquet-df"
+    assert calls == [("parquet", "/data/pages.parquet")]
