@@ -196,7 +196,10 @@ def main() -> None:
         # The shared host has transient multi-second noise spikes that a
         # 13-second 16-core run absorbs as +30% wall — so each level runs
         # in TWO interleaved sessions (decorrelated windows) and the
-        # efficiency uses the min per level across all runs.
+        # efficiency uses the min per level across all runs.  NB the
+        # min/min ratio can overshoot 1.0 when noise hits the two levels
+        # asymmetrically; the full run lists are reported alongside so the
+        # estimate is auditable (clean-window measurements: 0.887-0.939).
         pair = {16: [], 4: []}
         for level in (16, 4, 16, 4):
             s = _session(level)
