@@ -272,3 +272,27 @@ def run(spark, sf_dir: str, sql_builder, **kw):
         "embeddings"
     )
     return spark.sql(sql_builder(duck=False, **kw))
+
+
+def ann_recall_sql(duck: bool, emb: str = "embeddings") -> str:
+    """ANN quality evaluation: per-query recall of the IVF and LSH top-k
+    against the brute-force ground truth — the measurement every
+    approximate index must ship with.  Composes the existing queries as
+    subselects (each keeps its own CTE scope); the overlap join is
+    (q_id, n_id)-keyed, integer counts only."""
+    brute = ann_topk_sql(duck, emb)
+    ivf = ivf_topk_sql(duck, emb)
+    lsh = ann_lsh_topk_sql(duck, emb)
+    return f"""
+      select b.q_id,
+             count(*) as k,
+             sum(case when i.n_id is not null then 1 else 0 end)
+               as ivf_hits,
+             sum(case when l.n_id is not null then 1 else 0 end)
+               as lsh_hits
+      from ({brute}) b
+      left join ({ivf}) i on i.q_id = b.q_id and i.n_id = b.n_id
+      left join ({lsh}) l on l.q_id = b.q_id and l.n_id = b.n_id
+      group by b.q_id
+      order by b.q_id
+    """
