@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": clusterops.run_kmeans_assign,
         "kmeans_centroids": clusterops.run_kmeans_centroids,
         "ann_ivf_topk": _simop(simops.ivf_topk_sql),
+        "ann_multilsh_topk": _simop(simops.ann_multilsh_topk_sql),
         "ann_recall": _simop(simops.ann_recall_sql),
         # events: windowed rollups / sessionization / top-k
         "events_hourly": _eventop(eventops.events_hourly_sql),
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
             "kmeans_assign": clusterops.kmeans_assign_sql(duck=True),
             "kmeans_centroids": clusterops.kmeans_centroids_sql(duck=True),
             "ann_ivf_topk": simops.ivf_topk_sql(duck=True),
+            "ann_multilsh_topk": simops.ann_multilsh_topk_sql(duck=True),
             "ann_recall": simops.ann_recall_sql(duck=True),
             "events_hourly": eventops.events_hourly_sql(duck=True),
             "events_sessionize": eventops.sessionize_sql(duck=True),

@@ -87,13 +87,20 @@ def ann_topk_sql(duck: bool, emb: str = "embeddings") -> str:
     """
 
 
-def _bucket(duck: bool, col: str = "embedding") -> str:
-    """LSH bucket id: sign bits of the first SIGN_BITS components (1-based
-    element access in both engines; float sign compare is exact)."""
+def _bucket(
+    duck: bool, col: str = "embedding", offset: int = 0, bits: int | None = None
+) -> str:
+    """LSH bucket id: sign bits of ``bits`` consecutive components starting
+    at ``offset`` (1-based element access in both engines; float sign
+    compare is exact).  Different offsets give the independent hash tables
+    of multi-table LSH."""
     d = _d(duck)
+    if bits is None:
+        bits = SIGN_BITS
     terms = " + ".join(
-        f"(case when {d['elem'].format(col, str(i))} > 0 then {1 << (i - 1)} else 0 end)"
-        for i in range(1, SIGN_BITS + 1)
+        f"(case when {d['elem'].format(col, str(offset + i))} > 0 "
+        f"then {1 << (i - 1)} else 0 end)"
+        for i in range(1, bits + 1)
     )
     return f"cast({terms} as bigint)"
 
@@ -283,16 +290,81 @@ def ann_recall_sql(duck: bool, emb: str = "embeddings") -> str:
     brute = ann_topk_sql(duck, emb)
     ivf = ivf_topk_sql(duck, emb)
     lsh = ann_lsh_topk_sql(duck, emb)
+    mlsh = ann_multilsh_topk_sql(duck, emb)
     return f"""
       select b.q_id,
              count(*) as k,
              sum(case when i.n_id is not null then 1 else 0 end)
                as ivf_hits,
              sum(case when l.n_id is not null then 1 else 0 end)
-               as lsh_hits
+               as lsh_hits,
+             sum(case when m.n_id is not null then 1 else 0 end)
+               as multilsh_hits
       from ({brute}) b
       left join ({ivf}) i on i.q_id = b.q_id and i.n_id = b.n_id
       left join ({lsh}) l on l.q_id = b.q_id and l.n_id = b.n_id
+      left join ({mlsh}) m on m.q_id = b.q_id and m.n_id = b.n_id
       group by b.q_id
       order by b.q_id
+    """
+
+
+N_TABLES = 8   # multi-table LSH: independent sign-bit tables
+MULTI_BITS = 4  # bits per table: collision prob per table ~0.65^bits for
+                # ~60-degree neighbors, so 4 bits x 8 tables targets ~0.5-0.8
+                # recall at ~25% candidate rate (the recall/cost knob the
+                # ann_recall query measures)
+
+
+def ann_multilsh_topk_sql(duck: bool, emb: str = "embeddings") -> str:
+    """Multi-table LSH ANN: {t} independent hash tables (sign patterns of
+    disjoint component ranges); a candidate is any vector sharing the
+    query's bucket in ANY table — the standard recall repair for bucketed
+    LSH (single-table recall on this corpus is near zero; see ann_recall).
+    Shuffle stays O(T*n) keyed by (table, bucket); candidates are
+    deduplicated before scoring so each pair is scored once."""
+    q = _quant(duck)
+    dot = _dot(duck, "qv.qe", "cv.qe")
+    qb_rows = " union all ".join(
+        f"select q_id, {_bucket(duck, 'embedding', t * MULTI_BITS, MULTI_BITS)}"
+        f" as bucket, {t} as tbl from qsrc"
+        for t in range(N_TABLES)
+    )
+    cb_rows = " union all ".join(
+        f"select n_id, {_bucket(duck, 'embedding', t * MULTI_BITS, MULTI_BITS)}"
+        f" as bucket, {t} as tbl from csrc"
+        for t in range(N_TABLES)
+    )
+    return f"""
+      with qsrc as (
+        select vec_id as q_id, embedding from {emb} where vec_id < {N_QUERIES}
+      ),
+      csrc as (
+        select vec_id as n_id, embedding from {emb}
+      ),
+      qb as ({qb_rows}),
+      cb as ({cb_rows}),
+      cand as (
+        select distinct qb.q_id, cb.n_id
+        from qb join cb on cb.tbl = qb.tbl and cb.bucket = qb.bucket
+        where qb.q_id <> cb.n_id
+      ),
+      qv as (select vec_id as q_id, {q} as qe from {emb} where vec_id < {N_QUERIES}),
+      cv as (select vec_id as n_id, {q} as qe from {emb}),
+      scored as (
+        select c.q_id, c.n_id, cast({dot} as bigint) as dot_q
+        from cand c
+        join qv on qv.q_id = c.q_id
+        join cv on cv.n_id = c.n_id
+      ),
+      ranked as (
+        select q_id, n_id, dot_q,
+               row_number() over (
+                 partition by q_id order by dot_q desc, n_id asc
+               ) as rk
+        from scored
+      )
+      select q_id, n_id, dot_q, cast(rk as bigint) as rk
+      from ranked where rk <= {TOP_K}
+      order by q_id, rk
     """
