@@ -294,12 +294,12 @@ def ann_recall_sql(duck: bool, emb: str = "embeddings") -> str:
     return f"""
       select b.q_id,
              count(*) as k,
-             sum(case when i.n_id is not null then 1 else 0 end)
-               as ivf_hits,
-             sum(case when l.n_id is not null then 1 else 0 end)
-               as lsh_hits,
-             sum(case when m.n_id is not null then 1 else 0 end)
-               as multilsh_hits
+             cast(sum(case when i.n_id is not null then 1 else 0 end)
+               as bigint) as ivf_hits,
+             cast(sum(case when l.n_id is not null then 1 else 0 end)
+               as bigint) as lsh_hits,
+             cast(sum(case when m.n_id is not null then 1 else 0 end)
+               as bigint) as multilsh_hits
       from ({brute}) b
       left join ({ivf}) i on i.q_id = b.q_id and i.n_id = b.n_id
       left join ({lsh}) l on l.q_id = b.q_id and l.n_id = b.n_id
