@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": textops.run_minhash_lsh,
         "dedup_simhash": _textop(textops.simhash_sql),
         "dedup_simhash_neardup": textops.run_simhash_neardup,
+        "dedup_clusters": textops.run_dedup_clusters,
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
             "dedup_simhash": textops.simhash_sql(duck=True),
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
+            "dedup_clusters": textops.dedup_clusters_sql(duck=True),
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),

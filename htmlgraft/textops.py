@@ -350,6 +350,73 @@ def simhash_neardup_sql(
     """
 
 
+# min-label propagation rounds for connected components.  After t rounds a
+# node holds the min doc_id within graph distance t; near-dup components are
+# near-cliques (diameter <= 2 measured at sf0.01 and sf0.1 — fixpoint after
+# ONE productive round), so 3 rounds carry a full safety margin, and
+# tests/test_relops.py pins the fixpoint (round CC_ITERS == round
+# CC_ITERS-1) so the truncation is provably the true components.
+CC_ITERS = 3
+
+
+def _cc_ctes(duck: bool, pairs_src: str) -> str:
+    """Unrolled min-label propagation over an undirected pair graph:
+    edges (both directions), labels0 = own id, then CC_ITERS rounds of
+    label(v) = min(label(v), min over in-neighbors).  Identical SQL in both
+    dialects — integer-only, order-insensitive aggregation."""
+    parts = [
+        f"pairs as (select a_id, b_id from {pairs_src} p)",
+        """edges as (
+        select a_id as src, b_id as dst from pairs
+        union all
+        select b_id as src, a_id as dst from pairs
+      )""",
+        "l0 as (select distinct src as id, src as lbl from edges)",
+    ]
+    for t in range(1, CC_ITERS + 1):
+        parts.append(f"""l{t} as (
+        select id, min(lbl) as lbl from (
+          select id, lbl from l{t - 1}
+          union all
+          select e.dst as id, l.lbl from edges e join l{t - 1} l on l.id = e.src
+        ) u group by id
+      )""")
+    return ",\n      ".join(parts)
+
+
+def dedup_clusters_sql(
+    duck: bool, docs: str = "documents", pairs_ref: str | None = None
+) -> str:
+    """Cluster-level dedup keeper selection: near-dup PAIRS (from the
+    MinHash+LSH scale path) -> connected components via iterative min-id
+    label propagation -> (doc_id, keeper_id, cluster_size), which is the
+    relation a training pipeline actually consumes (keep keeper_id rows,
+    drop the rest).
+
+    Scale shape: each round is one (src-keyed) hash join + one group-min —
+    O(E) shuffle per round, O(diameter) rounds.  Near-dup components are
+    near-cliques (every member pairs with the original), so the constant
+    CC_ITERS bound holds; a production run on adversarial graphs would
+    alternate large-star/small-star steps (same per-round shuffle shape,
+    O(log n) rounds) and stop on a changed-labels==0 check.  The DuckDB
+    oracle unrolls the identical rounds as nested CTEs (the same
+    iterative-algorithm oracle pattern as clusterops kmeans)."""
+    if pairs_ref is None:
+        pairs_src = f"({minhash_lsh_sql(duck, docs)})"
+    else:
+        pairs_src = pairs_ref
+    return f"""
+      with {_cc_ctes(duck, pairs_src)}
+      select l.id as doc_id,
+             cast(l.lbl as bigint) as keeper_id,
+             cast(c.n as bigint) as cluster_size
+      from l{CC_ITERS} l
+      join (select lbl, count(*) as n from l{CC_ITERS} group by lbl) c
+        on c.lbl = l.lbl
+      order by doc_id
+    """
+
+
 # deterministic marker profiles for the n-gram language-ID heuristic; the
 # corpus vocabulary is synthetic, so "language" here means "which profile
 # matches best" — the heuristic itself is the operator under test
@@ -495,6 +562,62 @@ def run_simhash_neardup(spark, sf_dir: str):
     ).persist()
     sh.createOrReplaceTempView("__sh_simhash")
     return spark.sql(simhash_neardup_sql(duck=False, sh_ref="__sh_simhash"))
+
+
+def run_dedup_clusters(spark, sf_dir: str):
+    """Spark-side connected-components keeper selection, the iterative
+    production shape: the LSH candidate pairs are materialized ONCE (they
+    feed every propagation round), then each round is one DataFrame join +
+    group-min with the label relation persisted and the previous round
+    unpersisted — exactly the state a 1000-executor run would keep (labels
+    are (id, lbl) longs, ~16 bytes/doc; at 10^12 docs this relation would
+    be a checkpointed table instead of an in-memory persist).
+
+    Runs the same CC_ITERS rounds the oracle unrolls; convergence within
+    that bound is pinned by tests (near-dup components are near-cliques).
+    Production variant: loop until a changed-labels==0 count, alternating
+    large-star/small-star on adversarial diameters.
+
+    Materialization is ``localCheckpoint`` (not plain persist): iterative
+    label relations must have their lineage truncated or every round's plan
+    embeds all previous rounds (and here, Spark 4.1's InlineCTE chokes
+    persisting the nested-CTE LSH plan outright — an analyzer
+    UnresolvedException).  On a real cluster this would be
+    ``checkpoint()`` to reliable storage."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        run_minhash_lsh(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.selectExpr("a_id as src", "b_id as dst").unionAll(
+        pairs.selectExpr("b_id as src", "a_id as dst")
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(CC_ITERS):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.select("id", "lbl")
+            .unionAll(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").cast("bigint").alias("keeper_id"),
+            F.col("n").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def keyword_extract_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:

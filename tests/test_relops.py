@@ -56,3 +56,35 @@ def test_parse_error_rows(spark):
     # metrics roll up the poison pills
     agg = parse_extract(pages, num_parts=2).agg(F.sum("n_errors")).collect()[0][0]
     assert agg == 2
+
+
+def test_dedup_clusters_fixpoint(sf_dir):
+    """The CC_ITERS truncation in dedup_clusters must BE the fixpoint:
+    one fewer propagation round yields the identical component labeling
+    (near-dup components are near-cliques, diameter <= 2), so the unrolled
+    oracle computes true connected components, not a truncation artifact.
+    Also pins keeper semantics: keeper_id is the component minimum."""
+    import duckdb
+
+    from htmlgraft import textops
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as "
+        f"select * from read_parquet('{sf_dir}/documents.parquet')"
+    )
+    full = con.execute(textops.dedup_clusters_sql(duck=True)).df()
+    saved = textops.CC_ITERS
+    try:
+        textops.CC_ITERS = saved - 1
+        fewer = con.execute(textops.dedup_clusters_sql(duck=True)).df()
+    finally:
+        textops.CC_ITERS = saved
+    assert full.equals(fewer), "label propagation had not converged"
+    mins = full.groupby("keeper_id")["doc_id"].min()
+    assert (mins.index == mins.values).all(), "keeper is not the min doc_id"
+    assert (full["keeper_id"] <= full["doc_id"]).all()
+    # every cluster has >= 2 members and contains its keeper
+    sizes = full.groupby("keeper_id").size()
+    assert (sizes >= 2).all()
+    assert set(full["keeper_id"]) <= set(full["doc_id"])
