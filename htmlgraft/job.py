@@ -230,6 +230,111 @@ def partition_metrics(results: DataFrame) -> DataFrame:
     )
 
 
+class ParquetCatalog:
+    """Sink/state seam for ``run_job``: three logical tables (results,
+    progress, state_urls) as run_id-partitioned parquet under one state
+    dir.  This is the sandbox implementation; ``IcebergCatalog`` is the
+    production one — ``run_job`` is written against the seam and never
+    touches paths or formats itself."""
+
+    def __init__(self, spark, out_dir: str):
+        import os
+
+        self.spark = spark
+        self.results_path = os.path.join(out_dir, "results")
+        self.state_path = os.path.join(out_dir, "state_urls")
+        self.progress_path = os.path.join(out_dir, "progress")
+
+    def append_results(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy("run_id").parquet(self.results_path)
+
+    def read_run_results(self, run_id: str) -> DataFrame:
+        # run_id is the physical partition column -> partition-pruned scan
+        return self.spark.read.parquet(self.results_path).where(
+            F.col("run_id") == run_id
+        )
+
+    def read_results(self) -> DataFrame:
+        return self.spark.read.parquet(self.results_path)
+
+    def append_progress(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.progress_path)
+
+    def append_state(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.state_path)
+
+    def read_state(self) -> DataFrame | None:
+        """The compact (url, part_id) done-set, or None before any run."""
+        if _exists_nonempty(self.spark, self.state_path):
+            return self.spark.read.parquet(self.state_path)
+        return None
+
+
+class IcebergCatalog:
+    """Production sink: three Iceberg tables ``<prefix>_results`` /
+    ``<prefix>_progress`` / ``<prefix>_state_urls`` under a
+    ``catalog.db.prefix`` identifier, written via the DataFrameWriterV2
+    (``df.writeTo(tbl).append()``).  First write of each table creates it
+    (results partitioned by run_id -> per-run reads partition-prune;
+    snapshot isolation gives the resume anti-join a consistent done-set).
+
+    The Iceberg runtime jars are absent in this sandbox, so this class is
+    covered by unit tests against a fake session/DataFrame
+    (tests/test_spark_job.py::test_iceberg_catalog_*), mirroring the
+    ``read_pages`` dispatch stub; the seam itself is exercised end-to-end
+    through ParquetCatalog by the resume tests."""
+
+    def __init__(self, spark, ident: str):
+        self.spark = spark
+        self.results_tbl = f"{ident}_results"
+        self.state_tbl = f"{ident}_state_urls"
+        self.progress_tbl = f"{ident}_progress"
+
+    def _append(self, df: DataFrame, tbl: str, partition_col: str | None) -> None:
+        if self._table_exists(tbl):
+            df.writeTo(tbl).append()
+        else:
+            w = df.writeTo(tbl)
+            if partition_col is not None:
+                w = w.partitionedBy(F.col(partition_col))
+            w.create()
+
+    def _table_exists(self, tbl: str) -> bool:
+        return self.spark.catalog.tableExists(tbl)
+
+    def append_results(self, df: DataFrame) -> None:
+        self._append(df, self.results_tbl, "run_id")
+
+    def read_run_results(self, run_id: str) -> DataFrame:
+        # identity-partitioned by run_id -> Iceberg prunes to this run
+        return self.spark.table(self.results_tbl).where(
+            F.col("run_id") == run_id
+        )
+
+    def read_results(self) -> DataFrame:
+        return self.spark.table(self.results_tbl)
+
+    def append_progress(self, df: DataFrame) -> None:
+        self._append(df, self.progress_tbl, None)
+
+    def append_state(self, df: DataFrame) -> None:
+        self._append(df, self.state_tbl, None)
+
+    def read_state(self) -> DataFrame | None:
+        if self._table_exists(self.state_tbl):
+            return self.spark.table(self.state_tbl)
+        return None
+
+
+def make_catalog(spark, out: str):
+    """``iceberg:<catalog.db.prefix>`` -> IcebergCatalog (prefix stripped,
+    same routing convention as ``read_pages``); anything else is a state
+    directory for run_id-partitioned parquet."""
+    if out.startswith("iceberg:"):
+        return IcebergCatalog(spark, out[len("iceberg:"):])
+    return ParquetCatalog(spark, out)
+
+
 def run_job(
     spark,
     pages: DataFrame,
@@ -238,10 +343,11 @@ def run_job(
     num_parts: int | None = None,
     include_dom: bool = True,
     resume: bool = True,
+    catalog=None,
 ):
-    """Checkpointed batch run: results + progress parquet sinks, idempotent
-    via url anti-join on resume.  (Iceberg writeTo(...).append() in prod; the
-    sandbox uses parquet append.)
+    """Checkpointed batch run: results + progress + state sinks behind the
+    catalog seam (ParquetCatalog in the sandbox, IcebergCatalog in prod),
+    idempotent via url anti-join on resume.
 
     Scale shape of a resume (100 TB state):
     * the done-set comes from a COMPACT (url, part_id) state table, never
@@ -254,30 +360,27 @@ def run_job(
 
     ``run_id`` must be unique per invocation (it names the results
     partition and the metrics rows)."""
-    import os
-
-    results_path = os.path.join(out_dir, "results")
-    state_path = os.path.join(out_dir, "state_urls")
-    progress_path = os.path.join(out_dir, "progress")
+    if catalog is None:
+        catalog = make_catalog(spark, out_dir)
     done = done_count = None
-    if resume and _exists_nonempty(spark, state_path):
-        done = spark.read.parquet(state_path).select("url")
-        done_count = done.count()
+    if resume:
+        state = catalog.read_state()
+        if state is not None:
+            done = state.select("url")
+            done_count = done.count()
     results = parse_extract(
         pages, num_parts=num_parts, include_dom=include_dom,
         done_urls=done, done_count=done_count,
     )
-    results.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
-        "run_id"
-    ).parquet(results_path)
+    catalog.append_results(results.withColumn("run_id", F.lit(run_id)))
     # read back ONLY this run's partition: metrics + the compact resume state
-    cur = spark.read.parquet(results_path).where(F.col("run_id") == run_id)
+    cur = catalog.read_run_results(run_id)
     metrics = partition_metrics(cur.drop("run_id")).withColumn(
         "run_id", F.lit(run_id)
     )
-    metrics.write.mode("append").parquet(progress_path)
-    cur.select("url", "part_id").write.mode("append").parquet(state_path)
-    return spark.read.parquet(results_path)
+    catalog.append_progress(metrics)
+    catalog.append_state(cur.select("url", "part_id"))
+    return catalog.read_results()
 
 
 def read_pages(spark, input_path: str):

@@ -166,3 +166,99 @@ def test_read_pages_dispatch():
     calls.clear()
     assert read_pages(_Spark(), "/data/pages.parquet") == "parquet-df"
     assert calls == [("parquet", "/data/pages.parquet")]
+
+
+def test_iceberg_catalog_write_paths():
+    """The production sink seam: first write of a table goes through
+    writeTo(tbl).partitionedBy(run_id).create() (results) or
+    writeTo(tbl).create() (progress/state); subsequent writes go through
+    writeTo(tbl).append().  Faked — no Iceberg jars in this sandbox; the
+    fake records the exact DataFrameWriterV2 call chain."""
+    from htmlgraft.job import IcebergCatalog, make_catalog
+
+    calls = []
+
+    class _WriterV2:
+        def __init__(self, tbl):
+            self.tbl = tbl
+
+        def partitionedBy(self, col):
+            calls.append(("partitionedBy", self.tbl))
+            return self
+
+        def append(self):
+            calls.append(("append", self.tbl))
+
+        def create(self):
+            calls.append(("create", self.tbl))
+
+    class _DF:
+        def writeTo(self, tbl):
+            calls.append(("writeTo", tbl))
+            return _WriterV2(tbl)
+
+    class _SparkCatalog:
+        def __init__(self):
+            self.existing = set()
+
+        def tableExists(self, tbl):
+            return tbl in self.existing
+
+    class _Spark:
+        def __init__(self):
+            self.catalog = _SparkCatalog()
+
+        def table(self, tbl):
+            calls.append(("table", tbl))
+            return "table-df"
+
+    spark = _Spark()
+    cat = make_catalog(spark, "iceberg:warehouse.crawl.htmlgraft")
+    assert isinstance(cat, IcebergCatalog)
+    assert cat.results_tbl == "warehouse.crawl.htmlgraft_results"
+
+    # cold catalog: no state table yet -> resume sees None
+    assert cat.read_state() is None
+
+    # first write: create, results partitioned by run_id
+    cat.append_results(_DF())
+    assert calls == [
+        ("writeTo", "warehouse.crawl.htmlgraft_results"),
+        ("partitionedBy", "warehouse.crawl.htmlgraft_results"),
+        ("create", "warehouse.crawl.htmlgraft_results"),
+    ]
+    calls.clear()
+    cat.append_state(_DF())
+    assert calls == [
+        ("writeTo", "warehouse.crawl.htmlgraft_state_urls"),
+        ("create", "warehouse.crawl.htmlgraft_state_urls"),
+    ]
+    calls.clear()
+
+    # tables now exist: appends must use writeTo(...).append()
+    spark.catalog.existing = {
+        "warehouse.crawl.htmlgraft_results",
+        "warehouse.crawl.htmlgraft_state_urls",
+    }
+    cat.append_results(_DF())
+    cat.append_state(_DF())
+    assert calls == [
+        ("writeTo", "warehouse.crawl.htmlgraft_results"),
+        ("append", "warehouse.crawl.htmlgraft_results"),
+        ("writeTo", "warehouse.crawl.htmlgraft_state_urls"),
+        ("append", "warehouse.crawl.htmlgraft_state_urls"),
+    ]
+    calls.clear()
+
+    # state table exists -> resume reads it through the session catalog
+    assert cat.read_state() == "table-df"
+    assert calls == [("table", "warehouse.crawl.htmlgraft_state_urls")]
+
+
+def test_make_catalog_parquet_default(spark, tmp_path):
+    """Non-iceberg outputs route to the parquet catalog rooted at out_dir."""
+    from htmlgraft.job import ParquetCatalog, make_catalog
+
+    cat = make_catalog(spark, str(tmp_path / "state"))
+    assert isinstance(cat, ParquetCatalog)
+    assert cat.read_state() is None
