@@ -6,12 +6,14 @@ libraries needed: PNG IHDR (width/height as u32 big-endian at offset 16 of
 the signature+IHDR layout), GIF87a/89a logical-screen descriptor (u16
 little-endian at offset 6), JPEG SOFn segment walk (marker scan from SOI,
 skipping variable-length segments until a start-of-frame carries the
-dimensions), and WAV RIFF chunk walk (fmt chunk for channels/sample-rate,
-data chunk for frame count).  These parsers work on real files; only the
-full-pixel/full-sample decode (which would need codec libraries absent in
-this container) remains out of scope — 'video' blobs keep an honest,
-clearly-marked deterministic stub, and genuinely unknown formats raise
-``NotImplementedError``.
+dimensions), WAV RIFF chunk walk (fmt chunk for channels/sample-rate, data
+chunk for frame count), MP4/ISO-BMFF box walk (moov -> mvhd duration,
+trak -> tkhd 16.16 fixed-point dimensions), and WebM/Matroska EBML
+element walk (Segment -> Tracks -> TrackEntry -> Video -> PixelWidth/
+PixelHeight, with real variable-length-integer decoding).  These parsers
+work on real files; only the full-pixel/full-sample decode (which would
+need codec libraries absent in this container) remains out of scope, and
+genuinely unknown formats raise ``NotImplementedError``.
 
 The source table synthesizes blobs with REAL format headers entirely in
 Spark SQL expressions (binary concat + unhex arithmetic, zero Python), with
@@ -79,6 +81,7 @@ _W = "(16 + (doc_id * 7) % 2033)"
 _H = "(16 + (doc_id * 13) % 1021)"
 _CHANNELS = "(1 + doc_id % 2)"
 _RATE = "(8000 + (doc_id % 5) * 4000)"
+_FRAMES = "(1 + doc_id % 240)"
 
 _PNG_HEADER = (
     "concat(X'89504E470D0A1A0A', X'0000000D', X'49484452', "
@@ -102,16 +105,59 @@ _WAV_HEADER = (
     f"{_le('octet_length(payload)', 4)})"
 )
 
+# 3x3 fixed-point unity transform matrix shared by mvhd and tkhd
+_MP4_MATRIX = (
+    "000100000000000000000000"
+    "000000000001000000000000"
+    "000000000000000040000000"
+)
+# ISO-BMFF header: ftyp (16 B) + moov (216 B = 8 + mvhd 108 + trak 100);
+# mvhd timescale = 25 with duration in ticks (fps-as-timescale convention,
+# so duration == frame count); tkhd width/height are 16.16 fixed point
+# (u16 value + two zero fraction bytes).  232 bytes total.
+_MP4_HEADER = (
+    "concat("
+    "X'000000106674797069736F6D00000000', "  # ftyp isom
+    "X'000000D86D6F6F76', "                  # moov size+type
+    "X'0000006C6D766864', X'000000000000000000000000', X'00000019', "
+    f"{_be(_FRAMES, 4)}, "                   # mvhd duration = frames
+    "X'00010000', X'01000000', X'0000000000000000', "
+    f"X'{_MP4_MATRIX}', "
+    "X'000000000000000000000000000000000000000000000000', X'00000002', "
+    "X'000000647472616B', "                  # trak size+type
+    "X'0000005C746B6864', X'00000007', X'0000000000000000', "
+    "X'00000001', X'00000000', "
+    f"{_be(_FRAMES, 4)}, "                   # tkhd duration = frames
+    "X'0000000000000000', X'0000000000000000', "
+    f"X'{_MP4_MATRIX}', "
+    f"{_be(_W, 2)}, X'0000', {_be(_H, 2)}, X'0000')"
+)
+# Matroska/WebM EBML header (34 B): EBML(DocType 'webm') + Segment(Tracks(
+# TrackEntry(Video(PixelWidth u16, PixelHeight u16)))); all element sizes
+# are 1-byte vints since every payload here is tiny.
+_WEBM_HEADER = (
+    "concat("
+    "X'1A45DFA3874282847765626D', "          # EBML > DocType 'webm'
+    "X'1853806791', "                        # Segment, size 17
+    "X'1654AE6B8C', "                        # Tracks, size 12
+    "X'AE8A', "                              # TrackEntry, size 10
+    "X'E088', "                              # Video, size 8
+    f"X'B082', {_be(_W, 2)}, "               # PixelWidth
+    f"X'BA82', {_be(_H, 2)})"                # PixelHeight
+)
+
 
 def media_df(spark, sf_dir: str) -> DataFrame:
     """Deterministic fake media table derived from documents: the UTF-8
     bytes of the text stand in for the encoded payload, prefixed with a REAL
-    format header (PNG/GIF/JPEG/WAV) built by pure SQL binary expressions;
-    media_type cycles by doc_id (doc_id%3: image/audio/video; images
-    sub-cycle doc_id%9: png/gif/jpeg).  No RNG, no external data, no Python.
+    format header (PNG/GIF/JPEG/WAV/MP4/WebM) built by pure SQL binary
+    expressions; media_type cycles by doc_id (doc_id%3: image/audio/video;
+    images sub-cycle doc_id%9: png/gif/jpeg; video sub-cycles doc_id%6:
+    mp4/webm).  No RNG, no external data, no Python.
 
-    Also carries ``n_bytes`` and ``fingerprint`` (md5 of the payload)
-    computed JVM-side so the downstream UDF only parses headers."""
+    Also carries ``fingerprint`` = md5 of the PAYLOAD (the bytes after the
+    container header — the content identity, invariant under container
+    changes) computed JVM-side so the downstream UDF only parses headers."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("__media_docs")
     return spark.sql(f"""
@@ -124,7 +170,10 @@ def media_df(spark, sf_dir: str) -> DataFrame:
                     when 6 then concat({_JPEG_HEADER}, payload)
                     else case cast(doc_id % 3 as int)
                          when 1 then concat({_WAV_HEADER}, payload)
-                         else payload end end as media,
+                         else case cast(doc_id % 6 as int)
+                              when 2 then concat({_MP4_HEADER}, payload)
+                              else concat({_WEBM_HEADER}, payload) end
+                         end end as media,
                md5(payload) as fingerprint
         from (select doc_id, encode(text, 'UTF-8') as payload
               from __media_docs)
@@ -135,24 +184,28 @@ def media_df(spark, sf_dir: str) -> DataFrame:
 
 def parse_png(blob: bytes):
     """PNG: 8-byte signature, then the IHDR chunk must come first; width and
-    height are u32 big-endian at bytes 16..24."""
+    height are u32 big-endian at bytes 16..24.  Payload (for fingerprint
+    purposes) starts after the IHDR chunk (length + type + data + CRC)."""
     if len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n" or blob[12:16] != b"IHDR":
         return None
+    ihdr_len = struct.unpack(">I", blob[8:12])[0]
     w, h = struct.unpack(">II", blob[16:24])
-    return w, h, 1
+    return w, h, 1, 8 + 4 + 4 + ihdr_len + 4
 
 
 def parse_gif(blob: bytes):
-    """GIF: 'GIF87a'/'GIF89a', logical screen w/h as u16 LE at bytes 6..10."""
+    """GIF: 'GIF87a'/'GIF89a', logical screen w/h as u16 LE at bytes 6..10;
+    the 13-byte header is signature + logical-screen descriptor."""
     if len(blob) < 10 or blob[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", blob[6:10])
-    return w, h, 1
+    return w, h, 1, 13
 
 
 def parse_jpeg(blob: bytes):
     """JPEG: walk marker segments from SOI until a SOFn (C0-CF minus
-    C4/C8/CC) carries height/width as u16 BE after the precision byte."""
+    C4/C8/CC) carries height/width as u16 BE after the precision byte.
+    Payload starts after the SOFn segment."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
     i = 2
@@ -161,12 +214,12 @@ def parse_jpeg(blob: bytes):
         if blob[i] != 0xFF:
             return None
         marker = blob[i + 1]
+        seglen = struct.unpack(">H", blob[i + 2:i + 4])[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if i + 9 > n:
                 return None
             h, w = struct.unpack(">HH", blob[i + 5:i + 9])
-            return w, h, 1
-        seglen = struct.unpack(">H", blob[i + 2:i + 4])[0]
+            return w, h, 1, i + 2 + seglen
         i += 2 + seglen
     return None
 
@@ -174,12 +227,13 @@ def parse_jpeg(blob: bytes):
 def parse_wav(blob: bytes):
     """WAV: RIFF/WAVE container; chunk-walk to 'fmt ' (channels u16 LE,
     sample rate u32 LE) and 'data' (size -> frame count via block align).
-    Returns (sample_rate, channels, n_frames)."""
+    Returns (sample_rate, channels, n_frames, data_offset)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
     i, n = 12, len(blob)
     channels = rate = block_align = None
     frames = 0
+    data_off = n
     while i + 8 <= n:
         cid = blob[i:i + 4]
         size = struct.unpack("<I", blob[i + 4:i + 8])[0]
@@ -189,60 +243,198 @@ def parse_wav(blob: bytes):
         elif cid == b"data":
             avail = min(size, n - (i + 8))
             frames = avail // block_align if block_align else 0
+            data_off = i + 8
         i += 8 + size + (size & 1)
     if rate is None:
         return None
-    return rate, channels, frames
+    return rate, channels, frames, data_off
+
+
+def parse_mp4(blob: bytes):
+    """MP4/ISO-BMFF (ISO 14496-12): walk top-level [size u32 BE][4cc] boxes
+    to ``moov``; inside it, ``mvhd`` carries timescale + duration and each
+    ``trak``'s ``tkhd`` carries width/height as 16.16 fixed point at the
+    end of its payload (v0 offsets 76/80, v1 +12 for the 64-bit times).
+
+    Returns (width, height, frames, payload_off) where frames is the mvhd
+    duration in timescale ticks — under the common fps-as-timescale
+    authoring convention that IS the frame count; an exact count would need
+    the stts sample table, which header-only parsing does not visit.
+    payload_off is the end of the moov box (where media data begins)."""
+    n = len(blob)
+    if n < 16 or blob[4:8] != b"ftyp":
+        return None
+
+    def boxes(lo, hi):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", blob[i:i + 4])[0]
+            if size < 8 or i + size > hi:
+                return
+            yield blob[i + 4:i + 8], i + 8, i + size
+            i += size
+
+    width = height = duration = None
+    payload_off = n
+    for typ, lo, hi in boxes(0, n):
+        if typ != b"moov":
+            continue
+        payload_off = hi
+        for btyp, blo, bhi in boxes(lo, hi):
+            if btyp == b"mvhd" and bhi - blo >= 4:
+                ver = blob[blo]
+                if ver == 1 and bhi - blo >= 32:
+                    duration = struct.unpack(">Q", blob[blo + 24:blo + 32])[0]
+                elif ver == 0 and bhi - blo >= 20:
+                    duration = struct.unpack(">I", blob[blo + 16:blo + 20])[0]
+            elif btyp == b"trak":
+                for ttyp, tlo, thi in boxes(blo, bhi):
+                    if ttyp != b"tkhd" or thi - tlo < 4:
+                        continue
+                    off = tlo + (88 if blob[tlo] == 1 else 76)
+                    if off + 8 <= thi:
+                        wfx, hfx = struct.unpack(">II", blob[off:off + 8])
+                        width, height = wfx >> 16, hfx >> 16
+        break
+    if width is None or duration is None:
+        return None
+    return width, height, duration, payload_off
+
+
+def _ebml_vint(blob: bytes, i: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``i``: the number of leading
+    zero bits of the first byte gives the length.  Element IDs keep the
+    marker bit (they are compared with it), sizes strip it.  Returns
+    (value, next_index) or None."""
+    if i >= len(blob):
+        return None
+    first = blob[i]
+    if first == 0:
+        return None
+    length = 1
+    mask = 0x80
+    while not first & mask:
+        length += 1
+        mask >>= 1
+    if i + length > len(blob):
+        return None
+    value = first if keep_marker else first & (mask - 1)
+    for j in range(1, length):
+        value = (value << 8) | blob[i + j]
+    return value, i + length
+
+
+def parse_webm(blob: bytes):
+    """WebM/Matroska (EBML): walk elements to Segment -> Tracks ->
+    TrackEntry -> Video, reading PixelWidth (0xB0) / PixelHeight (0xBA).
+    Frame count is reported as 0 — Matroska stores no frame total in its
+    headers (Duration is an optional float in Info and counts time, not
+    frames), and counting frames would mean walking every Cluster.
+    Returns (width, height, 0, payload_off) with payload_off at the end of
+    the parsed Segment header content."""
+    EBML, SEGMENT = 0x1A45DFA3, 0x18538067
+    TRACKS, TRACKENTRY, VIDEO = 0x1654AE6B, 0xAE, 0xE0
+    PIXELW, PIXELH = 0xB0, 0xBA
+
+    def walk(lo, hi):
+        i = lo
+        while i < hi:
+            got = _ebml_vint(blob, i, keep_marker=True)
+            if got is None:
+                return
+            eid, j = got
+            got = _ebml_vint(blob, j, keep_marker=False)
+            if got is None:
+                return
+            size, k = got
+            if k + size > hi:
+                return
+            yield eid, k, k + size
+            i = k + size
+
+    n = len(blob)
+    head = _ebml_vint(blob, 0, keep_marker=True)
+    if head is None or head[0] != EBML:
+        return None
+    width = height = None
+    payload_off = n
+    for eid, lo, hi in walk(0, n):
+        if eid != SEGMENT:
+            continue
+        payload_off = hi
+        for tid, tlo, thi in walk(lo, hi):
+            if tid != TRACKS:
+                continue
+            for eid2, elo, ehi in walk(tlo, thi):
+                if eid2 != TRACKENTRY:
+                    continue
+                for vid, vlo, vhi in walk(elo, ehi):
+                    if vid != VIDEO:
+                        continue
+                    for pid, plo, phi in walk(vlo, vhi):
+                        val = int.from_bytes(blob[plo:phi], "big")
+                        if pid == PIXELW:
+                            width = val
+                        elif pid == PIXELH:
+                            height = val
+        break
+    if width is None or height is None:
+        return None
+    return width, height, 0, payload_off
 
 
 def decode_header(media_type: str, blob: bytes):
-    """Dispatch: returns (width, height, frames) for images, (sample_rate,
-    channels, n_frames) for audio.  'video' keeps an honest deterministic
-    STUB (no container-parsing libs in this sandbox); unknown media types or
-    unparseable blobs raise ``NotImplementedError``."""
+    """Dispatch: returns (width, height, frames, payload_off) for images and
+    video, (sample_rate, channels, n_frames, payload_off) for audio.  All
+    parsers are real public-format header walks (PNG/GIF/JPEG, WAV RIFF,
+    MP4 ISO-BMFF boxes, WebM EBML); unknown media types or unparseable
+    blobs raise ``NotImplementedError``."""
     if media_type == "image":
-        for p in (parse_png, parse_gif, parse_jpeg):
-            got = p(blob)
-            if got is not None:
-                return got
-        raise NotImplementedError("unrecognized image container")
-    if media_type == "audio":
-        got = parse_wav(blob)
-        if got is None:
-            raise NotImplementedError("unrecognized audio container")
-        return got
-    if media_type == "video":
-        # STUB: deterministic fake features from the byte length; a real
-        # implementation would dispatch to ffmpeg/pyav here.
-        n = len(blob)
-        return 64 + n % 921, 64 + (n * 7) % 513, 1 + n % 240
-    raise NotImplementedError(f"no codec for media_type={media_type!r}")
+        parsers = (parse_png, parse_gif, parse_jpeg)
+    elif media_type == "audio":
+        parsers = (parse_wav,)
+    elif media_type == "video":
+        parsers = (parse_mp4, parse_webm)
+    else:
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    for p in parsers:
+        got = p(blob)
+        if got is not None:
+            return got
+    raise NotImplementedError(f"unrecognized {media_type} container")
 
 
 def extract_features(media: DataFrame, max_batch_bytes: int = 1 << 26) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.  Only header
-    parsing runs in Python; n_bytes and the payload fingerprint arrive
-    precomputed from the JVM when present (media_df provides them)."""
+    """Arrow-batched feature extraction over the binary column.
+
+    Fingerprint semantics are ONE thing on both entry paths: md5 of the
+    PAYLOAD (bytes after the container header), the content identity that
+    survives re-containering.  The fast path (media_df) precomputes it
+    JVM-side where the payload column still exists; bare
+    (doc_id, media_type, media) inputs compute it inside the UDF from the
+    parser's payload offset — the only place the header boundary is known.
+    n_bytes is always JVM-side (F.length)."""
     has_fp = "fingerprint" in media.columns
-    if has_fp:
-        media = media.withColumn("n_bytes", F.length("media").cast("long"))
-    else:  # bare (doc_id, media_type, media) input: compute both JVM-side
-        media = media.withColumn("n_bytes", F.length("media").cast("long")) \
-                     .withColumn("fingerprint", F.md5("media"))
+    media = media.withColumn("n_bytes", F.length("media").cast("long"))
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "media_type", "n_bytes", "width", "height",
                 "frames", "fingerprint",
             )}
             acc = 0
+            fps = pdf["fingerprint"] if has_fp else [None] * len(pdf)
             for doc_id, mtype, blob, nb, fp in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["media"],
-                pdf["n_bytes"], pdf["fingerprint"],
+                pdf["n_bytes"], fps,
             ):
                 raw = bytes(blob)
-                w, h, fr = decode_header(mtype, raw)
+                w, h, fr, payload_off = decode_header(mtype, raw)
+                if fp is None:
+                    fp = hashlib.md5(raw[payload_off:]).hexdigest()
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(int(nb))
@@ -286,17 +478,18 @@ def media_features_oracle_sql(docs: str = "documents") -> str:
       select doc_id, media_type,
              cast(n + case doc_id % 9
                       when 0 then 33 when 3 then 13 when 6 then 21
-                      else case doc_id % 3 when 1 then 44 else 0 end end
+                      else case doc_id % 3 when 1 then 44
+                           else case doc_id % 6 when 2 then 232 else 34 end
+                           end end
                   as bigint) as n_bytes,
-             cast(case doc_id % 3 when 0 then w
-                  when 1 then rate
-                  else 64 + n % 921 end as bigint) as width,
-             cast(case doc_id % 3 when 0 then h
-                  when 1 then ch
-                  else 64 + (n * 7) % 513 end as bigint) as height,
+             cast(case doc_id % 3 when 1 then rate else w end
+                  as bigint) as width,
+             cast(case doc_id % 3 when 1 then ch else h end
+                  as bigint) as height,
              cast(case doc_id % 3 when 0 then 1
                   when 1 then n // (2 * ch)
-                  else 1 + n % 240 end as bigint) as frames,
+                  else case doc_id % 6 when 2 then 1 + doc_id % 240
+                       else 0 end end as bigint) as frames,
              fp as fingerprint
       from m
       order by doc_id

@@ -1,0 +1,150 @@
+"""Media header parsers: hand-built container bytes (independent of the
+SQL synthesis, so a shared off-by-one cannot self-confirm) and the
+payload-fingerprint unification across the two extract_features entry
+paths."""
+
+import hashlib
+import struct
+
+from htmlgraft import media
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mp4(w: int, h: int, duration: int, version: int = 0) -> bytes:
+    if version == 0:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">I", 25) + struct.pack(">I", duration)
+            + b"\x00" * 80
+        )
+        tkhd = (
+            b"\x00\x00\x00\x07" + b"\x00" * 8
+            + struct.pack(">I", 1) + b"\x00" * 4
+            + struct.pack(">I", duration) + b"\x00" * 16 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    else:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">I", 25) + struct.pack(">Q", duration)
+            + b"\x00" * 80
+        )
+        tkhd = (
+            b"\x01\x00\x00\x07" + b"\x00" * 16
+            + struct.pack(">I", 1) + b"\x00" * 4
+            + struct.pack(">Q", duration) + b"\x00" * 16 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x00\x00")
+    return ftyp + moov
+
+
+def test_parse_mp4_v0():
+    blob = _mp4(640, 360, 125) + b"mdat-payload"
+    w, h, frames, off = media.parse_mp4(blob)
+    assert (w, h, frames) == (640, 360, 125)
+    assert blob[off:] == b"mdat-payload"
+
+
+def test_parse_mp4_v1():
+    """64-bit times (version-1 mvhd/tkhd) shift every field by 12 bytes."""
+    blob = _mp4(1920, 1080, 2400, version=1)
+    w, h, frames, off = media.parse_mp4(blob)
+    assert (w, h, frames) == (1920, 1080, 2400)
+    assert off == len(blob)
+
+
+def test_parse_mp4_rejects_non_mp4():
+    assert media.parse_mp4(b"\x1aE\xdf\xa3 not an mp4") is None
+    assert media.parse_mp4(b"") is None
+
+
+def _ebml(eid: bytes, payload: bytes) -> bytes:
+    assert len(payload) < 127
+    return eid + bytes([0x80 | len(payload)]) + payload
+
+
+def _webm(w: int, h: int, wide_size: bool = False) -> bytes:
+    video = _ebml(b"\xb0", struct.pack(">H", w)) + _ebml(
+        b"\xba", struct.pack(">H", h)
+    )
+    tracks = _ebml(b"\x16\x54\xae\x6b", _ebml(b"\xae", _ebml(b"\xe0", video)))
+    if wide_size:
+        # 2-byte size vint on the Segment: 0x40xx carries the same value
+        seg = b"\x18\x53\x80\x67" + bytes([0x40, len(tracks)]) + tracks
+    else:
+        seg = _ebml(b"\x18\x53\x80\x67", tracks)
+    head = _ebml(b"\x1a\x45\xdf\xa3", b"\x42\x82\x84webm")
+    return head + seg
+
+
+def test_parse_webm():
+    blob = _webm(854, 480) + b"cluster-bytes"
+    w, h, frames, off = media.parse_webm(blob)
+    assert (w, h, frames) == (854, 480, 0)
+    assert blob[off:] == b"cluster-bytes"
+
+
+def test_parse_webm_multibyte_size_vint():
+    w, h, frames, _ = media.parse_webm(_webm(320, 240, wide_size=True))
+    assert (w, h, frames) == (320, 240, 0)
+
+
+def test_parse_webm_rejects_non_webm():
+    assert media.parse_webm(b"\x00\x00\x00\x10ftypisom") is None
+
+
+def test_decode_header_video_dispatch():
+    assert media.decode_header("video", _mp4(64, 32, 7))[:3] == (64, 32, 7)
+    assert media.decode_header("video", _webm(64, 32))[:3] == (64, 32, 0)
+
+
+def test_payload_offsets_feed_fingerprint():
+    """Every parser's payload_off must point exactly past its header so the
+    bare-input fingerprint (md5 of blob[payload_off:]) equals the JVM-side
+    md5(payload) of the fast path."""
+    payload = b"the quick brown payload"
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 10, 20) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 10, 20) + b"\xf7\x00\x00"
+    jpeg = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 20, 10) + b"\x03" + b"\x01\x11\x00" * 3
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(payload))
+    )
+    for mtype, header in (
+        ("image", png), ("image", gif), ("image", jpeg), ("audio", wav),
+        ("video", _mp4(4, 4, 1)), ("video", _webm(4, 4)),
+    ):
+        blob = header + payload
+        off = media.decode_header(mtype, blob)[3]
+        assert blob[off:] == payload, (mtype, off)
+
+
+def test_extract_features_paths_agree(spark, sf_dir):
+    """Bare (doc_id, media_type, media) input — fingerprint computed in the
+    UDF from the parsed payload offset — must byte-match the fast path's
+    JVM-side md5(payload) on every row."""
+    full = media.media_df(spark, sf_dir)
+    fast = media.extract_features(full).toPandas().set_index("doc_id")
+    bare = media.extract_features(
+        full.select("doc_id", "media_type", "media")
+    ).toPandas().set_index("doc_id")
+    assert fast.sort_index().equals(bare.sort_index())
+    # and the fingerprint really is the payload hash, not the blob hash
+    row = full.select("doc_id", "media").limit(1).collect()[0]
+    assert (
+        fast.loc[row["doc_id"], "fingerprint"]
+        != hashlib.md5(bytes(row["media"])).hexdigest()
+    )
