@@ -10,15 +10,17 @@ Prints ONE JSON line:
 
 Scaling evidence (BASELINE.json north rule: >=0.8 efficiency N -> 4N) is ON
 by default (disable with SPARK_GRAFT_SCALING=0): the identical job runs at
-local[4] (N) and local[16] (4N) on the same staged input, adding {"scaling": {"t_n": .., "t_4n": .., "n": 4, "efficiency": ..}}
-to the JSON.  Why 4->16 and not 8->32 on this 32-core box: the 32-core run
+BOTH candidate pairs on the same staged input, emitting "scaling_4_16" and
+"scaling_8_32" blocks (each with raw run lists, per-session noise probes,
+and raw + probe-calibrated efficiency) plus "scaling" = the 4->16 block as
+the primary.  Why 4->16 is primary on this 32-core box: the 32-core run
 co-schedules the Spark driver JVM (scheduler, GC, Arrow IPC threads) with 32
 pinned-busy Python workers, oversubscribing the machine, and the box itself
 slows per-core beyond ~16 active cores (measured with a zero-shared-state
 multiprocessing control: spin-loop efficiency 0.91 at 4->16 vs 0.73 at
 8->32).  On a real cluster N->4N multiplies NODES, keeping per-core
 conditions identical — which the unsaturated 4->16 pair reproduces and the
-saturated 8->32 pair cannot.  Both pairs are recorded in BENCH/BASELINE.md.
+saturated 8->32 pair cannot.  Context in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -127,6 +129,50 @@ def _timed_parse(spark, pages_path: str, cpus: int, runs: int,
     return direct, shuffled
 
 
+def _scaling_pair(pages_path: str, n_low: int) -> dict:
+    """Measure one N -> 4N scaling pair on the staged corpus.
+
+    The shared host has transient multi-second noise spikes that a
+    13-second run absorbs as +30% wall — so each level runs in TWO
+    interleaved sessions (decorrelated windows) and the efficiency uses
+    the min per level across all runs.  NB the min/min ratio can overshoot
+    1.0 when noise hits the two levels asymmetrically; the full run lists
+    are reported alongside so the estimate is auditable.  Each session
+    also records a fixed single-thread spin probe (quiet box ~0.6-0.8 s)
+    and a probe-calibrated efficiency — wall times scaled by the session
+    probe to remove sustained co-tenant degradation hitting one level's
+    whole window; raw efficiency stays the primary number."""
+    n_high = 4 * n_low
+    pair = {n_high: [], n_low: []}
+    probes = {n_high: [], n_low: []}
+    cal = {n_high: [], n_low: []}
+    for level in (n_high, n_low, n_high, n_low):
+        s = _session(level)
+        s.sparkContext.setLogLevel("ERROR")
+        p = _noise_probe()
+        d, _sh = _timed_parse(
+            s, pages_path, level, 3 if level == n_high else 2,
+            with_shuffled=False,
+        )
+        pair[level].extend(d)
+        probes[level].append(p)
+        cal[level].extend(t / p for t in d)
+        s.stop()
+    return {
+        "n_cores": n_low,
+        "t_n": min(pair[n_low]),
+        "t_4n": min(pair[n_high]),
+        "t_n_runs": pair[n_low],
+        "t_4n_runs": pair[n_high],
+        "efficiency": round(min(pair[n_low]) / (4 * min(pair[n_high])), 3),
+        "probe_n": probes[n_low],
+        "probe_4n": probes[n_high],
+        "efficiency_calibrated": round(
+            min(cal[n_low]) / (4 * min(cal[n_high])), 3
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -204,46 +250,19 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # north-rule scaling evidence: identical job + input at local[4]
-        # (N) and local[16] (4N); see module docstring for why not 8->32.
-        # The shared host has transient multi-second noise spikes that a
-        # 13-second 16-core run absorbs as +30% wall — so each level runs
-        # in TWO interleaved sessions (decorrelated windows) and the
-        # efficiency uses the min per level across all runs.  NB the
-        # min/min ratio can overshoot 1.0 when noise hits the two levels
-        # asymmetrically; the full run lists are reported alongside so the
-        # estimate is auditable (clean-window measurements: 0.887-0.939).
-        pair = {16: [], 4: []}
-        probes = {16: [], 4: []}
-        cal = {16: [], 4: []}
-        for level in (16, 4, 16, 4):
-            s = _session(level)
-            s.sparkContext.setLogLevel("ERROR")
-            p = _noise_probe()
-            d, _sh = _timed_parse(
-                s, pages_path, level, 3 if level == 16 else 2,
-                with_shuffled=False,
-            )
-            pair[level].extend(d)
-            probes[level].append(p)
-            cal[level].extend(t / p for t in d)
-            s.stop()
-        out["scaling"] = {
-            "n_cores": 4,
-            "t_n": min(pair[4]),
-            "t_4n": min(pair[16]),
-            "t_n_runs": pair[4],
-            "t_4n_runs": pair[16],
-            "efficiency": round(min(pair[4]) / (4 * min(pair[16])), 3),
-            # window-quality thermometer per session (fixed 1-thread spin;
-            # quiet box ~0.6-0.8 s) and the probe-calibrated efficiency:
-            # wall times scaled by (session probe / best probe) to remove
-            # sustained co-tenant degradation that hits one level's whole
-            # window.  Raw efficiency stays the primary number.
-            "probe_n": probes[4],
-            "probe_4n": probes[16],
-            "efficiency_calibrated": round(min(cal[4]) / (4 * min(cal[16])), 3),
-        }
+        # north-rule scaling evidence: identical job + input at N and 4N
+        # cores.  BOTH candidate pairs are measured and emitted every run
+        # (machine-checkable, per the round-2 adjudication): 4->16 is the
+        # primary (unsaturated — on a real cluster N->4N multiplies NODES,
+        # keeping per-core conditions identical, which this box only
+        # reproduces below ~16 active cores), and 8->32 is reported raw
+        # alongside (it saturates the box: driver JVM + 32 pinned workers
+        # oversubscribe, and per-core clock drops ~20% — the
+        # zero-Spark multiprocessing control in BENCH/trials_r2.txt pins
+        # the limiter on the hardware, 0.745 spin efficiency at 8->32).
+        out["scaling_4_16"] = _scaling_pair(pages_path, 4)
+        out["scaling_8_32"] = _scaling_pair(pages_path, 8)
+        out["scaling"] = out["scaling_4_16"]  # primary, kept for r1/r2 compat
 
     sys.stdout.write(json.dumps(out) + "\n")
 
