@@ -33,6 +33,79 @@ ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#65;", "&#x41;", "&#x80;",
             "&#0;", "&#x0;", "&#999999999999999999;", "&#x10FFFF;", "&#x9f;"]
 
 
+# foreign-content / integration-point nesting material (reference suites:
+# test/scripts/samples.js "Integration points" ~:806 and the commented-out
+# "Templates" suite ~:1053)
+FOREIGN_ROOTS = ["svg", "math", "SVG", "Math"]
+INTEGRATION_POINTS = [
+    "desc", "title", "foreignObject", "foreignobject", "FOREIGNOBJECT",
+    "mi", "mo", "mn", "ms", "mtext",
+    "annotation-xml", 'annotation-xml encoding="text/html"',
+    "annotation-xml encoding='application/xhtml+xml'",
+    "annotation-xml encoding=TEXT/HTML", "annotation-xml encoding=other",
+]
+BREAKOUTS = [
+    "div", "p", "ul", "li", "table", "tbody", "tr", "td", "caption",
+    "colgroup", "select", "option", "optgroup", "button", "a", "b",
+    "font", "font color=red", "font face=serif", "font size=3",
+    "font x=y", "body", "head", "img", "image", "br", "template",
+    "input type=hidden", "input type=text",
+]
+FOREIGN_LEAVES = ["foo", "bar", " ", "<selfClose/>", "<br/>", "<other/>",
+                  "<circle>", "<mglyph>", "<malignmark>", "&amp;", "\x00"]
+
+
+def gen_foreign_nest(rng: random.Random) -> str:
+    """One svg/math integration-point nest: foreign roots, integration
+    points, breakout html tags, abrupt </svg>/</math> closes — often left
+    unclosed so EOF synthesis runs inside foreign context."""
+    parts = [f"<{rng.choice(FOREIGN_ROOTS)}>"]
+    closers = []
+    for _ in range(rng.randint(1, 6)):
+        r = rng.random()
+        if r < 0.3:
+            ip = rng.choice(INTEGRATION_POINTS)
+            parts.append(f"<{ip}>")
+            closers.append(ip.split(" ", 1)[0].split("=", 1)[0])
+        elif r < 0.5:
+            parts.append(f"<{rng.choice(BREAKOUTS)}>")
+        elif r < 0.65:
+            parts.append(f"<{rng.choice(FOREIGN_ROOTS)}>")
+        elif r < 0.85:
+            parts.append(rng.choice(FOREIGN_LEAVES))
+        else:
+            parts.append(rng.choice(
+                ["</svg>", "</math>", "</SVG>"]
+                + ([f"</{closers[-1]}>"] if closers else [])
+            ))
+    if rng.random() < 0.5:
+        parts.append(rng.choice(["bee", "</svg>bee", "</math>bee", "<div>x"]))
+    return "".join(parts)
+
+
+def gen_template_eof(rng: random.Random) -> str:
+    """<template> content interacting with EOF: tables/selects/formatting
+    left open inside (or around) a template, sometimes cut mid-token."""
+    inner = rng.choice([
+        "<colgroup><td>cell1<td>cell2", "<tr><td>x", "<td>only-cell",
+        "<caption>c<tr>", "<select><option>o1<option>o2", "<li>a<li>b",
+        "<b><i>fmt", "<table><tr><td>deep", "<svg><desc>d",
+        "<template><td>nested", "text-only", "<p>para", "",
+    ])
+    s = rng.choice([
+        f"<template>{inner}",
+        f"<template>{inner}</template>after",
+        f"<table><template>{inner}",
+        f"<table><tr><template>{inner}",
+        f"<select><template>{inner}",
+        f"<div><template>{inner}</template>",
+        f"<template>{inner}</TEMPLATE>tail",
+    ])
+    if rng.random() < 0.25 and len(s) > 4:
+        s = s[:rng.randrange(4, len(s))]  # hard EOF mid-structure/mid-token
+    return s
+
+
 def gen_doc(rng: random.Random) -> str:
     parts = []
     if rng.random() < 0.3:
@@ -41,7 +114,11 @@ def gen_doc(rng: random.Random) -> str:
     open_stack = []
     for _ in range(n):
         r = rng.random()
-        if r < 0.35:
+        if r < 0.06:
+            parts.append(gen_foreign_nest(rng))
+        elif r < 0.1:
+            parts.append(gen_template_eof(rng))
+        elif r < 0.35:
             tag = rng.choice(TAGS)
             if rng.random() < 0.2:  # case-variant names hit the lowercase path
                 tag = tag.upper() if rng.random() < 0.5 else tag.capitalize()
