@@ -97,3 +97,29 @@ def test_extraction_fallback_body():
 
 def test_extraction_empty_document():
     assert extract_main_text(parse("")) == ""
+
+
+# --- adversarial-layout fixture family (round-3; tools/gen_adversarial_pages.py)
+
+ADV_PAGES = {p["url"]: p for p in _load("pages_adversarial.jsonl")}
+ADV_TREES = _load("pages_adversarial_trees.jsonl")
+
+
+@pytest.mark.parametrize("fx", ADV_TREES, ids=[t["id"] for t in ADV_TREES])
+def test_adversarial_layout_extraction(fx):
+    """Boilerplate-shaped layouts (nav/aside/footer-heavy, link-dense,
+    table layout, comment-riddled, deep nesting, tiny content, list
+    farms): parse identity vs the reference tree, extraction identity
+    between the event path and the fused walk, and the scoring constants
+    pinned semantically — the content sentinel must be extracted, the
+    nav/footer/sidebar sentinels must not leak."""
+    page = ADV_PAGES[fx["id"]]
+    doc = parse(page["html"])
+    assert not fx.get("error")
+    assert tree_to_jsonable(doc) == _norm(fx["tree"])
+    ref_text = extract_from_events(lambda: events_from_json(fx["tree"]))
+    our_text = extract_main_text(doc)
+    assert our_text == ref_text
+    assert page["expect"]["present"] in our_text
+    for w in page["expect"]["absent"]:
+        assert w not in our_text, (fx["id"], w)
