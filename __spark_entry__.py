@@ -20,7 +20,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from htmlgraft import clusterops, eventops, media, pdfops, relops, simops, textops, urlops
+from htmlgraft import (
+    clusterops, eventops, linkops, media, pdfops, relops, simops, textops, urlops,
+)
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
 
@@ -108,6 +110,27 @@ def _q_extract_reconcile(spark, sf_dir):
     return res.exceptAll(pages).unionAll(pages.exceptAll(res))
 
 
+def _q_line_dedup(spark, sf_dir):
+    # C4/RefinedWeb line-level dedup over the EXTRACTED text: explode lines,
+    # count (docs, occurrences) per distinct line, report repeated lines.
+    # Chains the real parse into a corpus-level dedup pass; one hash
+    # aggregation keyed on the line -- linear at 10^12 docs.
+    lines = (
+        _results(spark, sf_dir)
+        .select("url", F.explode(F.split("text", "\n")).alias("line"))
+        .where("line <> ''")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("url").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+        .where("n_total > 1")
+        .select(F.md5(F.col("line")).alias("line_md5"), "n_docs", "n_total")
+    )
+
+
 def _expected(select: str) -> str:
     return pages_oracle_cte() + " " + select
 
@@ -137,6 +160,20 @@ _PIPELINE_ORACLES = {
         "select url, lang from expected where doc_id % 2 = 1"
     ),
     "extract_reconcile": _expected("select url from expected where 1 = 0"),
+    "line_dedup": _expected(
+        """, lines as (
+             select url, unnest(string_split(text, chr(10))) as line
+             from expected
+           ),
+           agg as (
+             select line, count(distinct url) as n_docs, count(*) as n_total
+             from lines where line <> '' group by line
+           )
+           select md5(line) as line_md5,
+                  cast(n_docs as bigint) as n_docs,
+                  cast(n_total as bigint) as n_total
+           from agg where n_total > 1"""
+    ),
 }
 
 
@@ -172,6 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": _q_resume_antijoin,
         "resume_antijoin_large": _q_resume_antijoin_large,
         "extract_reconcile": _q_extract_reconcile,
+        # structured extraction from the parsed DOM (links, metadata, graph)
+        "extract_links": linkops.run_extract_links,
+        "extract_metadata": linkops.run_extract_metadata,
+        "link_hostgraph": linkops.run_link_hostgraph,
+        "pagerank_hosts": linkops.run_pagerank_hosts,
+        "line_dedup": _q_line_dedup,
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
@@ -191,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _textop(textops.decontaminate_sql),
         "lm_score": _textop(textops.lm_score_sql),
         "repetition_stats": _textop(textops.repetition_stats_sql),
+        "badwords_filter": _textop(textops.badwords_filter_sql),
+        "pii_scrub": _textop(textops.pii_scrub_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -240,6 +285,12 @@ def oracle_sql() -> dict[str, str]:
             "decontaminate": textops.decontaminate_sql(duck=True),
             "lm_score": textops.lm_score_sql(duck=True),
             "repetition_stats": textops.repetition_stats_sql(duck=True),
+            "badwords_filter": textops.badwords_filter_sql(duck=True),
+            "pii_scrub": textops.pii_scrub_sql(duck=True),
+            "extract_links": linkops.links_oracle_sql(),
+            "extract_metadata": linkops.metadata_oracle_sql(),
+            "link_hostgraph": linkops.hostgraph_oracle_sql(),
+            "pagerank_hosts": linkops.pagerank_oracle_sql(),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),

@@ -49,6 +49,19 @@ HOST_EXPR_DUCK = (
 URL_EXPR = "concat('https://', host, '/', source, '/', cast(doc_id as string))"
 URL_EXPR_DUCK = "concat('https://', host, '/', source, '/', cast(doc_id as varchar))"
 
+# cross-host "partner" footer link target: gives the corpus a non-trivial
+# host-level link graph (extract_links -> link_hostgraph -> pagerank_hosts)
+# while staying in boilerplate, so extracted main text is unchanged.
+# doc_id % 13 == 0 pages point at the heavy host -> skewed in-degree.
+PARTNER_EXPR = (
+    "case when doc_id % 13 = 0 then 'popular.example.com' "
+    "else concat('site-', cast((doc_id * 7 + 3) % 211 as string), '.example.org') end"
+)
+PARTNER_EXPR_DUCK = (
+    "case when doc_id % 13 = 0 then 'popular.example.com' "
+    "else concat('site-', cast((doc_id * 7 + 3) % 211 as varchar), '.example.org') end"
+)
+
 # epoch seconds for warc_ts (kept as a number for engine-neutral compares)
 TS_SECONDS_EXPR = "1709251200 + doc_id % 31536000"
 
@@ -65,7 +78,7 @@ _ESCAPE = (
 
 def _html_expr() -> str:
     """Spark SQL expression building the page html (string) from columns
-    doc_id, source, lang, clean, host, r."""
+    doc_id, source, lang, clean, host, r, partner."""
     esc = _ESCAPE.format(src="clean")
     first = "substring_index(clean, ' ', 1)"
     # paragraph: <p><b>First</b> rest-of-text</p>, repeated R times; when the
@@ -94,7 +107,8 @@ def _html_expr() -> str:
         "'<tr><th>link<td><a href=\"/more\">more like this</a></table>',"
         "'<aside><svg viewBox=\"0 0 10 10\"><circle r=\"4\"/><desc>deco</desc></svg>',"
         "'<ul><li><a href=\"/r1\">related one</a><li><a href=\"/r2\">related two</a></ul></aside>',"
-        "'<footer>&copy; 2026 ', host, ' <a href=\"/tos\">terms</a></footer>',"
+        "'<footer>&copy; 2026 ', host, ' <a href=\"/tos\">terms</a> ',"
+        "'<a href=\"https://', partner, '/\">partner</a></footer>',"
         "'</body></html>')"
     )
 
@@ -123,6 +137,7 @@ def pages_sql(documents_ref: str, multiplier: int = 1) -> str:
                {CLEAN_SPARK} as clean,
                {HOST_EXPR} as host,
                {R_EXPR} as r,
+               {PARTNER_EXPR} as partner,
                {TS_SECONDS_EXPR} as ts_seconds
         from docs
       )
@@ -185,13 +200,14 @@ def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1) -> s
                {CLEAN_DUCK} as clean,
                {HOST_EXPR_DUCK} as host,
                {R_EXPR} as r,
+               {PARTNER_EXPR_DUCK} as partner,
                {TS_SECONDS_EXPR} as ts_seconds
         from docs
       ),
       expected as (
         select
           {URL_EXPR_DUCK} as url,
-          lang, doc_id, host, r, ts_seconds,
+          lang, doc_id, source, host, r, partner, ts_seconds,
           {expected_text_duck("clean", "r")} as text
         from derived
       )

@@ -1,0 +1,419 @@
+"""Structured extraction from the parsed DOM: hyperlinks, page metadata,
+the host-level link graph, and PageRank over it.
+
+These operators extend the extraction tier beyond main text: the SAME
+tokenize -> tree-build pipeline (htmlgraft.lexer/parse, byte-identical to
+the reference parser) feeds a document-order DOM walk that emits
+
+* ``extract_links``    — (url, pos, href, anchor) for every <a href=...>;
+* ``extract_metadata`` — (url, title, h1, has_doctype, n_links);
+* ``link_hostgraph``   — (src_host, dst_host, n_links) with relative hrefs
+  resolved to the page host and absolute ``https://`` hrefs to their
+  authority;
+* ``pagerank_hosts``   — integer-arithmetic PageRank over the distinct
+  cross-host edges (the iterative production shape, like
+  textops.run_dedup_clusters).
+
+Everything is value-checked by the DuckDB oracle: the corpus synthesizes a
+deterministic link skeleton per page (htmlgraft/corpus.py — nav/table/aside/
+footer links plus a cross-host "partner" link), so the oracle can state the
+exact expected rows relationally while the Spark side must recover them
+through the real parse.
+
+Value-hash discipline: PageRank uses SCALED INTEGER arithmetic only
+(rank0 = 10^12 per host; contribution = rank div out_degree; damping
+0.85 = (85 * x) div 100) so both engines produce bit-identical bigints —
+float PageRank would differ in the last ulp across engines/orders.
+
+Scale notes (10^12 documents):
+* the link walk rides the same salted url-hash partitioning as the parse
+  (htmlgraft.job.with_partitioning) — one Arrow-batched map, no extra state;
+* hostgraph is one hash aggregation keyed on (src_host, dst_host); hosts are
+  ~10^7-cardinality at web scale, far below doc count;
+* PageRank state per iteration is one (host, rank) relation (~16 B/host) and
+  one edge join keyed on src — the relation a 1000-executor run would
+  checkpoint to reliable storage; here ``localCheckpoint`` truncates lineage
+  (same rationale documented at textops.run_dedup_clusters);
+* iterations are fixed (ITERS) so the oracle can unroll them as nested CTEs
+  (the kmeans/dedup_clusters pattern for value-checking iterative jobs).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .corpus import pages_df, pages_oracle_cte
+from .lexer import Tokeniser
+from .parse import Parser
+
+_WS_RUN = re.compile(r"[\t\n\r\f ]+")
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("pos", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("h1", StringType()),
+        StructField("has_doctype", LongType()),
+        StructField("n_links", LongType()),
+    ]
+)
+
+# PageRank constants (integer arithmetic; see module docstring)
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d) * SCALE
+ITERS = 5
+
+
+def _subtree_text(el) -> str:
+    """Whitespace-collapsed raw text of one element subtree (all str
+    descendants, including under '#'-wrapper nodes)."""
+    from .nodes import Element
+
+    parts = []
+    stack = [[el.children, 0]]
+    while stack:
+        top = stack[-1]
+        children, i = top[0], top[1]
+        if i >= len(children):
+            stack.pop()
+            continue
+        top[1] = i + 1
+        node = children[i]
+        t = type(node)
+        if t is str:
+            parts.append(node)
+        elif t is bytes:
+            parts.append(node.decode("utf-8"))
+        elif t is Element:
+            stack.append([node.children, 0])
+    return _WS_RUN.sub(" ", "".join(parts)).strip()
+
+
+def analyze_links(document):
+    """Document-order walk collecting links + metadata in one pass.
+
+    Returns (links, title, h1, has_doctype) where links is a list of
+    (href, anchor) for every <a> carrying an href attribute, title/h1 are
+    the collapsed text of the FIRST <title>/<h1> (None when absent), and
+    has_doctype is 1 iff the document has a doctype node."""
+    from .nodes import Doctype, Element
+
+    links = []
+    title = None
+    h1 = None
+    has_doctype = 0
+    for ch in document.children:
+        if type(ch) is Doctype:
+            has_doctype = 1
+    stack = [[document.children, 0]]
+    while stack:
+        top = stack[-1]
+        children, i = top[0], top[1]
+        if i >= len(children):
+            stack.pop()
+            continue
+        top[1] = i + 1
+        node = children[i]
+        if type(node) is Element:
+            name = node.name
+            if name[:1] != "#":
+                if name == "a":
+                    href = node.attrs.get("href") if node.attrs else None
+                    if href is not None:
+                        links.append((href, _subtree_text(node)))
+                elif name == "title" and title is None:
+                    title = _subtree_text(node)
+                elif name == "h1" and h1 is None:
+                    h1 = _subtree_text(node)
+            stack.append([node.children, 0])
+    return links, title, h1, has_doctype
+
+
+def _parse_doc(raw) -> object:
+    parser = Parser()
+    lexer = Tokeniser(parser)
+    lexer.parse(bytes(raw).decode("utf-8", "replace"))
+    lexer.end_input()  # reference double-end quirk (htmlgraft.job.parse_document)
+    return parser.document
+
+
+def _links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls, poss, hrefs, anchors = [], [], [], []
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            try:
+                links, _, _, _ = analyze_links(_parse_doc(raw))
+            except Exception:
+                continue  # parse error -> no link rows (documented)
+            for k, (href, anchor) in enumerate(links, start=1):
+                urls.append(url)
+                poss.append(k)
+                hrefs.append(href)
+                anchors.append(anchor)
+        yield pd.DataFrame(
+            {"url": urls, "pos": poss, "href": hrefs, "anchor": anchors}
+        )
+
+
+def _meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("url", "title", "h1", "has_doctype", "n_links")}
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            try:
+                links, title, h1, has_doctype = analyze_links(_parse_doc(raw))
+            except Exception:
+                continue
+            out["url"].append(url)
+            out["title"].append(title)
+            out["h1"].append(h1)
+            out["has_doctype"].append(has_doctype)
+            out["n_links"].append(len(links))
+        yield pd.DataFrame(out)
+
+
+def links_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    """(url, html) -> exploded link rows via the salted url-hash shuffle."""
+    from .job import with_partitioning
+
+    spark = pages.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = with_partitioning(pages.select("url", "html"), num_parts)
+    return df.mapInPandas(_links_batch, LINKS_SCHEMA)
+
+
+def metadata_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    from .job import with_partitioning
+
+    spark = pages.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = with_partitioning(pages.select("url", "html"), num_parts)
+    return df.mapInPandas(_meta_batch, META_SCHEMA)
+
+
+# --- host resolution (shared Spark-side fragments) ---------------------------
+
+def _src_host_col():
+    return F.split(F.col("url"), "/").getItem(2)
+
+
+def _dst_host_col():
+    return (
+        F.when(
+            F.col("href").startswith("https://"),
+            F.split(F.col("href"), "/").getItem(2),
+        )
+        .otherwise(_src_host_col())
+        .alias("dst_host")
+    )
+
+
+def hostgraph_df(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links): relative hrefs resolve to the page
+    host; absolute https:// hrefs to their authority."""
+    return (
+        links.select(_src_host_col().alias("src_host"), _dst_host_col())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+
+
+def pagerank_df(links: DataFrame) -> DataFrame:
+    """Integer PageRank over distinct cross-host edges (ITERS rounds).
+
+    Iterative production shape: edges+out-degree materialized once; per
+    round one join keyed on src + one hash aggregation on dst; the (host,
+    rank) relation is lineage-truncated per round (localCheckpoint here,
+    a reliable-storage checkpoint on a real cluster)."""
+    edges = (
+        links.select(_src_host_col().alias("src"), _dst_host_col().alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges_deg.select(F.col("src").alias("host"))
+        .unionAll(edges_deg.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
+    for _ in range(ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.host)
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                F.col("host"),
+                (
+                    F.lit(BASE)
+                    + F.expr(f"({DAMP_NUM} * coalesce(m, 0)) div {DAMP_DEN}")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", F.col("rank").cast("bigint").alias("rank"))
+
+
+# --- query runners (driver contract: (spark, sf_dir) -> DataFrame) ----------
+
+def run_extract_links(spark, sf_dir: str) -> DataFrame:
+    return links_df(pages_df(spark, sf_dir)).select(
+        "url", F.col("pos").cast("bigint").alias("pos"), "href", "anchor"
+    )
+
+
+def run_extract_metadata(spark, sf_dir: str) -> DataFrame:
+    return metadata_df(pages_df(spark, sf_dir)).select(
+        "url",
+        "title",
+        "h1",
+        F.col("has_doctype").cast("bigint").alias("has_doctype"),
+        F.col("n_links").cast("bigint").alias("n_links"),
+    )
+
+
+def run_link_hostgraph(spark, sf_dir: str) -> DataFrame:
+    return hostgraph_df(links_df(pages_df(spark, sf_dir)))
+
+
+def run_pagerank_hosts(spark, sf_dir: str) -> DataFrame:
+    return pagerank_df(links_df(pages_df(spark, sf_dir)))
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+# The corpus link skeleton (document order; htmlgraft/corpus.py _html_expr):
+#   1 nav   <a href="/">Home</a>
+#   2 nav   <a href=/{source} class=active>{source}</a>
+#   3 nav   <a href="/about?a=1&b=2">About</a>   (&b= is not an entity)
+#   4 table <a href="/more">more like this</a>
+#   5 aside <a href="/r1">related one</a>
+#   6 aside <a href="/r2">related two</a>
+#   7 foot  <a href="/tos">terms</a>
+#   8 foot  <a href="https://{partner}/">partner</a>
+
+_LINK_VALUES = (
+    "(values (1, '/', 'Home'), (2, '', ''), (3, '/about?a=1&b=2', 'About'), "
+    "(4, '/more', 'more like this'), (5, '/r1', 'related one'), "
+    "(6, '/r2', 'related two'), (7, '/tos', 'terms'), (8, '', 'partner')) "
+    "as l(pos, href, anchor)"
+)
+
+
+def _links_cte() -> str:
+    return f"""
+      lnk as (
+        select url,
+               cast(l.pos as bigint) as pos,
+               case l.pos when 2 then concat('/', source)
+                          when 8 then concat('https://', partner, '/')
+                          else l.href end as href,
+               case l.pos when 2 then source else l.anchor end as anchor
+        from expected cross join {_LINK_VALUES}
+      )"""
+
+
+def links_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + " select url, pos, href, anchor from lnk"
+    )
+
+
+def metadata_oracle_sql() -> str:
+    return pages_oracle_cte() + """
+      select url,
+             concat('Doc ', cast(doc_id as varchar), ' — ', source) as title,
+             host as h1,
+             cast(case when doc_id % 7 = 0 then 0 else 1 end as bigint)
+               as has_doctype,
+             cast(8 as bigint) as n_links
+      from expected
+    """
+
+
+_RESOLVED_CTE = """
+      resolved as (
+        select split_part(url, '/', 3) as src,
+               case when href like 'https://%' then split_part(href, '/', 3)
+                    else split_part(url, '/', 3) end as dst
+        from lnk
+      )"""
+
+
+def hostgraph_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + """
+      select src as src_host, dst as dst_host,
+             cast(count(*) as bigint) as n_links
+      from resolved group by src, dst
+    """
+    )
+
+
+def pagerank_oracle_sql() -> str:
+    """The ITERS PageRank rounds unrolled as nested CTEs (kmeans pattern)."""
+    rounds = []
+    for k in range(1, ITERS + 1):
+        rounds.append(
+            f"""
+      r{k} as (
+        select n.host as host,
+               cast({BASE} + ({DAMP_NUM} * coalesce(c.m, 0)) // {DAMP_DEN}
+                    as bigint) as rank
+        from nodes n left join (
+          select e.dst as host, sum(r.rank // o.deg) as m
+          from edges e
+          join outdeg o on o.src = e.src
+          join r{k - 1} r on r.host = e.src
+          group by e.dst
+        ) c on c.host = n.host
+      )"""
+        )
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + f""",
+      edges as (select distinct src, dst from resolved where src <> dst),
+      outdeg as (select src, count(*) as deg from edges group by src),
+      nodes as (
+        select distinct host from (
+          select src as host from edges union all select dst from edges
+        )
+      ),
+      r0 as (select host, cast({SCALE} as bigint) as rank from nodes),
+      {",".join(rounds)}
+      select host, rank from r{ITERS}
+    """
+    )

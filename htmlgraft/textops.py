@@ -888,3 +888,77 @@ def repetition_stats_sql(duck: bool, docs: str = "documents") -> str:
       from tok_stats t join bg_stats b on b.doc_id = t.doc_id
       order by t.doc_id
     """
+
+
+# --- C4/RefinedWeb-style corpus filters --------------------------------------
+
+BADWORDS = ("slow", "dup", "leak")
+
+
+def badwords_filter_sql(duck: bool, docs: str = "documents") -> str:
+    """Blocklist filter (C4-style "bad words" pass): count blocklisted
+    tokens per document and emit a keep flag.  The blocklist is a tiny
+    inline relation -- Spark broadcasts it, so at 10^12 docs this is one
+    map-side join plus one hash aggregation, linear in corpus size."""
+    rows = ", ".join(f"('{w}')" for w in BADWORDS)
+    return f"""
+      with {tokens_cte(duck, docs)},
+      hits as (
+        select t.doc_id, count(*) as n
+        from tokens t join (values {rows}) as b(word) on t.tok = b.word
+        group by t.doc_id
+      )
+      select d.doc_id,
+             cast(coalesce(h.n, 0) as bigint) as n_bad,
+             cast(case when coalesce(h.n, 0) = 0 then 1 else 0 end as bigint)
+               as keep
+      from {docs} d left join hits h on h.doc_id = d.doc_id
+      order by d.doc_id
+    """
+
+
+# PII patterns shared by both engines (Java regex / RE2 common subset).
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+def _pii_pat(pat: str, duck: bool) -> str:
+    """Quoted pattern literal: Spark SQL string literals process backslash
+    escapes (corpus.py CLEAN_SPARK note), DuckDB passes them through."""
+    return "'" + (pat if duck else pat.replace("\\", "\\\\")) + "'"
+
+
+def pii_scrub_sql(duck: bool, docs: str = "documents") -> str:
+    """PII detection + redaction: count email/phone matches and emit the
+    redacted text.  PII-bearing text is synthesized deterministically
+    (doc_id % 3 == 0 gets an email + phone appended) so the oracle can
+    verify the exact redaction output.  Pure regexp projection -- no
+    shuffle at all; at 10^12 docs this is a map-only pass."""
+    d = _d(duck)
+    s = d["str"]
+    email, phone = _pii_pat(PII_EMAIL, duck), _pii_pat(PII_PHONE, duck)
+    g = ", 'g'" if duck else ""
+    redacted = (
+        f"regexp_replace(regexp_replace(text, {email}, '<EMAIL>'{g}), "
+        f"{phone}, '<PHONE>'{g})"
+    )
+    n_emails = d["re_count"].format("text", email)
+    n_phones = d["re_count"].format("text", phone)
+    return f"""
+      with pii as (
+        select doc_id,
+               case when doc_id % 3 = 0 then
+                 concat(text, ' contact user', cast(doc_id as {s}),
+                        '@mail-', cast(doc_id % 7 as {s}),
+                        '.example.com or call +1-555-',
+                        lpad(cast(doc_id % 10000 as {s}), 4, '0'), ' now')
+               else text end as text
+        from {docs}
+      )
+      select doc_id,
+             cast({n_emails} as bigint) as n_emails,
+             cast({n_phones} as bigint) as n_phones,
+             {redacted} as redacted
+      from pii
+      order by doc_id
+    """

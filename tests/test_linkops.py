@@ -1,0 +1,199 @@
+"""Link/metadata extraction tests: reference-tree anchoring (the link walk
+over OUR parse must equal the same walk over the REFERENCE parser's tree),
+corpus link-skeleton invariants, host resolution, integer-PageRank
+properties, and the parse-error path."""
+
+import json
+import pathlib
+
+import pandas as pd
+import pytest
+
+from htmlgraft import parse
+from htmlgraft.extract import DATA, END, START, events_from_json
+from htmlgraft.linkops import (
+    BASE,
+    ITERS,
+    SCALE,
+    _links_batch,
+    _meta_batch,
+    analyze_links,
+)
+from htmlgraft.walk import DOCTYPE
+
+FIX = pathlib.Path(__file__).resolve().parent.parent / "fixtures"
+
+
+def _load(name):
+    with open(FIX / name, encoding="utf-8") as f:
+        return [json.loads(x) for x in f if x.strip()]
+
+
+PAGES = {p["url"]: p["html"] for p in _load("pages_sample.jsonl")}
+TREES = _load("pages_trees.jsonl")
+ADV_PAGES = {p["url"]: p["html"] for p in _load("pages_adversarial.jsonl")}
+ADV_TREES = _load("pages_adversarial_trees.jsonl")
+
+
+def links_meta_from_events(events):
+    """The analyze_links semantics re-derived over an event stream (used to
+    anchor the DOM walk against reference-parsed trees)."""
+    import re
+
+    ws = re.compile(r"[\t\n\r\f ]+")
+    links, collecting = [], []  # collecting: [kind, href, parts, depth]
+    title = h1 = None
+    title_done = h1_done = False
+    has_doctype = 0
+    depth = 0
+    for ev in events:
+        k = ev[0]
+        if k == START:
+            depth += 1
+            name = ev[1]
+            attrs = dict(ev[2]) if len(ev) > 2 and ev[2] else {}
+            if name == "a" and "href" in attrs:
+                collecting.append(["a", attrs["href"], [], depth])
+            elif name == "title" and not title_done:
+                collecting.append(["title", None, [], depth])
+            elif name == "h1" and not h1_done:
+                collecting.append(["h1", None, [], depth])
+        elif k == END:
+            for c in list(collecting):
+                if c[3] == depth:
+                    text = ws.sub(" ", "".join(c[2])).strip()
+                    if c[0] == "a":
+                        links.append((c[1], text))
+                    elif c[0] == "title" and not title_done:
+                        title, title_done = text, True
+                    elif c[0] == "h1" and not h1_done:
+                        h1, h1_done = text, True
+                    collecting.remove(c)
+            depth -= 1
+        elif k == DATA:
+            for c in collecting:
+                c[2].append(ev[1])
+        elif k == DOCTYPE:
+            has_doctype = 1
+    return links, title, h1, has_doctype
+
+
+@pytest.mark.parametrize("fx", TREES, ids=[t["id"] for t in TREES])
+def test_links_match_reference_tree(fx):
+    doc = parse(PAGES[fx["id"]])
+    ours = analyze_links(doc)
+    ref = links_meta_from_events(events_from_json(fx["tree"]))
+    assert ours[0] == ref[0]  # links (href, anchor) in document order
+    assert ours[1] == ref[1]  # title
+    assert ours[2] == ref[2]  # h1
+    # has_doctype: analyze_links checks Document children; fixture trees in
+    # JSON form carry no doctype events at corpus sampling, so compare via
+    # the page text instead
+    assert ours[3] == (1 if "<!DOCTYPE" in PAGES[fx["id"]] else 0)
+
+
+@pytest.mark.parametrize("fx", ADV_TREES, ids=[t["id"] for t in ADV_TREES])
+def test_links_match_reference_tree_adversarial(fx):
+    doc = parse(ADV_PAGES[fx["id"]])
+    ours = analyze_links(doc)
+    ref = links_meta_from_events(events_from_json(fx["tree"]))
+    assert ours[0] == ref[0]
+    assert ours[1] == ref[1]
+    assert ours[2] == ref[2]
+
+
+@pytest.mark.parametrize("fx", TREES[:12], ids=[t["id"] for t in TREES[:12]])
+def test_corpus_link_skeleton(fx):
+    """The synthesized corpus emits exactly the 8-link skeleton the DuckDB
+    oracle states relationally (htmlgraft/corpus.py _html_expr)."""
+    url = fx["id"]
+    doc_id = int(url.rsplit("/", 1)[1])
+    source = url.rsplit("/", 2)[1]
+    host = url.split("/")[2]
+    links, title, h1, has_doctype = analyze_links(parse(PAGES[url]))
+    assert [l[0] for l in links[:7]] == [
+        "/", f"/{source}", "/about?a=1&b=2", "/more", "/r1", "/r2", "/tos"
+    ]
+    assert links[1][1] == source
+    assert links[7][0].startswith("https://") and links[7][0].endswith("/")
+    assert links[7][1] == "partner"
+    assert title == f"Doc {doc_id} — {source}"
+    assert h1 == host
+    assert has_doctype == (0 if doc_id % 7 == 0 else 1)
+    # cross-host partner target matches the corpus PARTNER_EXPR
+    want = (
+        "popular.example.com" if doc_id % 13 == 0
+        else f"site-{(doc_id * 7 + 3) % 211}.example.org"
+    )
+    assert links[7][0] == f"https://{want}/"
+
+
+def test_nested_and_fostered_links():
+    # links inside table cells, formatting reconstruction, and unquoted hrefs
+    html = (
+        "<body><table><tr><td><a href=/cell><b>bold</b> cell link</a>"
+        "<table><a href=/fostered>foster</a><tr><td>x</table></body>"
+    )
+    links, _, _, _ = analyze_links(parse(html))
+    hrefs = [h for h, _ in links]
+    assert "/cell" in hrefs and "/fostered" in hrefs
+    anchor = dict(links)["/cell"]
+    assert anchor == "bold cell link"
+
+
+def test_link_without_href_is_skipped():
+    links, _, _, _ = analyze_links(parse("<body><a name=x>anchor</a>"))
+    assert links == []
+
+
+def test_first_title_and_h1_win():
+    links, title, h1, _ = analyze_links(
+        parse("<body><h1>first</h1><h1>second</h1></body>")
+    )
+    assert h1 == "first"
+
+
+def _batch_out(fn, rows):
+    pdf = pd.DataFrame(rows)
+    return pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+
+
+def test_links_batch_error_doc_emits_no_rows():
+    # <constructor> triggers the reference's JS prototype-key throw; the
+    # batch must skip the document, not fail the task
+    rows = {
+        "url": ["u1", "u2"],
+        "html": [b"<body><a href=/x>ok</a>", b"<constructor>"],
+    }
+    out = _batch_out(_links_batch, rows)
+    assert out["url"].tolist() == ["u1"]
+    assert out["href"].tolist() == ["/x"]
+    meta = _batch_out(_meta_batch, rows)
+    assert meta["url"].tolist() == ["u1"]
+    assert meta["n_links"].tolist() == [1]
+
+
+def test_pagerank_constants_are_integer_consistent():
+    # base + damp must reconstruct SCALE under integer arithmetic
+    assert BASE == 150_000_000_000 and SCALE == 10**12 and ITERS >= 3
+
+
+def test_pagerank_oracle_properties():
+    """Run the DuckDB oracle at sf0.001 and pin PageRank sanity: every rank
+    >= BASE, the heavy host (in-degree skew target) ranks highest, and
+    total mass stays below n * SCALE (dangling/rounding only lose mass)."""
+    import duckdb
+
+    from htmlgraft.linkops import pagerank_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    df = con.execute(pagerank_oracle_sql()).df()
+    assert len(df) >= 200  # all 211 site hosts + the popular host
+    assert (df["rank"] >= BASE).all()
+    top = df.sort_values("rank", ascending=False).iloc[0]
+    assert top["host"] == "popular.example.com"
+    assert df["rank"].sum() <= len(df) * SCALE
