@@ -187,7 +187,7 @@ def main() -> None:
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from htmlgraft import eventops, simops, textops
+    from htmlgraft import eventops, linkops, simops, textops
 
     pages_path = _stage_corpus(spark, sf_dir, sf, mult)
     pages = spark.read.parquet(pages_path)
@@ -231,6 +231,18 @@ def main() -> None:
         timed(
             "events_hourly",
             lambda: eventops.run(spark, sf_dir, eventops.events_hourly_sql).count(),
+        )
+        timed(
+            "extract_links",
+            lambda: linkops.run_extract_links(spark, sf_dir).count(),
+        )
+        timed(
+            "pagerank_hosts",  # full chain: parse -> links -> graph -> 5 iters
+            lambda: linkops.run_pagerank_hosts(spark, sf_dir).count(),
+        )
+        timed(
+            "pii_scrub",
+            lambda: textops.run(spark, sf_dir, textops.pii_scrub_sql).count(),
         )
     spark.stop()
 

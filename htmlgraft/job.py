@@ -52,13 +52,40 @@ RESULT_SCHEMA = StructType(
     ]
 )
 
+# one-pass production schema: the same parse also emits hyperlinks and page
+# metadata (title/h1/doctype) — at 10^12 docs you parse ONCE, not once per
+# downstream consumer; the standalone linkops queries exist for the
+# per-operator oracle gate and reuse the identical walker.
+from pyspark.sql.types import ArrayType  # noqa: E402
 
-def parse_document(html: str, include_dom: bool = True):
+LINK_STRUCT = StructType(
+    [
+        StructField("pos", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+FULL_RESULT_SCHEMA = StructType(
+    list(RESULT_SCHEMA.fields)
+    + [
+        StructField("links", ArrayType(LINK_STRUCT)),
+        StructField("title", StringType()),
+        StructField("h1", StringType()),
+        StructField("has_doctype", LongType()),
+    ]
+)
+
+
+def parse_document(html: str, include_dom: bool = True, include_links: bool = False):
     """Parse one document and extract its main text.
 
-    Returns (dom, text, n_tokens, n_nodes, status).  Token counting lives in
-    the Parser itself (Parser.n_tokens, one per tokeniser write_* call) so no
+    Returns (dom, text, n_tokens, n_nodes, status[, links, title, h1,
+    has_doctype] when include_links).  Token counting lives in the Parser
+    itself (Parser.n_tokens, one per tokeniser write_* call) so no
     wrapper-delegate layer sits between tokeniser and parser in the hot path.
+    The link/metadata walk is a second (cheap, tree-only) pass over the
+    already-built DOM — the parse itself still happens exactly once.
     """
     parser = Parser()
     lexer = Tokeniser(parser)
@@ -68,10 +95,26 @@ def parse_document(html: str, include_dom: bool = True):
     lexer.end_input()
     # fused single walk: dom print + candidate scoring + subtree render
     dom, text, n_nodes = analyze_tree(parser.document, include_dom)
-    return dom, text, parser.n_tokens, n_nodes, "ok"
+    if not include_links:
+        return dom, text, parser.n_tokens, n_nodes, "ok"
+    from .linkops import analyze_links
+
+    links, title, h1, has_doctype = analyze_links(parser.document)
+    rows = [
+        {"pos": k, "href": href, "anchor": anchor}
+        for k, (href, anchor) in enumerate(links, start=1)
+    ]
+    return (
+        dom, text, parser.n_tokens, n_nodes, "ok",
+        rows, title, h1, has_doctype,
+    )
 
 
-def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
+def make_parse_batch(
+    include_dom: bool = True,
+    max_batch_bytes: int = 1 << 26,
+    include_links: bool = False,
+):
     """Build the mapInPandas function.  The inner generator re-chunks incoming
     Arrow batches so a run of oversized documents cannot balloon the pandas
     frame we materialize results into."""
@@ -95,12 +138,16 @@ def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
             if was_enabled:
                 gc.enable()
 
+    cols = [
+        "url", "lang", "dom", "text", "n_tokens", "n_nodes",
+        "n_errors", "n_bytes", "parse_ms", "status", "part_id",
+    ]
+    if include_links:
+        cols += ["links", "title", "h1", "has_doctype"]
+
     def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "url", "lang", "dom", "text", "n_tokens", "n_nodes",
-                "n_errors", "n_bytes", "parse_ms", "status", "part_id",
-            )}
+            out = {k: [] for k in cols}
             acc_bytes = 0
             urls = pdf["url"].tolist()
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
@@ -108,12 +155,14 @@ def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
             htmls = pdf["html"].tolist()
             for url, lang, part_id, raw in zip(urls, langs, parts, htmls):
                 raw_bytes = bytes(raw)
+                extra = ([], None, None, 0)
                 t0 = time.perf_counter()
                 try:
                     html = raw_bytes.decode("utf-8", "replace")
-                    dom, text, n_tokens, n_nodes, status = parse_document(
-                        html, include_dom
-                    )
+                    parsed = parse_document(html, include_dom, include_links)
+                    dom, text, n_tokens, n_nodes, status = parsed[:5]
+                    if include_links:
+                        extra = parsed[5:]
                     n_errors = 0
                 except Exception as exc:  # reference-equivalent throws
                     dom, text, n_tokens, n_nodes = "", "", 0, 0
@@ -131,6 +180,11 @@ def make_parse_batch(include_dom: bool = True, max_batch_bytes: int = 1 << 26):
                 out["parse_ms"].append(dt)
                 out["status"].append(status)
                 out["part_id"].append(part_id)
+                if include_links:
+                    out["links"].append(extra[0])
+                    out["title"].append(extra[1])
+                    out["h1"].append(extra[2])
+                    out["has_doctype"].append(extra[3])
                 acc_bytes += len(raw_bytes) + len(dom) + len(text)
                 if acc_bytes >= max_batch_bytes:
                     yield pd.DataFrame(out)
@@ -184,6 +238,7 @@ def parse_extract(
     done_count: int | None = None,
     broadcast_done: bool | None = None,
     pre_partitioned: bool = False,
+    include_links: bool = False,
 ) -> DataFrame:
     """The flagship operator: pages(url, html[, lang]) -> results.
 
@@ -214,7 +269,10 @@ def parse_extract(
         df = df.join(done, "url", "left_anti")
     if not pre_partitioned:
         df = with_partitioning(df, num_parts)
-    return df.mapInPandas(make_parse_batch(include_dom), RESULT_SCHEMA)
+    schema = FULL_RESULT_SCHEMA if include_links else RESULT_SCHEMA
+    return df.mapInPandas(
+        make_parse_batch(include_dom, include_links=include_links), schema
+    )
 
 
 def partition_metrics(results: DataFrame) -> DataFrame:

@@ -262,3 +262,39 @@ def test_make_catalog_parquet_default(spark, tmp_path):
     cat = make_catalog(spark, str(tmp_path / "state"))
     assert isinstance(cat, ParquetCatalog)
     assert cat.read_state() is None
+
+
+def test_one_pass_links_match_standalone_ops(spark, pages):
+    """include_links=True: the production job emits links + metadata from
+    the SAME parse; rows must agree exactly with the standalone linkops
+    queries (which re-parse per query for the oracle gate)."""
+    from pyspark.sql import functions as F
+
+    from htmlgraft.linkops import links_df, metadata_df
+
+    full = parse_extract(pages, num_parts=8, include_links=True)
+    one_pass_links = {
+        (r["url"], r["l"]["pos"], r["l"]["href"], r["l"]["anchor"])
+        for r in full.select("url", F.explode("links").alias("l")).collect()
+    }
+    standalone = {
+        (r["url"], r["pos"], r["href"], r["anchor"])
+        for r in links_df(pages, num_parts=8).collect()
+    }
+    assert one_pass_links == standalone and len(standalone) == 500 * 8
+
+    one_pass_meta = {
+        (r["url"], r["title"], r["h1"], r["has_doctype"])
+        for r in full.select("url", "title", "h1", "has_doctype").collect()
+    }
+    standalone_meta = {
+        (r["url"], r["title"], r["h1"], r["has_doctype"])
+        for r in metadata_df(pages, num_parts=8).collect()
+    }
+    assert one_pass_meta == standalone_meta
+    # and the text/dom columns are unchanged by the extended schema
+    base = dict(
+        parse_extract(pages, num_parts=8).select("url", "text").collect()
+    )
+    for r in full.select("url", "text").collect():
+        assert r["text"] == base[r["url"]]
