@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _textop(textops.simhash_sql),
         "dedup_simhash_neardup": textops.run_simhash_neardup,
         "dedup_clusters": textops.run_dedup_clusters,
+        "dedup_incremental": textops.run_dedup_incremental,
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
@@ -236,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _textop(textops.repetition_stats_sql),
         "badwords_filter": _textop(textops.badwords_filter_sql),
         "pii_scrub": _textop(textops.pii_scrub_sql),
+        "corpus_filter": _textop(textops.corpus_filter_sql),
+        "source_mix": _textop(textops.source_mix_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -287,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
             "repetition_stats": textops.repetition_stats_sql(duck=True),
             "badwords_filter": textops.badwords_filter_sql(duck=True),
             "pii_scrub": textops.pii_scrub_sql(duck=True),
+            "corpus_filter": textops.corpus_filter_sql(duck=True),
+            "dedup_incremental": textops.dedup_incremental_sql(duck=True),
+            "source_mix": textops.source_mix_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),

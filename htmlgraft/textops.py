@@ -962,3 +962,160 @@ def pii_scrub_sql(duck: bool, docs: str = "documents") -> str:
       from pii
       order by doc_id
     """
+
+
+def corpus_filter_sql(duck: bool, docs: str = "documents") -> str:
+    """Composed keep/drop verdict (the C4/RefinedWeb filter-pipeline shape):
+    one pass computes token count, stopword presence, and blocklist hits,
+    then emits keep + the FIRST matching reject reason in a fixed priority
+    order (too_short > badwords > no_stopwords).  Everything is two hash
+    aggregations over the token explode plus projections -- linear at
+    10^12 docs, and the reason column gives the per-rule audit a real
+    pipeline needs for its dataset card."""
+    rows = ", ".join(f"('{w}')" for w in BADWORDS)
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+      with {tokens_cte(duck, docs)},
+      stats as (
+        select doc_id,
+               count(*) as n_tokens,
+               sum(case when tok in ({stop_in}) then 1 else 0 end) as n_stop
+        from tokens group by doc_id
+      ),
+      bad as (
+        select t.doc_id, count(*) as n_bad
+        from tokens t join (values {rows}) as b(word) on t.tok = b.word
+        group by t.doc_id
+      ),
+      verdict as (
+        select s.doc_id, s.n_tokens, s.n_stop, coalesce(b.n_bad, 0) as n_bad,
+               case when s.n_tokens < 30 then 'too_short'
+                    when coalesce(b.n_bad, 0) > 0 then 'badwords'
+                    when s.n_stop = 0 then 'no_stopwords'
+                    else '' end as reject_reason
+        from stats s left join bad b on b.doc_id = s.doc_id
+      )
+      select doc_id,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(n_bad as bigint) as n_bad,
+             cast(case when reject_reason = '' then 1 else 0 end as bigint)
+               as keep,
+             reject_reason
+      from verdict
+      order by doc_id
+    """
+
+
+STATE_ID_MAX = 1000000  # duped corpus: originals < 1M, synthetic copies >= 1M
+
+
+def dedup_incremental_sql(
+    duck: bool, docs: str = "documents", k: int = 3, shingles_ref: str | None = None
+) -> str:
+    """Incremental MinHash dedup -- the daily-crawl-increment shape: the
+    duped corpus splits into STATE (originals, doc_id < 1M) and a NEW BATCH
+    (the synthetic exact copies and near-dups, doc_id >= 1M); emit every
+    (new_id, state_id) pair where a new document duplicates state.
+
+    Same banding/verify machinery as ``minhash_lsh_sql``, but the candidate
+    join is state x batch instead of a self-join.  At 10^12 docs the state
+    bands are a precomputed table maintained across runs; an increment
+    shingles/hashes ONLY its own documents and joins its bands against the
+    state band table -- O(batch), not O(corpus), per increment."""
+    d = _d(duck)
+    seeds = d["range_incl"].format("0", str(N_HASHES - 1))
+    seed_src = (
+        f"select unnest({seeds}) as seed" if duck
+        else f"select explode({seeds}) as seed"
+    )
+    cast_seed = f"cast(seed as {d['str']})"
+    if shingles_ref is None:
+        pre = f"with {duped_docs_cte(duck, docs)},\n      {shingles_cte(duck, 'ddocs', k)},"
+    else:
+        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
+    return f"""
+      {pre}
+      seeds as ({seed_src}),
+      mh as (
+        select doc_id, seed,
+               min(md5(concat({cast_seed}, '#', shingle))) as h
+        from shingles cross join seeds
+        group by doc_id, seed
+      ),
+      bands as (
+        select doc_id, cast(floor(seed / 2) as int) as band,
+               concat(max(case when seed % 2 = 0 then h end),
+                      max(case when seed % 2 = 1 then h end)) as band_key
+        from mh group by doc_id, cast(floor(seed / 2) as int)
+      ),
+      cand as (
+        select distinct a.doc_id as state_id, b.doc_id as new_id
+        from bands a join bands b
+          on a.band = b.band and a.band_key = b.band_key
+        where a.doc_id < {STATE_ID_MAX} and b.doc_id >= {STATE_ID_MAX}
+      ),
+      sizes as (select doc_id, count(*) as n from shingles group by doc_id),
+      inter as (
+        select c.new_id, c.state_id, count(*) as n_inter
+        from cand c
+        join shingles sa on sa.doc_id = c.state_id
+        join shingles sb on sb.doc_id = c.new_id and sb.shingle = sa.shingle
+        group by c.new_id, c.state_id
+      )
+      select i.new_id, i.state_id
+      from inter i
+      join sizes sa on sa.doc_id = i.state_id
+      join sizes sb on sb.doc_id = i.new_id
+      where 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+      order by i.new_id, i.state_id
+    """
+
+
+def run_dedup_incremental(spark, sf_dir: str, k: int = 3):
+    """Spark runner: same persisted-shingle + repartition discipline as
+    ``run_minhash_lsh`` (the shingle relation feeds min-hashing, sizes and
+    the verify join)."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql(
+        f"with {duped_docs_cte(False)} select doc_id, text from ddocs"
+    ).repartition(n_parts).createOrReplaceTempView("__inc_ddocs")
+    sh = spark.sql(
+        f"with {shingles_cte(False, '__inc_ddocs', k)} "
+        "select doc_id, shingle from shingles"
+    ).persist()
+    sh.createOrReplaceTempView("__inc_shingles")
+    return spark.sql(
+        dedup_incremental_sql(duck=False, k=k, shingles_ref="__inc_shingles")
+    )
+
+
+def source_mix_sql(duck: bool, docs: str = "documents") -> str:
+    """Training-data source mixing: per-source document/token totals plus
+    the integer up-sampling factor (permille) that equalizes token mass
+    across sources -- epochs_permille = (max_source_tokens * 1000) div
+    source_tokens, the DoReMi-style "how many epochs of each source do I
+    take" table a mixing pipeline consumes.  Two tiny aggregations (sources
+    number in the tens) over one token-count pass -- linear at any scale."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_tok = ("len" if duck else "size") + f"({ws})"
+    div = "//" if duck else "div"
+    return f"""
+      with per_doc as (
+        select source, doc_id, cast({n_tok} as bigint) as n_tokens
+        from {docs}
+      ),
+      per_source as (
+        select source, count(*) as n_docs, sum(n_tokens) as n_tokens
+        from per_doc group by source
+      ),
+      mx as (select max(n_tokens) as max_tokens from per_source)
+      select s.source,
+             cast(s.n_docs as bigint) as n_docs,
+             cast(s.n_tokens as bigint) as n_tokens,
+             cast((m.max_tokens * 1000) {div} s.n_tokens as bigint)
+               as epochs_permille
+      from per_source s cross join mx m
+      order by s.source
+    """
