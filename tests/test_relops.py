@@ -88,3 +88,59 @@ def test_dedup_clusters_fixpoint(sf_dir):
     sizes = full.groupby("keeper_id").size()
     assert (sizes >= 2).all()
     assert set(full["keeper_id"]) <= set(full["doc_id"])
+
+
+# --- round-3 textops semantic pins (oracle parity lives in test_entry) -------
+
+def test_dedup_incremental_semantics(spark, sf_dir):
+    """Every exact copy (doc_id+1M, every 10th) and appended near-dup
+    (doc_id+2M, every 17th) must be flagged against its ORIGINAL state doc;
+    no state-state or batch-batch pairs appear."""
+    from htmlgraft import textops
+
+    rows = textops.run_dedup_incremental(spark, sf_dir).collect()
+    pairs = {(r["new_id"], r["state_id"]) for r in rows}
+    assert all(n >= 1_000_000 > s for n, s in pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for d in ids:
+        if d % 10 == 0:
+            assert (d + 1_000_000, d) in pairs  # exact copy found
+        if d % 17 == 0:
+            assert (d + 2_000_000, d) in pairs  # 3-word-appended near-dup found
+
+
+def test_pii_scrub_redacts_exactly(spark, sf_dir):
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.pii_scrub_sql).collect()
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["n_emails"] == 1 and r["n_phones"] == 1
+            assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+            assert "@" not in r["redacted"] and "+1-555-" not in r["redacted"]
+        else:
+            assert r["n_emails"] == 0 and r["n_phones"] == 0
+            assert "<EMAIL>" not in r["redacted"]
+
+
+def test_corpus_filter_reason_priority(spark, sf_dir):
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.corpus_filter_sql).collect()
+    reasons = {r["reject_reason"] for r in rows}
+    assert reasons == {"", "too_short", "badwords", "no_stopwords"}
+    for r in rows:
+        assert (r["keep"] == 1) == (r["reject_reason"] == "")
+        if r["n_tokens"] < 30:
+            assert r["reject_reason"] == "too_short"  # priority over badwords
+
+
+def test_source_mix_epochs(spark, sf_dir):
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.source_mix_sql).collect()
+    assert len(rows) == 20  # src0..src19
+    # the max-token source up-samples exactly 1000 permille (1 epoch)
+    assert min(r["epochs_permille"] for r in rows) == 1000
+    assert all(r["epochs_permille"] >= 1000 for r in rows)
