@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
+        "extract_tables": linkops.run_extract_tables,
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
         "line_dedup": _q_line_dedup,
@@ -239,6 +240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _textop(textops.pii_scrub_sql),
         "corpus_filter": _textop(textops.corpus_filter_sql),
         "source_mix": _textop(textops.source_mix_sql),
+        "substring_dedup": _textop(textops.substring_dedup_sql),
+        "seq_pack": _textop(textops.seq_pack_sql),
+        "passage_chunk": _textop(textops.passage_chunk_sql),
+        "quality_classify": _textop(textops.quality_classify_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -293,7 +298,12 @@ def oracle_sql() -> dict[str, str]:
             "corpus_filter": textops.corpus_filter_sql(duck=True),
             "dedup_incremental": textops.dedup_incremental_sql(duck=True),
             "source_mix": textops.source_mix_sql(duck=True),
+            "substring_dedup": textops.substring_dedup_sql(duck=True),
+            "seq_pack": textops.seq_pack_sql(duck=True),
+            "passage_chunk": textops.passage_chunk_sql(duck=True),
+            "quality_classify": textops.quality_classify_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
+            "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),

@@ -244,6 +244,16 @@ def main() -> None:
             "pii_scrub",
             lambda: textops.run(spark, sf_dir, textops.pii_scrub_sql).count(),
         )
+        timed(
+            "substring_dedup",
+            lambda: textops.run(spark, sf_dir, textops.substring_dedup_sql).count(),
+        )
+        timed(
+            "quality_classify",
+            lambda: textops.run(
+                spark, sf_dir, textops.quality_classify_sql
+            ).count(),
+        )
     spark.stop()
 
     out = {

@@ -144,6 +144,69 @@ def analyze_links(document):
     return links, title, h1, has_doctype
 
 
+TABLES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("table_idx", LongType()),
+        StructField("row_idx", LongType()),
+        StructField("cell_idx", LongType()),
+        StructField("is_header", LongType()),
+        StructField("cell_text", StringType()),
+    ]
+)
+
+
+def analyze_tables(document):
+    """Document-order walk emitting structured table cells:
+    (table_idx, row_idx, cell_idx, is_header, cell_text) for every th/td
+    under a tr.  Tables are numbered 1.. in document order; cells are the
+    LEAVES of this extraction — a table nested inside a cell is flattened
+    into the cell text, not emitted separately (a stack of table contexts
+    still tracks tables that end up siblings through foster-parenting).
+    Cell text is the whitespace-collapsed subtree text, so the
+    parser's implicit-close handling (<tr><th>x<td>y — th closed by td, tr
+    by tr, tbody synthesized) is exactly what this operator exercises."""
+    from .nodes import Element
+
+    out = []
+    n_tables = 0
+    # ctx stack entry: [table_idx, row_idx, cell_idx]
+    tctx: list[list[int]] = []
+    stack = [[document.children, 0, None]]  # children, i, kind ('table'|'tr'|None)
+    while stack:
+        top = stack[-1]
+        children, i = top[0], top[1]
+        if i >= len(children):
+            if top[2] == "table":
+                tctx.pop()
+            stack.pop()
+            continue
+        top[1] = i + 1
+        node = children[i]
+        if type(node) is not Element:
+            continue
+        name = node.name
+        kind = None
+        if name[:1] != "#":
+            if name == "table":
+                n_tables += 1
+                tctx.append([n_tables, 0, 0])
+                kind = "table"
+            elif name == "tr" and tctx:
+                tctx[-1][1] += 1
+                tctx[-1][2] = 0
+            elif name in ("th", "td") and tctx and tctx[-1][1]:
+                ctx = tctx[-1]
+                ctx[2] += 1
+                out.append(
+                    (ctx[0], ctx[1], ctx[2], 1 if name == "th" else 0,
+                     _subtree_text(node))
+                )
+                continue  # cells own their subtree; don't double-count nested
+        stack.append([node.children, 0, kind])
+    return out
+
+
 def _parse_doc(raw) -> object:
     parser = Parser()
     lexer = Tokeniser(parser)
@@ -184,6 +247,35 @@ def _meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["has_doctype"].append(has_doctype)
             out["n_links"].append(len(links))
         yield pd.DataFrame(out)
+
+
+def _tables_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        cols = ("url", "table_idx", "row_idx", "cell_idx", "is_header", "cell_text")
+        out = {k: [] for k in cols}
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            try:
+                cells = analyze_tables(_parse_doc(raw))
+            except Exception:
+                continue  # parse error -> no rows (documented, like links)
+            for t, r, c, h, text in cells:
+                out["url"].append(url)
+                out["table_idx"].append(t)
+                out["row_idx"].append(r)
+                out["cell_idx"].append(c)
+                out["is_header"].append(h)
+                out["cell_text"].append(text)
+        yield pd.DataFrame(out)
+
+
+def tables_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    from .job import with_partitioning
+
+    spark = pages.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = with_partitioning(pages.select("url", "html"), num_parts)
+    return df.mapInPandas(_tables_batch, TABLES_SCHEMA)
 
 
 def links_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
@@ -294,6 +386,17 @@ def run_extract_metadata(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def run_extract_tables(spark, sf_dir: str) -> DataFrame:
+    return tables_df(pages_df(spark, sf_dir)).select(
+        "url",
+        F.col("table_idx").cast("bigint").alias("table_idx"),
+        F.col("row_idx").cast("bigint").alias("row_idx"),
+        F.col("cell_idx").cast("bigint").alias("cell_idx"),
+        F.col("is_header").cast("bigint").alias("is_header"),
+        "cell_text",
+    )
+
+
 def run_link_hostgraph(spark, sf_dir: str) -> DataFrame:
     return hostgraph_df(links_df(pages_df(spark, sf_dir)))
 
@@ -353,6 +456,35 @@ def metadata_oracle_sql() -> str:
              cast(8 as bigint) as n_links
       from expected
     """
+
+
+# The corpus meta table (corpus.py _html_expr) relies on implicit closes:
+#   <table class=meta><tr><th>id<td>{doc_id}<tr><th>lang<td>{lang}
+#   <tr><th>link<td><a href="/more">more like this</a></table>
+# so the expected cells are a fixed 3x2 grid per page.
+_TABLE_CELL_VALUES = (
+    "(values (1, 1, 'id'), (1, 2, NULL), (2, 1, 'lang'), (2, 2, NULL), "
+    "(3, 1, 'link'), (3, 2, NULL)) as c(row_idx, cell_idx, header_name)"
+)
+
+
+def tables_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + f"""
+      select url,
+             cast(1 as bigint) as table_idx,
+             cast(c.row_idx as bigint) as row_idx,
+             cast(c.cell_idx as bigint) as cell_idx,
+             cast(case when c.cell_idx = 1 then 1 else 0 end as bigint)
+               as is_header,
+             coalesce(c.header_name,
+                      case when c.row_idx = 1 then cast(doc_id as varchar)
+                           when c.row_idx = 2 then lang
+                           else 'more like this' end) as cell_text
+      from expected cross join {_TABLE_CELL_VALUES}
+    """
+    )
 
 
 _RESOLVED_CTE = """

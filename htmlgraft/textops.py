@@ -1090,6 +1090,217 @@ def run_dedup_incremental(spark, sf_dir: str, k: int = 3):
     )
 
 
+def positioned_spans_cte(
+    duck: bool, src: str = "ddocs", k: int = 8, prefix: str = ""
+) -> str:
+    """Word k-gram spans WITH their 1-based start position: span i =
+    ws[i]..ws[i+k-1].  Unlike ``shingles_cte`` (distinct, position-free,
+    for set-similarity), this keeps every occurrence and where it starts,
+    which substring-level dedup needs to say WHICH bytes to cut."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    if duck:
+        span = f"array_to_string(ws[i:i + {k - 1}], ' ')"
+    else:
+        span = f"array_join(slice(ws, i, {k}), ' ')"
+    w, sp = prefix + "pwords", prefix + "pspans"
+    return f"""
+      {w} as (select doc_id, {ws} as ws from {src}),
+      {sp} as (
+        select doc_id, pos, span from (
+          select doc_id, i as pos, {span} as span
+          from (
+            select doc_id, ws, {un}({d['range_incl'].format('1', f'{n} - {k - 1}')}) as i
+            from {w} where {n} >= {k}
+          )
+        )
+      )"""
+
+
+SPAN_K = 8  # fixed span width (tokens) for substring-level dedup
+
+
+def substring_dedup_sql(duck: bool, docs: str = "documents") -> str:
+    """Substring-level duplication map (the ExactSubstr shape of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public): find every {SPAN_K}-token span occurring in MORE THAN ONE
+    document of the duped corpus, and report per document how much of it is
+    covered by cross-document duplicated spans plus where the first such
+    span starts.  Fixed-width spans are the distributable relaxation of the
+    paper's suffix-array arbitrary-length match: any shared substring of
+    >= {SPAN_K} tokens is guaranteed to contain a shared {SPAN_K}-span, so
+    recall at the {SPAN_K}-token granularity is exact.
+
+    Scale shape (100 TB): the span relation is ~n_tokens rows but narrow
+    (doc_id, pos, md5) and aggregates map-side; duplicated-span detection is
+    ONE shuffle keyed on the span hash; the report joins spans back on the
+    same key — linear, no self-join, no suffix array to build."""
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {positioned_spans_cte(duck, "ddocs", SPAN_K)},
+      hashed as (
+        select doc_id, pos, md5(span) as h from pspans
+      ),
+      dup_spans as (
+        select h from hashed group by h
+        having count(distinct doc_id) > 1
+      ),
+      per_doc as (
+        select s.doc_id,
+               count(*) as n_dup_spans,
+               min(s.pos) as first_dup_pos
+        from hashed s join dup_spans d on d.h = s.h
+        group by s.doc_id
+      ),
+      spans_per_doc as (
+        select doc_id, count(*) as n_spans from hashed group by doc_id
+      )
+      select t.doc_id,
+             cast(t.n_spans as bigint) as n_spans,
+             cast(coalesce(p.n_dup_spans, 0) as bigint) as n_dup_spans,
+             cast(coalesce(p.first_dup_pos, 0) as bigint) as first_dup_pos
+      from spans_per_doc t left join per_doc p on p.doc_id = t.doc_id
+      order by t.doc_id
+    """
+
+
+PACK_CTX = 512   # training context length (tokens)
+PACK_SHARDS = 32  # writer shards; windows are shard-local
+
+
+def seq_pack_sql(duck: bool, docs: str = "documents") -> str:
+    """Sequence packing for training batches (the GPT-style concatenate-and-
+    split shape): documents are concatenated in deterministic order within a
+    writer shard and split at {PACK_CTX}-token boundaries; each document
+    learns which pack it starts in and at what offset.  Output is the
+    (doc -> shard, pack, offset) map a tokenizing writer consumes.
+
+    Scale shape: shard = doc_id % {PACK_SHARDS} keeps the running-sum window
+    SHARD-LOCAL — one shuffle on the shard key, never a global sort; packs
+    are globally unique via (shard, pack_id).  On a 1000-executor run shards
+    are thousands of independent window partitions."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_tok = ("len" if duck else "size") + f"({ws})"
+    div = "//" if duck else "div"
+    return f"""
+      with per_doc as (
+        select doc_id, doc_id % {PACK_SHARDS} as shard,
+               cast({n_tok} as bigint) as n_tokens
+        from {docs}
+      ),
+      runs as (
+        select doc_id, shard, n_tokens,
+               sum(n_tokens) over (
+                 partition by shard order by doc_id
+                 rows between unbounded preceding and current row
+               ) as cum
+        from per_doc
+      )
+      select doc_id,
+             cast(shard as bigint) as shard,
+             n_tokens,
+             cast((cum - n_tokens) {div} {PACK_CTX} as bigint) as pack_id,
+             cast((cum - n_tokens) % {PACK_CTX} as bigint) as pack_offset
+      from runs
+      order by doc_id
+    """
+
+
+CHUNK_W = 64   # passage window (tokens)
+CHUNK_S = 48   # stride (tokens) -> 16-token overlap
+
+
+def passage_chunk_sql(duck: bool, docs: str = "documents") -> str:
+    """Overlapping passage chunking (the RAG/embedding-index shape): split
+    each document into {CHUNK_W}-token windows every {CHUNK_S} tokens
+    (16-token overlap), emitting per chunk its start, length and content
+    md5.  Chunk j covers words 1+j*{CHUNK_S} .. j*{CHUNK_S}+{CHUNK_W};
+    j ranges to (n_words-1) div {CHUNK_S}, so a trailing partial window is
+    kept (deterministic; a production indexer might drop fully-contained
+    tails — documented, not hidden).
+
+    Scale shape: pure per-row explode + projection — a map-only pass, no
+    shuffle at all; the md5 stands in for the chunk text so the output
+    stays narrow and engine-hashable."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    div = "//" if duck else "div"
+    if duck:
+        chunk = f"array_to_string(ws[(1 + j * {CHUNK_S}):(j * {CHUNK_S} + {CHUNK_W})], ' ')"
+    else:
+        chunk = f"array_join(slice(ws, 1 + j * {CHUNK_S}, {CHUNK_W}), ' ')"
+    return f"""
+      with words as (
+        select doc_id, {ws} as ws from {docs}
+      ),
+      chunks as (
+        select doc_id, j, {chunk} as chunk_text,
+               least({CHUNK_W}, {n} - j * {CHUNK_S}) as n_toks
+        from (
+          select doc_id, ws,
+                 {un}({d['range_incl'].format('0', f'({n} - 1) {div} {CHUNK_S}')}) as j
+          from words where {n} >= 1
+        )
+      )
+      select doc_id,
+             cast(j + 1 as bigint) as chunk_id,
+             cast(1 + j * {CHUNK_S} as bigint) as start_tok,
+             cast(n_toks as bigint) as n_toks,
+             md5(chunk_text) as chunk_md5
+      from chunks
+      order by doc_id, chunk_id
+    """
+
+
+QC_BUCKETS = 4096          # feature hash space
+QC_MULT = 2654435761       # Knuth multiplicative constant (public)
+
+
+def quality_classify_sql(duck: bool, docs: str = "documents") -> str:
+    """Hash-bucket linear quality classifier (the fastText-filter shape used
+    by CCNet/LLaMA data pipelines — public): every token hashes into one of
+    {QC_BUCKETS} feature buckets, each bucket carries a weight, and the
+    document score is the weight sum; keep iff score >= 0.  The weights here
+    are a DETERMINISTIC SURROGATE for trained parameters
+    (w = ((bucket * {QC_MULT}) % 2001) - 1000, uniform in [-1000, 1000]) —
+    the production-relevant part is the plumbing, which is real: the model
+    is a (bucket, weight) RELATION small enough to broadcast, scoring is one
+    map-side join plus one hash aggregation, and swapping in trained weights
+    is a table swap, not a code change.  Linear at 10^12 docs."""
+    d = _d(duck)
+    un = "unnest" if duck else "explode"
+    seeds = d["range_incl"].format("0", str(QC_BUCKETS - 1))
+    h = h32("tok", duck)
+    return f"""
+      with {tokens_cte(duck, docs)},
+      weights as (
+        select b as bucket, (b * {QC_MULT}) % 2001 - 1000 as w
+        from (select {un}({seeds}) as b)
+      ),
+      feats as (
+        select doc_id, {h} % {QC_BUCKETS} as bucket from tokens
+      ),
+      scored as (
+        select f.doc_id,
+               count(*) as n_tokens,
+               sum(w.w) as score
+        from feats f join weights w on w.bucket = f.bucket
+        group by f.doc_id
+      )
+      select doc_id,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(score as bigint) as score,
+             cast(case when score >= 0 then 1 else 0 end as bigint) as keep
+      from scored
+      order by doc_id
+    """
+
+
 def source_mix_sql(duck: bool, docs: str = "documents") -> str:
     """Training-data source mixing: per-source document/token totals plus
     the integer up-sampling factor (permille) that equalizes token mass

@@ -173,6 +173,65 @@ def test_links_batch_error_doc_emits_no_rows():
     assert meta["n_links"].tolist() == [1]
 
 
+# --- structured table extraction ---------------------------------------------
+
+def test_corpus_meta_table_grid():
+    """The synthesized meta table (implicit closes throughout) must come
+    back as the exact 3x2 grid the oracle states relationally."""
+    from htmlgraft.linkops import analyze_tables
+
+    url = next(iter(PAGES))
+    doc_id = int(url.rsplit("/", 1)[1])
+    cells = analyze_tables(parse(PAGES[url]))
+    assert [(t, r, c, h) for t, r, c, h, _ in cells] == [
+        (1, 1, 1, 1), (1, 1, 2, 0),
+        (1, 2, 1, 1), (1, 2, 2, 0),
+        (1, 3, 1, 1), (1, 3, 2, 0),
+    ]
+    texts = [x[4] for x in cells]
+    assert texts[0] == "id" and texts[1] == str(doc_id)
+    assert texts[2] == "lang" and texts[4] == "link"
+    assert texts[5] == "more like this"
+
+
+def test_tables_implicit_closes_and_nesting():
+    from htmlgraft.linkops import analyze_tables
+
+    # th closed by td, tr by tr, tbody synthesized; a table nested in a
+    # cell is flattened into the cell text, not emitted separately
+    html = (
+        "<body><table><tr><th>a<td>b<tr><td>"
+        "<table><tr><td>inner</table> outer</table>"
+    )
+    cells = analyze_tables(parse(html))
+    assert [(t, r, c, h, x) for t, r, c, h, x in cells] == [
+        (1, 1, 1, 1, "a"),
+        (1, 1, 2, 0, "b"),
+        (1, 2, 1, 0, "inner outer"),
+    ]
+
+
+def test_tables_fostered_text_not_in_cells():
+    from htmlgraft.linkops import analyze_tables
+
+    # text directly inside <table> is foster-parented BEFORE the table by
+    # the reference parser, so it must not appear in any cell
+    cells = analyze_tables(parse("<body><table>stray<tr><td>x</table>"))
+    assert [x[4] for x in cells] == ["x"]
+
+
+def test_tables_batch_error_doc_emits_no_rows():
+    from htmlgraft.linkops import _tables_batch
+
+    rows = {
+        "url": ["u1", "u2"],
+        "html": [b"<table><tr><td>ok</table>", b"<constructor>"],
+    }
+    out = _batch_out(_tables_batch, rows)
+    assert out["url"].tolist() == ["u1"]
+    assert out["cell_text"].tolist() == ["ok"]
+
+
 def test_pagerank_constants_are_integer_consistent():
     # base + damp must reconstruct SCALE under integer arithmetic
     assert BASE == 150_000_000_000 and SCALE == 10**12 and ITERS >= 3

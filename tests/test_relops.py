@@ -136,6 +136,97 @@ def test_corpus_filter_reason_priority(spark, sf_dir):
             assert r["reject_reason"] == "too_short"  # priority over badwords
 
 
+def test_substring_dedup_covers_exact_copies(spark, sf_dir):
+    """An exact copy pair (original doc_id%10==0 and its +1M twin) shares
+    every span, so both sides must show full duplicated-span coverage
+    starting at position 1."""
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.substring_dedup_sql).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        if r["doc_id"] >= 1_000_000 and r["doc_id"] < 2_000_000:
+            orig = by_id[r["doc_id"] - 1_000_000]
+            for side in (r, orig):
+                assert side["n_dup_spans"] == side["n_spans"]
+                assert side["first_dup_pos"] == 1
+
+
+def test_seq_pack_reconstructs(spark, sf_dir):
+    """Offsets must be the shard-local running token sum mod CTX, and packs
+    must fill sequentially: recompute the concatenate-and-split layout in
+    pandas and require exact agreement."""
+    from htmlgraft import textops
+    from htmlgraft.textops import PACK_CTX, PACK_SHARDS
+
+    df = textops.run(spark, sf_dir, textops.seq_pack_sql).toPandas()
+    assert (df["shard"] == df["doc_id"] % PACK_SHARDS).all()
+    assert df["pack_offset"].between(0, PACK_CTX - 1).all()
+    for _, g in df.sort_values("doc_id").groupby("shard"):
+        cum = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["pack_id"] == cum // PACK_CTX).all()
+        assert (g["pack_offset"] == cum % PACK_CTX).all()
+
+
+def test_passage_chunk_windows(spark, sf_dir):
+    """Chunk grid must match the (W, S) window rule and chunk_md5 must be
+    the md5 of the actual word slice."""
+    import hashlib
+
+    from htmlgraft import textops
+    from htmlgraft.textops import CHUNK_S, CHUNK_W
+
+    df = textops.run(spark, sf_dir, textops.passage_chunk_sql).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    )
+    checked = 0
+    for doc_id, g in df.groupby("doc_id"):
+        ws = docs[doc_id].split(" ")
+        n = len(ws)
+        assert len(g) == 1 + (n - 1) // CHUNK_S
+        g = g.sort_values("chunk_id")
+        assert list(g["start_tok"]) == [
+            1 + j * CHUNK_S for j in range(len(g))
+        ]
+        if checked < 20:  # full text verification on a sample
+            for _, r in g.iterrows():
+                j = r["chunk_id"] - 1
+                words = ws[j * CHUNK_S : j * CHUNK_S + CHUNK_W]
+                assert r["n_toks"] == len(words)
+                want = hashlib.md5(" ".join(words).encode()).hexdigest()
+                assert r["chunk_md5"] == want
+            checked += 1
+
+
+def test_quality_classify_recomputes(spark, sf_dir):
+    """Recompute the hash-bucket linear score in pure Python for a sample of
+    documents (md5-derived bucket, surrogate weight formula) and require
+    exact agreement — pins the cross-engine feature hashing."""
+    import hashlib
+
+    from htmlgraft import textops
+    from htmlgraft.textops import QC_BUCKETS, QC_MULT
+
+    df = textops.run(spark, sf_dir, textops.quality_classify_sql).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(25).toPandas()
+    )
+    by_id = df.set_index("doc_id")
+    for _, d in docs.iterrows():
+        score = 0
+        toks = d["text"].split(" ")
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            score += (h % QC_BUCKETS) * QC_MULT % 2001 - 1000
+        row = by_id.loc[d["doc_id"]]
+        assert row["n_tokens"] == len(toks)
+        assert row["score"] == score
+        assert row["keep"] == (1 if score >= 0 else 0)
+
+
 def test_source_mix_epochs(spark, sf_dir):
     from htmlgraft import textops
 
