@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": linkops.run_extract_tables,
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
+        "anchor_text": linkops.run_anchor_text,
         "line_dedup": _q_line_dedup,
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
+        "robots_filter": _urlop(urlops.robots_filter_sql),
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
@@ -244,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _textop(textops.seq_pack_sql),
         "passage_chunk": _textop(textops.passage_chunk_sql),
         "quality_classify": _textop(textops.quality_classify_sql),
+        "dataset_card": _textop(textops.dataset_card_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -261,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _eventop(eventops.top_users_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
+        "media_resize": media.media_resize,
+        "media_frame_sample": media.media_frame_sample,
         # PDF layout parse (binary column -> content-stream text extraction)
         "pdf_extract_text": pdfops.pdf_extract_text,
         # relational warehouse queries (broadcast joins, rollup, top-k)
@@ -284,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_clusters": textops.dedup_clusters_sql(duck=True),
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
+            "robots_filter": urlops.robots_filter_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),
             "token_count": textops.token_count_sql(duck=True),
@@ -302,11 +308,13 @@ def oracle_sql() -> dict[str, str]:
             "seq_pack": textops.seq_pack_sql(duck=True),
             "passage_chunk": textops.passage_chunk_sql(duck=True),
             "quality_classify": textops.quality_classify_sql(duck=True),
+            "dataset_card": textops.dataset_card_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
+            "anchor_text": linkops.anchor_text_oracle_sql(),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),
@@ -321,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
             "events_sessionize": eventops.sessionize_sql(duck=True),
             "events_top_users": eventops.top_users_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
+            "media_resize": media.media_resize_oracle_sql(),
+            "media_frame_sample": media.media_frame_sample_oracle_sql(),
             "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
             "tpch_segment_stats": relops.segment_stats_sql(duck=True),

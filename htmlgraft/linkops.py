@@ -326,6 +326,42 @@ def hostgraph_df(links: DataFrame) -> DataFrame:
     )
 
 
+ANCHOR_TOP_K = 3
+
+
+def anchor_text_df(links: DataFrame) -> DataFrame:
+    """Anchor-text aggregation: the classic web-graph signal (what OTHER
+    pages call a host) — anchors resolve to their destination host, explode
+    into tokens, and the top {ANCHOR_TOP_K} terms per host are ranked by
+    (count desc, token asc).  One (dst_host, token) hash aggregation plus a
+    per-host window over vocabulary-bounded rows — top-k per key, never a
+    global sort."""
+    toks = (
+        links.select(
+            _dst_host_col(),
+            F.explode(F.split(F.col("anchor"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("dst_host", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        toks.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANCHOR_TOP_K)
+        .select(
+            "dst_host",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("tok").alias("term"),
+            F.col("n").alias("n"),
+        )
+    )
+
+
 def pagerank_df(links: DataFrame) -> DataFrame:
     """Integer PageRank over distinct cross-host edges (ITERS rounds).
 
@@ -403,6 +439,10 @@ def run_link_hostgraph(spark, sf_dir: str) -> DataFrame:
 
 def run_pagerank_hosts(spark, sf_dir: str) -> DataFrame:
     return pagerank_df(links_df(pages_df(spark, sf_dir)))
+
+
+def run_anchor_text(spark, sf_dir: str) -> DataFrame:
+    return anchor_text_df(links_df(pages_df(spark, sf_dir)))
 
 
 # --- DuckDB oracles ----------------------------------------------------------
@@ -507,6 +547,38 @@ def hostgraph_oracle_sql() -> str:
       select src as src_host, dst as dst_host,
              cast(count(*) as bigint) as n_links
       from resolved group by src, dst
+    """
+    )
+
+
+def anchor_text_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + f""",
+      res as (
+        select case when href like 'https://%' then split_part(href, '/', 3)
+                    else split_part(url, '/', 3) end as dst_host,
+               anchor
+        from lnk
+      ),
+      toks as (
+        select dst_host, unnest(string_split(anchor, ' ')) as tok from res
+      ),
+      counts as (
+        select dst_host, tok, cast(count(*) as bigint) as n
+        from toks where tok <> '' group by dst_host, tok
+      ),
+      ranked as (
+        select dst_host, tok, n,
+               row_number() over (
+                 partition by dst_host order by n desc, tok asc
+               ) as rk
+        from counts
+      )
+      select dst_host, cast(rk as bigint) as rank, tok as term, n
+      from ranked where rk <= {ANCHOR_TOP_K}
     """
     )
 

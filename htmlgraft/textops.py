@@ -1301,6 +1301,52 @@ def quality_classify_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def dataset_card_sql(duck: bool, docs: str = "documents") -> str:
+    """Dataset-card statistics per language: document/token totals plus
+    EXACT min / lower-median / p90 / max token counts.  Percentiles are
+    computed the scale-safe way — a (lang, n_tokens) HISTOGRAM first, then
+    a cumulative sum over the value domain — so the window runs over
+    distinct token-count values (bounded by max doc length, ~10^5), never
+    over documents: partitioning a per-doc window by lang would funnel
+    10^12 rows of one language into one task, this never does.
+    Rank conventions: lower median = smallest value with cum >= (n+1) div 2;
+    p90 = smallest value with cum >= (9n+9) div 10 (= ceil(0.9 n))."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_tok = ("len" if duck else "size") + f"({ws})"
+    div = "//" if duck else "div"
+    return f"""
+      with per_doc as (
+        select lang, cast({n_tok} as bigint) as n_tok from {docs}
+      ),
+      hist as (
+        select lang, n_tok, count(*) as c
+        from per_doc group by lang, n_tok
+      ),
+      cum as (
+        select lang, n_tok, c,
+               sum(c) over (
+                 partition by lang order by n_tok
+                 rows between unbounded preceding and current row
+               ) as cum_c,
+               sum(c) over (partition by lang) as n
+        from hist
+      )
+      select lang,
+             cast(max(n) as bigint) as n_docs,
+             cast(sum(n_tok * c) as bigint) as n_tokens,
+             cast(min(n_tok) as bigint) as min_tokens,
+             cast(min(case when cum_c >= (n + 1) {div} 2 then n_tok end)
+                  as bigint) as median_tokens,
+             cast(min(case when cum_c >= (9 * n + 9) {div} 10 then n_tok end)
+                  as bigint) as p90_tokens,
+             cast(max(n_tok) as bigint) as max_tokens
+      from cum
+      group by lang
+      order by lang
+    """
+
+
 def source_mix_sql(duck: bool, docs: str = "documents") -> str:
     """Training-data source mixing: per-source document/token totals plus
     the integer up-sampling factor (permille) that equalizes token mass

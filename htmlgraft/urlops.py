@@ -141,6 +141,58 @@ def url_canon_dedup_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+# Simplified robots rule table: (host '*' = every host, path_prefix, allow).
+# Deliberately exercises the two hard semantics: LONGEST-match-wins
+# ('/src1' blocked but '/src13' allowed — a '/src13/...' path matches both
+# and the longer rule decides) and host-scoped overrides.
+ROBOTS_RULES = (
+    ("*", "/src1", 0),
+    ("*", "/src13", 1),
+    ("popular.example.com", "/src2", 0),
+)
+
+
+def robots_filter_sql(duck: bool, docs: str = "documents") -> str:
+    """Robots-style URL filtering (RFC 9309 longest-match semantics): each
+    corpus url matches the rule with the LONGEST matching path prefix whose
+    host scope applies ('*' or exact); ties prefer allow (the RFC's
+    least-restrictive tie-break); no match means allow.  The rule table is
+    robots.txt-sized (tiny — Spark broadcasts it), so at 10^12 urls this is
+    one map-side join plus a per-url top-1 window over a handful of matched
+    rules — never a shuffle wider than the urls themselves."""
+    d = _d(duck)
+    rows = ", ".join(f"('{h}', '{p}', {a})" for h, p, a in ROBOTS_RULES)
+    s = d["str"]
+    return f"""
+      with raw as (
+        select doc_id,
+               case when doc_id % 5 = 0 then 'popular.example.com'
+                    else concat('site-', cast(doc_id % 211 as {s}),
+                                '.example.org') end as host,
+               concat('/', source, '/', cast(doc_id as {s})) as path
+        from {docs}
+      ),
+      rules as (select * from (values {rows}) as r(rhost, prefix, allow)),
+      matched as (
+        select u.doc_id, u.host, u.path, r.prefix, r.allow,
+               row_number() over (
+                 partition by u.doc_id
+                 order by length(r.prefix) desc, r.allow desc, r.prefix asc
+               ) as rk
+        from raw u join rules r
+          on (r.rhost = '*' or r.rhost = u.host)
+         and substr(u.path, 1, length(r.prefix)) = r.prefix
+      )
+      select u.doc_id, u.host, u.path,
+             cast(coalesce(m.allow, 1) as bigint) as allow,
+             cast(coalesce(length(m.prefix), 0) as bigint) as matched_len
+      from raw u
+      left join (select * from matched where rk = 1) m
+        on m.doc_id = u.doc_id
+      order by u.doc_id
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

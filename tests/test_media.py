@@ -148,3 +148,107 @@ def test_extract_features_paths_agree(spark, sf_dir):
         fast.loc[row["doc_id"], "fingerprint"]
         != hashlib.md5(bytes(row["media"])).hexdigest()
     )
+
+
+# --- image resize (header rewrite) -------------------------------------------
+
+def _png(w: int, h: int, payload: bytes = b"pixels") -> bytes:
+    import zlib
+
+    data = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    crc = zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(data)) + b"IHDR"
+            + data + struct.pack(">I", crc) + payload)
+
+
+def _gif(w: int, h: int, payload: bytes = b"pixels") -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + payload
+
+
+def _jpg(w: int, h: int, payload: bytes = b"pixels") -> bytes:
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (b"\xff\xd8\xff\xe0\x00\x04\x4a\x46"  # APP0 before SOF0
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof + payload)
+
+
+def test_resize_plan_math():
+    assert media.resize_plan(512, 512) == (1000, 512, 512)
+    assert media.resize_plan(100, 50) == (1000, 100, 50)
+    assert media.resize_plan(1024, 512) == (500, 512, 256)
+    assert media.resize_plan(2048, 16) == (250, 512, 4)
+    # 1-pixel floor
+    assert media.resize_plan(2033, 1)[2] == 1
+
+
+def test_rewrite_png_recomputes_crc():
+    import zlib
+
+    blob = _png(2000, 1000)
+    fmt, out = media._rewrite_image_header(blob, 512, 256)
+    assert fmt == "png"
+    w, h, _, off = media.parse_png(out)
+    assert (w, h) == (512, 256)
+    assert out[off:] == b"pixels"  # payload untouched
+    ihdr_len = struct.unpack(">I", out[8:12])[0]
+    data = out[16:16 + ihdr_len]
+    stored = struct.unpack(">I", out[16 + ihdr_len:20 + ihdr_len])[0]
+    assert stored == zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+
+
+def test_rewrite_gif_and_jpeg_dims():
+    fmt, out = media._rewrite_image_header(_gif(700, 900), 398, 512)
+    assert fmt == "gif" and media.parse_gif(out)[:2] == (398, 512)
+    assert out[-6:] == b"pixels"
+    # JPEG: SOFn is NOT the first segment (APP0 precedes it)
+    fmt, out = media._rewrite_image_header(_jpg(800, 600), 512, 384)
+    assert fmt == "jpeg" and media.parse_jpeg(out)[:2] == (512, 384)
+    assert out[-6:] == b"pixels"
+
+
+def test_resample_and_decode_are_honest_stubs():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        media.resample_pixels(b"", 1, 1)
+    with pytest.raises(NotImplementedError):
+        media.decode_frame(b"", 0)
+
+
+def test_frame_sample_stride():
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "media": [
+            _mp4(64, 64, 3) + b"x",       # 3 frames -> 3 samples stride 1
+            _mp4(64, 64, 240) + b"x",     # 240 frames -> 8 samples stride 30
+            b"not-a-container",           # skipped, no rows
+        ],
+    })
+    out = pd.concat(list(media._frame_sample_batch(iter([rows]))))
+    g1 = out[out["doc_id"] == 1]
+    assert list(g1["frame_idx"]) == [0, 1, 2]
+    assert (g1["n_frames"] == 3).all() and (g1["container"] == "mp4").all()
+    g2 = out[out["doc_id"] == 2]
+    assert list(g2["frame_idx"]) == [0, 30, 60, 90, 120, 150, 180, 210]
+    assert list(g2["sample_no"]) == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert 3 not in set(out["doc_id"])
+
+
+def test_resize_batch_end_to_end():
+    import pandas as pd
+
+    payload = b"the-payload-bytes"
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "media": [_png(2048, 1024, payload), _gif(100, 50, payload),
+                  _jpg(800, 1600, payload)],
+    })
+    out = pd.concat(list(media._resize_batch(iter([rows])))).set_index("doc_id")
+    assert out.loc[1, "fmt"] == "png"
+    assert (out.loc[1, "new_width"], out.loc[1, "new_height"]) == (512, 256)
+    assert out.loc[2, "scale_permille"] == 1000  # already small: no-op plan
+    assert (out.loc[2, "new_width"], out.loc[2, "new_height"]) == (100, 50)
+    assert (out.loc[3, "new_width"], out.loc[3, "new_height"]) == (256, 512)
+    want = hashlib.md5(payload).hexdigest()
+    assert (out["payload_md5"] == want).all()

@@ -227,6 +227,49 @@ def test_quality_classify_recomputes(spark, sf_dir):
         assert row["keep"] == (1 if score >= 0 else 0)
 
 
+def test_dataset_card_percentiles(spark, sf_dir):
+    """The histogram-cumsum percentile must equal the naive sorted-list
+    percentile (lower median; p90 = value at rank ceil(0.9 n))."""
+    from htmlgraft import textops
+
+    df = textops.run(spark, sf_dir, textops.dataset_card_sql).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    for _, row in df.iterrows():
+        sub = sorted(docs[docs["lang"] == row["lang"]]["n_tok"])
+        n = len(sub)
+        assert row["n_docs"] == n
+        assert row["n_tokens"] == sum(sub)
+        assert row["min_tokens"] == sub[0]
+        assert row["max_tokens"] == sub[-1]
+        assert row["median_tokens"] == sub[(n + 1) // 2 - 1]
+        assert row["p90_tokens"] == sub[(9 * n + 9) // 10 - 1]
+
+
+def test_robots_longest_match_semantics(spark, sf_dir):
+    """RFC 9309 prefix semantics pinned: '/src1' blocks src1 AND src10..19
+    (prefix, not path-segment), EXCEPT src13 where the longer allow rule
+    wins; '/src2' is blocked only on the host-scoped popular host."""
+    from htmlgraft import urlops
+
+    rows = urlops.run(spark, sf_dir, urlops.robots_filter_sql).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    for r in rows:
+        src = docs[r["doc_id"]]
+        if src == "src13":
+            assert r["allow"] == 1 and r["matched_len"] == 6
+        elif src.startswith("src1"):
+            assert r["allow"] == 0 and r["matched_len"] == 5
+        elif src == "src2" and r["host"] == "popular.example.com":
+            assert r["allow"] == 0
+        else:
+            assert r["allow"] == 1 and r["matched_len"] == 0
+
+
 def test_source_mix_epochs(spark, sf_dir):
     from htmlgraft import textops
 
