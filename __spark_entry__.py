@@ -21,7 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from htmlgraft import (
-    clusterops, eventops, linkops, media, pdfops, relops, simops, textops, urlops,
+    clusterops, eventops, linkops, media, pdfops, relops, simops, textops,
+    urlops, warcops,
 )
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
@@ -209,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": _q_resume_antijoin,
         "resume_antijoin_large": _q_resume_antijoin_large,
         "extract_reconcile": _q_extract_reconcile,
+        # WARC container ingestion (Common Crawl source format)
+        "warc_extract_text": warcops.run_warc_extract_text,
+        "warc_stats": warcops.run_warc_stats,
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
@@ -281,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_PIPELINE_ORACLES)
     out.update(
         {
+            "warc_extract_text": _expected("select url, text from expected"),
+            "warc_stats": warcops.warc_stats_oracle_sql(),
             "dedup_exact": textops.dedup_exact_sql(duck=True),
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),

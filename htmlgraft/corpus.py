@@ -180,6 +180,45 @@ def pages_df(spark, sf_dir: str, multiplier: int = 1, num_parts: int | None = No
     return spark.sql(pages_sql("__graft_documents", 1))
 
 
+def html_expr_duck() -> str:
+    """DuckDB restatement of ``_html_expr`` (columns doc_id, source, lang,
+    clean, host, r, partner in scope) — an INDEPENDENT second spelling of
+    the page synthesis used by container-level oracles (warcops) to verify
+    whole-page byte accounting.  Dialect deltas: cast as varchar,
+    substring_index -> split_part; everything else is shared SQL."""
+    esc = _ESCAPE.format(src="clean")
+    first = "split_part(clean, ' ', 1)"
+    first_esc = _ESCAPE.format(src=first)
+    para = (
+        f"concat('<p><b>', {first_esc}, '</b>', "
+        f"substr({esc}, length({first_esc}) + 1), '</p>')"
+    )
+    return (
+        "concat("
+        "case when doc_id % 7 = 0 then '' else '<!DOCTYPE html>' end,"
+        "'<html lang=\"', lang, '\"><head><meta charset=\"utf-8\">',"
+        "'<title>Doc ', cast(doc_id as varchar), ' — ', source, '</title>',"
+        "'<style>p{margin:0 0 1em} /* <p> in style */</style>',"
+        "'<script>var d=', cast(doc_id as varchar), ';if(d<0){x(\"</div>\")}</script>',"
+        "'</head><body>',"
+        "'<nav><ul><li><a href=\"/\">Home</a></li><li><a href=/', source, "
+        "' class=active>', source, '</a></li><li><a href=\"/about?a=1&b=2\">About</a></li></ul></nav>',"
+        "'<header><h1>', host, '</h1><p>breadcrumb › ', source, '</p></header>',"
+        "'<!-- page ', cast(doc_id as varchar), ' -->',"
+        "'<div id=main class=\"content article\">',"
+        f"repeat({para}, r),"
+        "'</div>',"
+        "'<table class=meta><tr><th>id<td>', cast(doc_id as varchar), "
+        "'<tr><th>lang<td>', lang, "
+        "'<tr><th>link<td><a href=\"/more\">more like this</a></table>',"
+        "'<aside><svg viewBox=\"0 0 10 10\"><circle r=\"4\"/><desc>deco</desc></svg>',"
+        "'<ul><li><a href=\"/r1\">related one</a><li><a href=\"/r2\">related two</a></ul></aside>',"
+        "'<footer>&copy; 2026 ', host, ' <a href=\"/tos\">terms</a> ',"
+        "'<a href=\"https://', partner, '/\">partner</a></footer>',"
+        "'</body></html>')"
+    )
+
+
 # --- DuckDB oracle mirrors -------------------------------------------------
 
 def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1) -> str:

@@ -444,14 +444,20 @@ def run_job(
 def read_pages(spark, input_path: str):
     """Input dispatch: ``iceberg:<catalog.db.table>`` loads through the
     Iceberg DataSourceV2 (table NAME after the prefix — the prefix itself
-    is routing, not part of the identifier); anything else is a parquet
-    path.  The Iceberg runtime jars are absent in this sandbox, so that
-    branch is covered by a unit test with a stub reader; the parquet branch
-    is exercised end-to-end everywhere else."""
+    is routing, not part of the identifier); ``warc:<dir-or-glob>`` walks
+    real WARC files through the binaryFile source (warcops.read_warc_pages,
+    exercised end-to-end on disk files by tests/test_warcops.py); anything
+    else is a parquet path.  The Iceberg runtime jars are absent in this
+    sandbox, so that branch is covered by a unit test with a stub reader;
+    the parquet branch is exercised end-to-end everywhere else."""
     if input_path.startswith("iceberg:"):
         return spark.read.format("iceberg").load(
             input_path[len("iceberg:"):]
         )
+    if input_path.startswith("warc:"):
+        from .warcops import read_warc_pages
+
+        return read_warc_pages(spark, input_path[len("warc:"):])
     return spark.read.parquet(input_path)
 
 

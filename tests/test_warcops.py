@@ -1,0 +1,101 @@
+"""WARC record walker: Content-Length-governed slicing pinned on adversarial
+content (embedded version lines, blank lines), malformed-file errors, and the
+deterministic multi-record file synthesis."""
+
+import pytest
+
+from htmlgraft.warcops import RECS_PER_FILE, iter_warc_records
+
+
+def _rec(uri: str, content: bytes, extra: str = "") -> bytes:
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"{extra}Content-Length: {len(content)}\r\n\r\n"
+    )
+    return hdr.encode() + content + b"\r\n\r\n"
+
+
+def test_content_length_governs_not_delimiters():
+    # content legally contains a WARC version line AND blank lines; a
+    # delimiter-scanning splitter would cut here, the spec walker must not
+    evil = b"<html>WARC/1.0\r\n\r\nContent-Length: 0\r\n\r\n</html>"
+    blob = _rec("http://a/", evil) + _rec("http://b/", b"plain")
+    recs = list(iter_warc_records(blob))
+    assert [h["warc-target-uri"] for h, _ in recs] == ["http://a/", "http://b/"]
+    assert recs[0][1] == evil
+    assert recs[1][1] == b"plain"
+
+
+def test_header_fields_case_insensitive_and_trimmed():
+    blob = _rec("http://x/", b"c", extra="X-Custom:  spaced value \r\n")
+    (headers, content), = iter_warc_records(blob)
+    assert headers["x-custom"] == "spaced value"
+    assert headers["warc-type"] == "response"
+
+
+def test_truncated_header_raises():
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(b"WARC/1.0\r\nContent-Length: 5"))
+
+
+def test_content_overrun_raises():
+    bad = b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_warc_records(bad))
+
+
+def test_bad_version_line_raises():
+    with pytest.raises(ValueError, match="version"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_trailing_crlf_tolerated():
+    blob = _rec("http://a/", b"x")  # ends with \r\n\r\n already consumed
+    assert len(list(iter_warc_records(blob))) == 1
+
+
+def test_read_pages_warc_from_disk_end_to_end(spark, sf_dir, tmp_path):
+    """Real .warc files on disk -> read_pages('warc:...') -> the FULL
+    parse+extract pipeline must produce the same (url, text) rows as the
+    direct in-memory pages path."""
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract, read_pages
+    from htmlgraft.warcops import warc_files_df
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    rows = warc_files_df(spark, sf_dir).collect()[:4]
+    for r in rows:
+        (warc_dir / f"seg-{r['file_id']:05d}.warc").write_bytes(bytes(r["warc"]))
+
+    pages = read_pages(spark, f"warc:{warc_dir}")
+    got = {
+        (r["url"], r["text"])
+        for r in parse_extract(pages, include_dom=False).select("url", "text").collect()
+    }
+    urls = {u for u, _ in got}
+    want = {
+        (r["url"], r["text"])
+        for r in parse_extract(pages_df(spark, sf_dir), include_dom=False)
+        .select("url", "text").collect()
+        if r["url"] in urls
+    }
+    assert len(got) == 4 * RECS_PER_FILE
+    assert got == want
+
+
+def test_files_are_doc_id_ordered_and_sized(spark, sf_dir):
+    from htmlgraft.warcops import warc_files_df
+
+    rows = warc_files_df(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == (docs + RECS_PER_FILE - 1) // RECS_PER_FILE
+    # within one file, URIs must come back in doc_id order (the sorted
+    # higher-order aggregate, not collect_list order)
+    one = next(r for r in rows if r["file_id"] == 0)
+    uris = [
+        h["warc-target-uri"]
+        for h, _ in iter_warc_records(bytes(one["warc"]))
+    ]
+    ids = [int(u.rsplit("/", 1)[1]) for u in uris]
+    assert ids == sorted(ids) and len(ids) == RECS_PER_FILE
