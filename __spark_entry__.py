@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": textops.run_simhash_neardup,
         "dedup_clusters": textops.run_dedup_clusters,
         "dedup_incremental": textops.run_dedup_incremental,
+        "dedup_pipeline": textops.run_dedup_pipeline,
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunk": _textop(textops.passage_chunk_sql),
         "quality_classify": _textop(textops.quality_classify_sql),
         "dataset_card": _textop(textops.dataset_card_sql),
+        "vocab_induct": _textop(textops.vocab_induct_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash": textops.simhash_sql(duck=True),
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
             "dedup_clusters": textops.dedup_clusters_sql(duck=True),
+            "dedup_pipeline": textops.dedup_pipeline_sql(duck=True),
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),
@@ -315,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
             "passage_chunk": textops.passage_chunk_sql(duck=True),
             "quality_classify": textops.quality_classify_sql(duck=True),
             "dataset_card": textops.dataset_card_sql(duck=True),
+            "vocab_induct": textops.vocab_induct_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),

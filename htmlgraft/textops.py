@@ -475,6 +475,93 @@ def dedup_clusters_sql(
     """
 
 
+def dedup_pipeline_sql(duck: bool, docs: str = "documents") -> str:
+    """The COMPOSED corpus-dedup product: every document of the duped
+    corpus gets a final (keep, reason, keeper_id) verdict combining exact
+    dedup (md5 group minimum) with near-dup cluster keepers (MinHash+LSH
+    pairs -> connected components).  Reason priority: exact_dup beats
+    near_dup (an exact copy is also a near-dup of its original; the
+    stronger evidence wins the audit column).  keep = 1 iff the document
+    is its own exact keeper AND (unclustered or its own cluster keeper) —
+    i.e. exactly the rows a training pipeline feeds downstream.
+
+    This SQL is the value oracle (CC rounds unrolled); the Spark runner
+    composes the ITERATIVE run_dedup_clusters with one md5 aggregation —
+    two hash shuffles beyond the cluster step, linear at any scale."""
+    pairs_src = f"({minhash_lsh_sql(duck, docs)})"
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {_cc_ctes(duck, pairs_src)},
+      clusters as (select id as doc_id, lbl as cluster_keeper from l{CC_ITERS}),
+      hd as (select doc_id, md5(text) as h from ddocs),
+      ex as (select h, min(doc_id) as exact_keeper from hd group by h),
+      base as (
+        select hd.doc_id, ex.exact_keeper, c.cluster_keeper
+        from hd
+        join ex on ex.h = hd.h
+        left join clusters c on c.doc_id = hd.doc_id
+      ),
+      verdict as (
+        select doc_id, exact_keeper, cluster_keeper,
+               case when doc_id <> exact_keeper then 'exact_dup'
+                    when cluster_keeper is not null
+                         and doc_id <> cluster_keeper then 'near_dup'
+                    else '' end as reason
+        from base
+      )
+      select doc_id,
+             cast(case when reason = '' then 1 else 0 end as bigint) as keep,
+             reason,
+             cast(case reason when 'exact_dup' then exact_keeper
+                              when 'near_dup' then cluster_keeper
+                              else doc_id end as bigint) as keeper_id
+      from verdict
+      order by doc_id
+    """
+
+
+def run_dedup_pipeline(spark, sf_dir: str):
+    """Spark runner for the composed verdict: the iterative CC keeper
+    relation (run_dedup_clusters — localCheckpoint-truncated rounds) joined
+    against one md5 group-min.  Same verdict SQL shape as the oracle; the
+    cluster labels come from the production iterative path, not the
+    unrolled CTEs."""
+    from pyspark.sql import functions as F
+
+    clusters = run_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("keeper_id").alias("cluster_keeper")
+    )
+    hd = spark.sql(
+        f"with {duped_docs_cte(False)} "
+        "select doc_id, md5(text) as h from ddocs"
+    )
+    ex = hd.groupBy("h").agg(F.min("doc_id").alias("exact_keeper"))
+    base = hd.join(ex, "h").join(clusters, "doc_id", "left")
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keeper"), "exact_dup")
+        .when(
+            F.col("cluster_keeper").isNotNull()
+            & (F.col("doc_id") != F.col("cluster_keeper")),
+            "near_dup",
+        )
+        .otherwise("")
+    )
+    return (
+        base.withColumn("reason", reason)
+        .select(
+            "doc_id",
+            F.when(F.col("reason") == "", 1).otherwise(0)
+            .cast("bigint").alias("keep"),
+            "reason",
+            F.when(F.col("reason") == "exact_dup", F.col("exact_keeper"))
+            .when(F.col("reason") == "near_dup", F.col("cluster_keeper"))
+            .otherwise(F.col("doc_id"))
+            .cast("bigint").alias("keeper_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # deterministic marker profiles for the n-gram language-ID heuristic; the
 # corpus vocabulary is synthetic, so "language" here means "which profile
 # matches best" — the heuristic itself is the operator under test
@@ -1298,6 +1385,41 @@ def quality_classify_sql(duck: bool, docs: str = "documents") -> str:
              cast(case when score >= 0 then 1 else 0 end as bigint) as keep
       from scored
       order by doc_id
+    """
+
+
+VOCAB_SIZE = 256
+
+
+def vocab_induct_sql(duck: bool, docs: str = "documents") -> str:
+    """Vocabulary induction (the tokenizer-building primitive): the top
+    {VOCAB_SIZE} corpus tokens by frequency, with each rank's CUMULATIVE
+    corpus coverage in permille — the curve a tokenizer team reads to pick
+    a vocab size.  Scale shape: the token count relation is
+    vocabulary-bounded (far below doc count), so the single ranking window
+    runs over a small relation; the only corpus-sized work is one
+    (token) hash aggregation with map-side partials."""
+    d = _d(duck)
+    div = "//" if duck else "div"
+    return f"""
+      with {tokens_cte(duck, docs)},
+      counts as (select tok, count(*) as n from tokens group by tok),
+      total as (select sum(n) as t from counts),
+      ranked as (
+        select tok, n,
+               row_number() over (order by n desc, tok asc) as rk
+        from counts
+      )
+      select rk as rank,
+             tok as token,
+             cast(n as bigint) as n,
+             cast((1000 * sum(n) over (
+                     order by rk rows between unbounded preceding
+                     and current row
+                   )) {div} t as bigint) as cum_coverage_permille
+      from ranked cross join total
+      where rk <= {VOCAB_SIZE}
+      order by rank
     """
 
 

@@ -246,6 +246,29 @@ def test_dataset_card_percentiles(spark, sf_dir):
         assert row["p90_tokens"] == sub[(9 * n + 9) // 10 - 1]
 
 
+def test_dedup_pipeline_verdicts(spark, sf_dir):
+    """Composed verdict semantics: exact copies (+1M) report exact_dup with
+    the original as keeper; appended near-dups (+2M) report near_dup with a
+    smaller keeper; kept rows are always their own keeper; exact_dup takes
+    priority over near_dup."""
+    from htmlgraft import textops
+
+    rows = textops.run_dedup_pipeline(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        if r["keep"] == 1:
+            assert r["reason"] == "" and r["keeper_id"] == r["doc_id"]
+        if 1_000_000 <= r["doc_id"] < 2_000_000:
+            assert r["reason"] == "exact_dup"  # priority over near_dup
+            assert r["keeper_id"] == r["doc_id"] - 1_000_000
+        if r["doc_id"] >= 2_000_000:
+            assert r["reason"] == "near_dup"
+            assert r["keeper_id"] < r["doc_id"]
+    # the originals of exact copies stay kept (they are the keepers)
+    kept = sum(r["keep"] for r in rows)
+    assert kept > 0 and by_id[0]["keep"] == 1
+
+
 def test_robots_longest_match_semantics(spark, sf_dir):
     """RFC 9309 prefix semantics pinned: '/src1' blocks src1 AND src10..19
     (prefix, not path-segment), EXCEPT src13 where the longer allow rule
