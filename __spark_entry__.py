@@ -111,6 +111,30 @@ def _q_extract_reconcile(spark, sf_dir):
     return res.exceptAll(pages).unionAll(pages.exceptAll(res))
 
 
+def _q_extract_ratio(spark, sf_dir):
+    """Extraction-quality metric: how much of each page's raw bytes the
+    main-content extractor keeps.  boilerplate_permille = 1000 * (html
+    bytes NOT emitted as text chars) div html bytes — the per-page audit
+    number an extraction tier reports.  The oracle recomputes html_bytes
+    from corpus.html_expr_duck(), the independent DuckDB page restatement,
+    so this query cross-pins page synthesis, parse, and extraction."""
+    pages = pages_df(spark, sf_dir)
+    res = parse_extract(pages, include_dom=False).select(
+        "url", F.length("text").cast("bigint").alias("text_chars")
+    )
+    sizes = pages.select(
+        "url", F.octet_length("html").cast("bigint").alias("html_bytes")
+    )
+    return res.join(sizes, "url").select(
+        "url",
+        "html_bytes",
+        "text_chars",
+        F.expr("(1000 * (html_bytes - text_chars)) div html_bytes")
+        .cast("bigint")
+        .alias("boilerplate_permille"),
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     # C4/RefinedWeb line-level dedup over the EXTRACTED text: explode lines,
     # count (docs, occurrences) per distinct line, report repeated lines.
@@ -134,6 +158,24 @@ def _q_line_dedup(spark, sf_dir):
 
 def _expected(select: str) -> str:
     return pages_oracle_cte() + " " + select
+
+
+def _extract_ratio_oracle() -> str:
+    from htmlgraft.corpus import html_expr_duck
+
+    return pages_oracle_cte() + f""",
+      sizes as (
+        select doc_id,
+               octet_length(encode({html_expr_duck()})) as html_bytes
+        from derived
+      )
+      select e.url,
+             cast(s.html_bytes as bigint) as html_bytes,
+             cast(length(e.text) as bigint) as text_chars,
+             cast((1000 * (s.html_bytes - length(e.text))) // s.html_bytes
+                  as bigint) as boilerplate_permille
+      from expected e join sizes s on s.doc_id = e.doc_id
+    """
 
 
 _PIPELINE_ORACLES = {
@@ -210,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": _q_resume_antijoin,
         "resume_antijoin_large": _q_resume_antijoin_large,
         "extract_reconcile": _q_extract_reconcile,
+        "extract_ratio": _q_extract_ratio,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_stats": warcops.run_warc_stats,
@@ -288,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "warc_extract_text": _expected("select url, text from expected"),
+            "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
             "dedup_exact": textops.dedup_exact_sql(duck=True),
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
