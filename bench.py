@@ -62,6 +62,37 @@ def _session(cpus: int):
     )
 
 
+def _ops_session(cpus: int):
+    """Session for the OPERATOR timings, tuned for relational work rather
+    than the headline parse: shuffle.partitions = cpus (the dedup/ANN aggs
+    are CPU-uniform, so one wave beats two — measured: 64 partitions on 32
+    cores costs the near-dup self-join ~45%) and DEFAULT file splitting
+    (the headline's 4m maxPartitionBytes exists to file-grain the staged
+    parse input; applied to the small documents/embeddings tables it
+    shreds their scans into confetti tasks, ~35% on the same query).
+    Production would do the same: parse jobs and dedup jobs do not share
+    one conf.  Measured context: BENCH/BASELINE.md round-3 note."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("htmlgraft-bench-ops")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        # EXPLICIT defaults: builder confs from the parse session leak into
+        # later sessions in the same JVM (verified: a fresh session after
+        # _session() still reads maxPartitionBytes=4m), so the parse-tuned
+        # file-graining must be actively reset, not just omitted
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.local.dir", "/dev/shm/spark-graft-tmp")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
 def _noise_probe(n: int = 8_000_000) -> float:
     """Fixed single-thread integer spin — a window-quality thermometer.
     On a quiet box this takes a stable ~0.6-0.8 s; shared-host degradation
@@ -197,7 +228,10 @@ def main() -> None:
     n_docs, n_bytes = stats["n"], stats["b"]
 
     timings: dict[str, float] = {}
+    probes: dict[str, list[float]] = {"headline": [], "ops": []}
+    probes["headline"].append(_noise_probe())
     direct, shuffled = _timed_parse(spark, pages_path, cpus, runs)
+    probes["headline"].append(_noise_probe())
     timings["parse_extract"] = min(direct)
     timings["parse_extract_shuffled"] = min(shuffled)
     headline = min(timings["parse_extract"], timings["parse_extract_shuffled"])
@@ -208,6 +242,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     if not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        # operator timings run in their own relational-tuned session (see
+        # _ops_session) — the parse-tuned confs measurably penalize them
+        spark.stop()
+        spark = _ops_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        # uncounted warm: fresh session -> python workers + JIT
+        textops.run(spark, sf_dir, textops.simhash_sql).count()
+        linkops.run_extract_links(spark, "/root/testdata/sf0.001").count()
+        probes["ops"].append(_noise_probe())
         timed(
             "dedup_minhash_lsh",
             lambda: textops.run_minhash_lsh(spark, sf_dir).count(),
@@ -217,8 +260,12 @@ def main() -> None:
             lambda: textops.run(spark, sf_dir, textops.simhash_sql).count(),
         )
         timed(
+            # the production runner (repartitioned scan + persisted simhash
+            # relation) — the same path the driver query uses; timing the
+            # raw SQL template instead silently re-measures the round-2
+            # scan-parallelism trap the runner exists to fix (~4x)
             "dedup_simhash_neardup",
-            lambda: textops.run(spark, sf_dir, textops.simhash_neardup_sql).count(),
+            lambda: textops.run_simhash_neardup(spark, sf_dir).count(),
         )
         timed(
             "ann_brute_topk",
@@ -254,6 +301,7 @@ def main() -> None:
                 spark, sf_dir, textops.quality_classify_sql
             ).count(),
         )
+        probes["ops"].append(_noise_probe())
     spark.stop()
 
     out = {
@@ -268,6 +316,9 @@ def main() -> None:
         "mb_per_sec": round(n_bytes / 1e6 / headline, 1),
         "cpus": cpus,
         "parse_runs": direct + shuffled,
+        # fixed single-thread spin before/after each block (quiet ~0.6-0.8 s;
+        # a 2x probe means the surrounding numbers sat in a degraded window)
+        "window_probes": probes,
         "mult": mult,
     }
 
