@@ -135,6 +135,37 @@ def _q_extract_ratio(spark, sf_dir):
     )
 
 
+def _q_extract_spans(spark, sf_dir):
+    """Span-level extraction output (the north rule's 'extracted text/spans
+    per document'): each extracted content block (paragraph line) with its
+    [char_start, char_end) offsets into the document's extracted text plus
+    the block md5.  The Spark side derives spans from the ACTUAL pipeline
+    output (posexplode over the extracted text); the oracle restates them
+    INDEPENDENTLY from the corpus repetition factor (span i = the cleaned
+    paragraph at offset i*(len+1)) with no splitting at all — so block
+    boundaries, offsets, and content are all cross-checked.
+
+    Scale: the offset window is partitioned per url — per-document local
+    state, one shuffle on url, never a global sort."""
+    res = _results(spark, sf_dir).select("url", "text")
+    lines = res.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("idx", "span")
+    )
+    return lines.selectExpr(
+        "url",
+        "cast(idx as bigint) as span_idx",
+        """cast(coalesce(sum(length(span) + 1) over (
+             partition by url order by idx
+             rows between unbounded preceding and 1 preceding), 0)
+           as bigint) as char_start""",
+        """cast(coalesce(sum(length(span) + 1) over (
+             partition by url order by idx
+             rows between unbounded preceding and 1 preceding), 0)
+           + length(span) as bigint) as char_end""",
+        "md5(span) as span_md5",
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     # C4/RefinedWeb line-level dedup over the EXTRACTED text: explode lines,
     # count (docs, occurrences) per distinct line, report repeated lines.
@@ -203,6 +234,19 @@ _PIPELINE_ORACLES = {
         "select url, lang from expected where doc_id % 2 = 1"
     ),
     "extract_reconcile": _expected("select url from expected where 1 = 0"),
+    "extract_spans": _expected(
+        """, spans as (
+             select e.url, d.clean, unnest(generate_series(1, d.r)) as i
+             from expected e join derived d on d.doc_id = e.doc_id
+           )
+           select url,
+                  cast(i - 1 as bigint) as span_idx,
+                  cast((i - 1) * (length(clean) + 1) as bigint) as char_start,
+                  cast((i - 1) * (length(clean) + 1) + length(clean)
+                       as bigint) as char_end,
+                  md5(clean) as span_md5
+           from spans"""
+    ),
     "line_dedup": _expected(
         """, lines as (
              select url, unnest(string_split(text, chr(10))) as line
@@ -253,9 +297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin_large": _q_resume_antijoin_large,
         "extract_reconcile": _q_extract_reconcile,
         "extract_ratio": _q_extract_ratio,
+        "extract_spans": _q_extract_spans,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_stats": warcops.run_warc_stats,
+        "warc_cdx": warcops.run_warc_cdx,
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
@@ -285,7 +331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _textop(textops.stratified_sample_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
         "lm_score": _textop(textops.lm_score_sql),
+        "ppl_bucket": _textop(textops.ppl_bucket_sql),
         "repetition_stats": _textop(textops.repetition_stats_sql),
+        "text_normalize": _textop(textops.text_normalize_sql),
+        "shard_pack": _textop(textops.shard_pack_sql),
         "badwords_filter": _textop(textops.badwords_filter_sql),
         "pii_scrub": _textop(textops.pii_scrub_sql),
         "corpus_filter": _textop(textops.corpus_filter_sql),
@@ -333,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
             "warc_extract_text": _expected("select url, text from expected"),
             "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
+            "warc_cdx": warcops.warc_cdx_oracle_sql(),
             "dedup_exact": textops.dedup_exact_sql(duck=True),
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
@@ -351,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
             "stratified_sample": textops.stratified_sample_sql(duck=True),
             "decontaminate": textops.decontaminate_sql(duck=True),
             "lm_score": textops.lm_score_sql(duck=True),
+            "ppl_bucket": textops.ppl_bucket_sql(duck=True),
+            "text_normalize": textops.text_normalize_sql(duck=True),
+            "shard_pack": textops.shard_pack_sql(duck=True),
             "repetition_stats": textops.repetition_stats_sql(duck=True),
             "badwords_filter": textops.badwords_filter_sql(duck=True),
             "pii_scrub": textops.pii_scrub_sql(duck=True),

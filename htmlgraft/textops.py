@@ -903,19 +903,11 @@ def bigrams_cte(duck: bool, src: str = "documents", prefix: str = "") -> str:
 LM_SCALE = 1_000_000
 
 
-def lm_score_sql(duck: bool, docs: str = "documents") -> str:
-    """N-gram language-model quality scoring (self-trained): a bigram model
-    is counted over the corpus itself, then every document is scored by the
-    sum of its bigram conditional frequencies — the KenLM-filter shape
-    (score docs by how typical their n-grams are) with integer surrogate
-    math: each bigram contributes floor({scale} * count(w1 w2) /
-    count(w1-as-prefix)), exact in both engines (numerators < 2^53).
-
-    Scale shape: the model relation is vocabulary^2-bounded (shuffle on the
-    bigram key with map-side partials); scoring is one hash join of doc
-    bigrams against the model — linear in the corpus."""
-    return f"""
-      with {bigrams_cte(duck, docs)},
+def lm_scored_cte(duck: bool, docs: str = "documents") -> str:
+    """CTE chain ending in ``doc_scores`` (doc_id, n_bigrams, lm_score,
+    min_logit): the self-trained bigram LM scoring relation shared by
+    ``lm_score_sql`` (reports it) and ``ppl_bucket_sql`` (buckets on it)."""
+    return f"""{bigrams_cte(duck, docs)},
       model as (
         select bg, count(*) as c2 from bigrams group by bg
       ),
@@ -931,14 +923,185 @@ def lm_score_sql(duck: bool, docs: str = "documents") -> str:
         select p.bg,
                cast(floor({LM_SCALE}.0 * p.c2 / t.c1) as bigint) as logit
         from prefixes p join prefix_totals t on t.w1 = p.w1
+      ),
+      doc_scores as (
+        select b.doc_id,
+               count(*) as n_bigrams,
+               cast(sum(s.logit) as bigint) as lm_score,
+               cast(min(s.logit) as bigint) as min_logit
+        from bigrams b join scored s on s.bg = b.bg
+        group by b.doc_id
+      )"""
+
+
+def lm_score_sql(duck: bool, docs: str = "documents") -> str:
+    """N-gram language-model quality scoring (self-trained): a bigram model
+    is counted over the corpus itself, then every document is scored by the
+    sum of its bigram conditional frequencies — the KenLM-filter shape
+    (score docs by how typical their n-grams are) with integer surrogate
+    math: each bigram contributes floor({scale} * count(w1 w2) /
+    count(w1-as-prefix)), exact in both engines (numerators < 2^53).
+
+    Scale shape: the model relation is vocabulary^2-bounded (shuffle on the
+    bigram key with map-side partials); scoring is one hash join of doc
+    bigrams against the model — linear in the corpus."""
+    return f"""
+      with {lm_scored_cte(duck, docs)}
+      select doc_id, n_bigrams, lm_score, min_logit
+      from doc_scores
+      order by doc_id
+    """
+
+
+def ppl_bucket_sql(duck: bool, docs: str = "documents") -> str:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): split
+    the corpus into head/middle/tail thirds by LM typicality — CCNet keeps
+    the low-perplexity head for training and uses the buckets as curriculum
+    labels.  Our integer surrogate ``lm_score`` is a typicality (higher =
+    more in-distribution), so head = the top third of scores.
+
+    Scale shape (the dataset_card percentile pattern): thresholds come from
+    a histogram over the SCORE VALUE DOMAIN — group docs by lm_score
+    (bounded by distinct score values, ~10^5), run the cumulative window
+    over that tiny relation ordered by score descending, then map each
+    bucket boundary back onto docs with one hash join.  The window never
+    sees 10^12 rows; ties share a score value and therefore a bucket, so
+    the labeling is deterministic in both engines."""
+    return f"""
+      with {lm_scored_cte(duck, docs)},
+      hist as (
+        select lm_score as v, count(*) as c from doc_scores group by lm_score
+      ),
+      cum as (
+        select v,
+               sum(c) over (order by v desc
+                            rows between unbounded preceding and current row)
+                 as cdocs,
+               sum(c) over () as total
+        from hist
+      ),
+      buckets as (
+        select v,
+               case when 3 * cdocs <= total then 'head'
+                    when 3 * cdocs <= 2 * total then 'middle'
+                    else 'tail' end as bucket
+        from cum
       )
-      select b.doc_id,
-             count(*) as n_bigrams,
-             cast(sum(s.logit) as bigint) as lm_score,
-             cast(min(s.logit) as bigint) as min_logit
-      from bigrams b join scored s on s.bg = b.bg
-      group by b.doc_id
-      order by b.doc_id
+      select d.doc_id, d.lm_score, b.bucket
+      from doc_scores d join buckets b on b.v = d.lm_score
+      order by d.doc_id
+    """
+
+
+def _octets(expr: str, duck: bool) -> str:
+    """UTF-8 byte length: DuckDB's octet_length only accepts BLOB."""
+    return f"octet_length(encode({expr}))" if duck else f"octet_length({expr})"
+
+
+def _norm_expr(expr: str, duck: bool) -> str:
+    """Unicode text-normalization expression over ``expr`` (both dialects):
+    curly quotes / en–em dashes -> ASCII via a 1:1 translate, zero-width
+    characters (ZWSP/ZWNJ/ZWJ/BOM) stripped, NBSP -> space, then whitespace
+    collapsed and trimmed.
+
+    Multibyte characters are embedded as UTF-8 LITERALS in the SQL text for
+    both dialects: Spark's chr() is mod-256 ("chr(8220)" silently yields
+    U+001C!), so chr()-built codepoints would diverge from DuckDB — caught
+    by the bytes_in oracle column when this operator was first built."""
+    fancy = "“”‘’—–"  # “ ” ‘ ’ — –
+    x = f"translate({expr}, '{fancy}', '\"\"''''--')"
+    for zw in ("​", "‌", "‍", "﻿"):  # ZWSP ZWNJ ZWJ BOM
+        x = f"replace({x}, '{zw}', '')"
+    x = f"replace({x}, ' ', ' ')"
+    ws = "'[\\t\\n\\r ]+'" if duck else "'[\\\\t\\\\n\\\\r ]+'"
+    g = ", 'g'" if duck else ""
+    return f"trim(regexp_replace({x}, {ws}, ' '{g}))"
+
+
+def messy_docs_cte(duck: bool, docs: str = "documents") -> str:
+    """Deterministic dirty-text corpus for the normalizer: the documents
+    table plus variants wrapped in curly quotes + zero-width + em-dash
+    (doc_id%7 -> +3_000_000) and NBSP/tab/CRLF-polluted copies
+    (doc_id%11 -> +4_000_000).  Multibyte chars are UTF-8 literals (see
+    ``_norm_expr``); tab/CR/LF use chr(), which is codepoint-exact below
+     256 in both dialects."""
+    return f"""
+      mdocs as (
+        select doc_id, text from {docs}
+        union all
+        select doc_id + 3000000,
+               '“' || text || '”​—x'
+        from {docs} where doc_id % 7 = 0
+        union all
+        select doc_id + 4000000,
+               'a b' || chr(9) || text || chr(13) || chr(10)
+        from {docs} where doc_id % 11 = 0
+      )"""
+
+
+def text_normalize_sql(duck: bool, docs: str = "documents") -> str:
+    """Corpus text normalization (the OSCAR/C4 cleanup pass): Unicode
+    punctuation folding, zero-width stripping, NBSP and whitespace
+    normalization, as ONE map-only projection — no UDF, no shuffle, linear
+    at 10^12 docs.  Runs over a synthesized dirty corpus (messy_docs_cte)
+    so every rule is pinned by rows that actually exercise it; emits the
+    md5 of the normalized text plus byte deltas so the oracle checks the
+    exact output bytes."""
+    return f"""
+      with {messy_docs_cte(duck, docs)}
+      select doc_id,
+             md5({_norm_expr('text', duck)}) as norm_md5,
+             cast({_octets('text', duck)} as bigint) as bytes_in,
+             cast({_octets(_norm_expr('text', duck), duck)} as bigint)
+               as bytes_out,
+             cast(case when {_norm_expr('text', duck)} = text then 0 else 1
+                  end as bigint) as changed
+      from mdocs
+      order by doc_id
+    """
+
+
+SHARD_LANES = 8       # parallel writer lanes; windows are lane-local
+SHARD_TARGET = 2048   # target shard size (bytes) per output file
+
+
+def shard_pack_sql(duck: bool, docs: str = "documents") -> str:
+    """Size-targeted output sharding (the dataset-writer manifest): assign
+    every document to an output shard of ~{SHARD_TARGET} bytes so training
+    dataloaders see uniform files.  Documents pack greedily in doc_id order
+    within a writer lane (doc_id % {SHARD_LANES}); shard_seq = floor(bytes
+    written before this doc / target), shard_offset = the doc's byte
+    position inside its shard's running stream.  A document larger than the
+    target still lands in exactly one shard (greedy split points are
+    pre-doc, so oversized docs spill past the target rather than being
+    torn).
+
+    Scale shape: the running-sum window is LANE-local — one shuffle on the
+    lane key, never a global sort; on a 1000-executor run lanes are
+    thousands of independent window partitions and shards stay globally
+    unique via (lane, shard_seq).  Same shape as seq_pack but over OUTPUT
+    BYTES -- this is the writer side, seq_pack is the tokenizer side."""
+    div = "//" if duck else "div"
+    return f"""
+      with sized as (
+        select doc_id,
+               cast(doc_id % {SHARD_LANES} as bigint) as lane,
+               cast({_octets('text', duck)} as bigint) as n_bytes
+        from {docs}
+      ),
+      runs as (
+        select doc_id, lane, n_bytes,
+               sum(n_bytes) over (
+                 partition by lane order by doc_id
+                 rows between unbounded preceding and current row
+               ) as cum
+        from sized
+      )
+      select doc_id, lane, n_bytes,
+             cast((cum - n_bytes) {div} {SHARD_TARGET} as bigint) as shard_seq,
+             cast((cum - n_bytes) % {SHARD_TARGET} as bigint) as shard_offset
+      from runs
+      order by doc_id
     """
 
 

@@ -94,8 +94,11 @@ def warc_files_df(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def iter_warc_records(blob: bytes):
-    """Yield (headers: dict, content: bytes) for each record in a WARC blob.
+def iter_warc_spans(blob: bytes):
+    """Yield (headers: dict, content: bytes, rec_offset: int, rec_length: int)
+    for each record in a WARC blob — the walker that also does the byte
+    accounting a CDX index needs (record start offset and total record
+    length including header block and trailing CRLFs).
 
     ISO 28500 record grammar: version line + named fields, a blank line,
     then exactly Content-Length bytes, then CRLF CRLF.  Content is sliced
@@ -103,6 +106,7 @@ def iter_warc_records(blob: bytes):
     blank lines parses correctly (tests pin this)."""
     pos, n = 0, len(blob)
     while pos < n:
+        rec_start = pos
         hdr_end = blob.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             if blob[pos:].strip(b"\r\n"):
@@ -125,6 +129,12 @@ def iter_warc_records(blob: bytes):
         pos = content_start + clen
         if blob[pos:pos + 4] == b"\r\n\r\n":
             pos += 4
+        yield headers, content, rec_start, pos - rec_start
+
+
+def iter_warc_records(blob: bytes):
+    """Yield (headers, content) per record; see ``iter_warc_spans``."""
+    for headers, content, _, _ in iter_warc_spans(blob):
         yield headers, content
 
 
@@ -210,6 +220,117 @@ def run_warc_stats(spark, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "file_id"
     )
     return files.mapInPandas(_stats_batch, WARC_STATS_SCHEMA)
+
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("file_id", LongType()),
+        StructField("rec_offset", LongType()),
+        StructField("rec_length", LongType()),
+        StructField("ts_seconds", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def _cdx_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import calendar
+    import hashlib
+    import time
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("url", "file_id", "rec_offset", "rec_length", "ts_seconds",
+                "digest")}
+        for file_id, blob in zip(pdf["file_id"].tolist(), pdf["warc"].tolist()):
+            for headers, content, off, rlen in iter_warc_spans(bytes(blob)):
+                if headers.get("warc-type") != "response":
+                    continue
+                out["url"].append(headers["warc-target-uri"])
+                out["file_id"].append(int(file_id))
+                out["rec_offset"].append(off)
+                out["rec_length"].append(rlen)
+                out["ts_seconds"].append(
+                    calendar.timegm(
+                        time.strptime(
+                            headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
+                        )
+                    )
+                )
+                out["digest"].append(hashlib.md5(content).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def run_warc_cdx(spark, sf_dir: str) -> DataFrame:
+    """Driver query: CDX index generation — the random-access index Common
+    Crawl ships next to every WARC (per record: url, containing file, byte
+    offset, record length, capture time, payload digest).  Every number
+    comes from the record WALKER's own byte accounting; the oracle
+    restates offsets relationally (header bytes recomputed from the
+    independent DuckDB page spelling, running sum per file), so the
+    walker's offset arithmetic is value-checked end to end.
+
+    ts_seconds round-trips WARC-Date through strptime as UTC, matching the
+    synthesis's date_format under the session's UTC timezone (the same
+    assumption the events oracles already pin).
+
+    Scale: one map over file blobs (offsets are file-local, so no cross-
+    file state) followed by nothing — a production job writes the CDX
+    lines straight out per file."""
+    files = warc_files_df(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "file_id"
+    )
+    return files.mapInPandas(_cdx_batch, CDX_SCHEMA)
+
+
+def warc_cdx_oracle_sql() -> str:
+    """Relational restatement of the CDX index: record length = octet
+    length of the header block (rebuilt byte-for-byte from the independent
+    DuckDB html spelling's Content-Length) + content + trailing CRLFCRLF;
+    offset = running sum of record lengths of earlier records in the file
+    (doc_id order, matching the sorted-aggregate synthesis)."""
+    from .corpus import html_expr_duck, pages_oracle_cte
+
+    crlf = "chr(13) || chr(10)"
+    return (
+        pages_oracle_cte()
+        + f""",
+      pg0 as (
+        select doc_id, ts_seconds, {html_expr_duck()} as hs from derived
+      ),
+      pg as (
+        select p.doc_id, e.url, p.ts_seconds, p.hs
+        from pg0 p join expected e on e.doc_id = p.doc_id
+      ),
+      recs as (
+        select doc_id, url, ts_seconds,
+               cast(doc_id // {RECS_PER_FILE} as bigint) as file_id,
+               octet_length(encode(hs)) as clen,
+               md5(hs) as digest,
+               octet_length(encode(concat(
+                 'WARC/1.0', {crlf},
+                 'WARC-Type: response', {crlf},
+                 'WARC-Target-URI: ', url, {crlf},
+                 'WARC-Date: ',
+                 strftime(make_timestamp(cast(ts_seconds as bigint) * 1000000),
+                          '%Y-%m-%dT%H:%M:%SZ'), {crlf},
+                 'Content-Length: ',
+                 cast(octet_length(encode(hs)) as varchar),
+                 {crlf}, {crlf}))) as hdr_len
+        from pg
+      )
+      select url, file_id,
+             cast(coalesce(sum(hdr_len + clen + 4) over (
+                    partition by file_id order by doc_id
+                    rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as rec_offset,
+             cast(hdr_len + clen + 4 as bigint) as rec_length,
+             cast(ts_seconds as bigint) as ts_seconds,
+             digest
+      from recs
+    """
+    )
 
 
 def warc_stats_oracle_sql() -> str:

@@ -301,3 +301,132 @@ def test_source_mix_epochs(spark, sf_dir):
     # the max-token source up-samples exactly 1000 permille (1 epoch)
     assert min(r["epochs_permille"] for r in rows) == 1000
     assert all(r["epochs_permille"] >= 1000 for r in rows)
+
+
+def test_text_normalize_rules(spark, sf_dir):
+    """Each normalization rule pinned by Python recompute: curly quotes ->
+    ASCII, em-dash folded, zero-width stripped, NBSP -> space, whitespace
+    collapsed.  The +3M/+4M dirty variants must normalize to the exact
+    byte strings the rules predict."""
+    import hashlib
+    import re
+
+    from htmlgraft import textops
+
+    got = {
+        r["doc_id"]: r
+        for r in textops.run(spark, sf_dir, textops.text_normalize_sql).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+
+    def norm(s: str) -> str:
+        s = s.translate(str.maketrans("“”‘’—–",
+                                      "\"\"''--"))
+        for zw in "​‌‍﻿":
+            s = s.replace(zw, "")
+        s = s.replace(" ", " ")
+        return re.sub(r"[\t\n\r ]+", " ", s).strip()
+
+    for d, text in docs.items():
+        base = norm(text)
+        assert got[d]["norm_md5"] == hashlib.md5(base.encode()).hexdigest()
+        if d % 7 == 0:
+            v = norm("“" + text + "”​—x")
+            assert v == '"' + base + '"-x'
+            assert got[d + 3_000_000]["norm_md5"] == hashlib.md5(
+                v.encode()
+            ).hexdigest()
+            assert got[d + 3_000_000]["changed"] == 1
+        if d % 11 == 0:
+            v = norm("a b\t" + text + "\r\n")
+            assert v == "a b " + base
+            assert got[d + 4_000_000]["norm_md5"] == hashlib.md5(
+                v.encode()
+            ).hexdigest()
+            assert got[d + 4_000_000]["bytes_out"] == len(
+                v.encode()
+            )
+
+
+def test_shard_pack_greedy_recompute(spark, sf_dir):
+    """The shard manifest must equal a pure-Python greedy byte-packing of
+    each lane in doc_id order; oversized docs land in exactly one shard."""
+    from htmlgraft import textops
+
+    rows = sorted(
+        textops.run(spark, sf_dir, textops.shard_pack_sql).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = {}
+    for r in rows:
+        lane = r["doc_id"] % textops.SHARD_LANES
+        before = cum.get(lane, 0)
+        assert r["lane"] == lane
+        assert r["shard_seq"] == before // textops.SHARD_TARGET
+        assert r["shard_offset"] == before % textops.SHARD_TARGET
+        cum[lane] = before + r["n_bytes"]
+    assert max(cum.values()) > textops.SHARD_TARGET  # multiple shards exist
+
+
+def test_ppl_bucket_thirds(spark, sf_dir):
+    """head/middle/tail assignment recomputed from the lm_score relation:
+    a doc is 'head' iff the cumulative doc count down the sorted (desc)
+    score domain is <= 1/3 of the corpus at its score value."""
+    from htmlgraft import textops
+
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in textops.run(spark, sf_dir, textops.lm_score_sql).collect()
+    }
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in textops.run(spark, sf_dir, textops.ppl_bucket_sql).collect()
+    }
+    assert set(got) == set(scores)
+    from collections import Counter
+
+    by_val = Counter(scores.values())
+    cum, label = 0, {}
+    total = len(scores)
+    for v in sorted(by_val, reverse=True):
+        cum += by_val[v]
+        label[v] = (
+            "head" if 3 * cum <= total
+            else "middle" if 3 * cum <= 2 * total
+            else "tail"
+        )
+    for d, s in scores.items():
+        assert got[d] == label[s], (d, s)
+    assert {"head", "middle", "tail"} == set(got.values())
+
+
+def test_extract_spans_reassemble(spark, sf_dir):
+    """Spans must tile the extracted text exactly: ordered by span_idx they
+    reconstruct text.split('\\n') with contiguous [start, end) offsets."""
+    import __spark_entry__ as entrymod
+
+    spans = {}
+    for r in entrymod.queries()["extract_spans"](spark, sf_dir).collect():
+        spans.setdefault(r["url"], []).append(r)
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract
+
+    texts = {
+        r["url"]: r["text"]
+        for r in parse_extract(pages_df(spark, sf_dir)).select("url", "text")
+        .collect()
+    }
+    assert set(spans) == set(texts)
+    for url, rs in spans.items():
+        rs.sort(key=lambda r: r["span_idx"])
+        parts = texts[url].split("\n")
+        assert len(rs) == len(parts)
+        pos = 0
+        for r, p in zip(rs, parts):
+            assert r["char_start"] == pos
+            assert r["char_end"] == pos + len(p)
+            pos = r["char_end"] + 1

@@ -99,3 +99,52 @@ def test_files_are_doc_id_ordered_and_sized(spark, sf_dir):
     ]
     ids = [int(u.rsplit("/", 1)[1]) for u in uris]
     assert ids == sorted(ids) and len(ids) == RECS_PER_FILE
+
+
+def test_warc_cdx_random_access(spark, sf_dir):
+    """The defining property of a CDX index: slicing the file blob at
+    (rec_offset, rec_offset + rec_length) yields EXACTLY one well-formed
+    record whose URI and payload digest match the index row."""
+    import hashlib
+
+    from htmlgraft.warcops import iter_warc_spans, run_warc_cdx, warc_files_df
+
+    blobs = {
+        r["file_id"]: bytes(r["warc"])
+        for r in warc_files_df(spark, sf_dir).collect()
+    }
+    rows = run_warc_cdx(spark, sf_dir).collect()
+    assert len(rows) == sum(
+        sum(1 for _ in iter_warc_spans(b)) for b in blobs.values()
+    )
+    for r in rows:
+        piece = blobs[r["file_id"]][
+            r["rec_offset"]:r["rec_offset"] + r["rec_length"]
+        ]
+        (headers, content, off, ln), = iter_warc_spans(piece)
+        assert off == 0 and ln == len(piece)
+        assert headers["warc-target-uri"] == r["url"]
+        assert hashlib.md5(content).hexdigest() == r["digest"]
+
+
+def test_warc_cdx_offsets_chain(spark, sf_dir):
+    """Within a file, records tile the blob: offsets are strictly
+    increasing, each starts where the previous ended, and the last ends at
+    the file boundary — no gaps, no overlaps."""
+    from htmlgraft.warcops import run_warc_cdx, warc_files_df
+
+    sizes = {
+        r["file_id"]: len(bytes(r["warc"]))
+        for r in warc_files_df(spark, sf_dir).collect()
+    }
+    rows = run_warc_cdx(spark, sf_dir).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r)
+    for fid, rs in by_file.items():
+        rs.sort(key=lambda r: r["rec_offset"])
+        pos = 0
+        for r in rs:
+            assert r["rec_offset"] == pos
+            pos += r["rec_length"]
+        assert pos == sizes[fid]
