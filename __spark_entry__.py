@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": textops.run_dedup_clusters,
         "dedup_incremental": textops.run_dedup_incremental,
         "dedup_pipeline": textops.run_dedup_pipeline,
+        "dedup_recall": _textop(textops.dedup_recall_sql),
+        "host_cap": _textop(textops.host_cap_sql),
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
@@ -390,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
             "dedup_clusters": textops.dedup_clusters_sql(duck=True),
             "dedup_pipeline": textops.dedup_pipeline_sql(duck=True),
+            "dedup_recall": textops.dedup_recall_sql(duck=True),
+            "host_cap": textops.host_cap_sql(duck=True),
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),

@@ -171,21 +171,11 @@ N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
 
 
-def minhash_lsh_sql(
-    duck: bool, docs: str = "documents", k: int = 3, shingles_ref: str | None = None
-) -> str:
-    """MinHash+LSH near-dup detection, the 100 TB-scale path:
-    shingle -> 16 min-hashes (min of md5(seed||'#'||shingle), lexicographic)
-    -> 8 bands x 2 rows -> candidates share a band key -> verified by exact
-    Jaccard (2*inter >= union) computed ONLY for candidate pairs.
-    Shuffles: groupBy(doc_id, seed), groupBy(band key), candidate verify join
-    — all ~O(n), never all-pairs.
-
-    ``shingles_ref``: name of a pre-materialized (doc_id, shingle) relation.
-    The shingle set is referenced three times (min-hashing, set sizes, the
-    verify join); SQL engines inline CTEs, so without materialization the
-    explode is computed three times — ``run_minhash_lsh`` persists it once
-    on the Spark side (at 100 TB this would be a checkpointed table)."""
+def _minhash_cand_cte(duck: bool) -> str:
+    """CTE fragment seeds -> mh -> bands -> cand over an in-scope
+    ``shingles`` relation: 16 min-hashes, 8 x 2-row bands, candidate pairs
+    sharing a band key.  Shared by ``minhash_lsh_sql`` (verifies candidates)
+    and ``dedup_recall_sql`` (measures candidate recall)."""
     d = _d(duck)
     seeds = d["range_incl"].format("0", str(N_HASHES - 1))
     seed_src = (
@@ -193,13 +183,7 @@ def minhash_lsh_sql(
         else f"select explode({seeds}) as seed"
     )
     cast_seed = f"cast(seed as {d['str']})"
-    if shingles_ref is None:
-        pre = f"with {duped_docs_cte(duck, docs)},\n      {shingles_cte(duck, 'ddocs', k)},"
-    else:
-        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
-    return f"""
-      {pre}
-      seeds as ({seed_src}),
+    return f"""seeds as ({seed_src}),
       mh as (
         select doc_id, seed,
                min(md5(concat({cast_seed}, '#', shingle))) as h
@@ -219,7 +203,31 @@ def minhash_lsh_sql(
         from bands a join bands b
           on a.band = b.band and a.band_key = b.band_key
          and a.doc_id < b.doc_id
-      ),
+      )"""
+
+
+def minhash_lsh_sql(
+    duck: bool, docs: str = "documents", k: int = 3, shingles_ref: str | None = None
+) -> str:
+    """MinHash+LSH near-dup detection, the 100 TB-scale path:
+    shingle -> 16 min-hashes (min of md5(seed||'#'||shingle), lexicographic)
+    -> 8 bands x 2 rows -> candidates share a band key -> verified by exact
+    Jaccard (2*inter >= union) computed ONLY for candidate pairs.
+    Shuffles: groupBy(doc_id, seed), groupBy(band key), candidate verify join
+    — all ~O(n), never all-pairs.
+
+    ``shingles_ref``: name of a pre-materialized (doc_id, shingle) relation.
+    The shingle set is referenced three times (min-hashing, set sizes, the
+    verify join); SQL engines inline CTEs, so without materialization the
+    explode is computed three times — ``run_minhash_lsh`` persists it once
+    on the Spark side (at 100 TB this would be a checkpointed table)."""
+    if shingles_ref is None:
+        pre = f"with {duped_docs_cte(duck, docs)},\n      {shingles_cte(duck, 'ddocs', k)},"
+    else:
+        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
+    return f"""
+      {pre}
+      {_minhash_cand_cte(duck)},
       sizes as (select doc_id, count(*) as n from shingles group by doc_id),
       inter as (
         select c.a_id, c.b_id, count(*) as n_inter
@@ -1101,6 +1109,89 @@ def shard_pack_sql(duck: bool, docs: str = "documents") -> str:
              cast((cum - n_bytes) {div} {SHARD_TARGET} as bigint) as shard_seq,
              cast((cum - n_bytes) % {SHARD_TARGET} as bigint) as shard_offset
       from runs
+      order by doc_id
+    """
+
+
+def dedup_recall_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+    """MinHash-LSH candidate-recall evaluation — the dedup analogue of
+    ann_recall ("measure, don't guess"): compare the LSH CANDIDATE pair set
+    (pre-verification banding output) against ground truth = ALL pairs with
+    Jaccard >= 1/3 from the exact all-pairs path.  One row: true pair
+    count, candidate count, and how many true pairs banding surfaced —
+    candidate recall and the verify-join's precision workload in one place.
+
+    Eval-only query: the all-pairs shingle self-join is the documented
+    small-scale oracle path (quadratic); at 100 TB one runs this on a
+    sampled slice to validate banding parameters, never on the corpus."""
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {shingles_cte(duck, 'ddocs', k)},
+      {_minhash_cand_cte(duck)},
+      sizes as (select doc_id, count(*) as n from shingles group by doc_id),
+      inter_all as (
+        select sa.doc_id as a_id, sb.doc_id as b_id, count(*) as n_inter
+        from shingles sa
+        join shingles sb on sb.shingle = sa.shingle and sa.doc_id < sb.doc_id
+        group by sa.doc_id, sb.doc_id
+      ),
+      true_pairs as (
+        select i.a_id, i.b_id
+        from inter_all i
+        join sizes sa on sa.doc_id = i.a_id
+        join sizes sb on sb.doc_id = i.b_id
+        where 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+      )
+      select
+        (select cast(count(*) as bigint) from true_pairs) as n_true,
+        (select cast(count(*) as bigint) from cand) as n_cand,
+        (select cast(count(*) as bigint)
+         from true_pairs t join cand c
+           on c.a_id = t.a_id and c.b_id = t.b_id) as n_hits
+    """
+
+
+HOST_CAP_K = 8        # max documents kept per host
+HOST_CAP_LANES = 4    # phase-1 lanes bounding the skewed-host window
+
+
+def host_cap_sql(duck: bool, docs: str = "documents") -> str:
+    """Per-host document cap (the C4/crawl-curation anti-domination pass):
+    keep at most {HOST_CAP_K} documents per host, smallest doc_id first.
+    The synthesized host map is skewed by construction (one heavy host
+    carries ~20% of the corpus), which is exactly the case that breaks the
+    naive one-window-per-host plan at scale.
+
+    Scale shape — two bounded windows instead of one skewed one: phase 1
+    ranks per (host, doc_id%{HOST_CAP_LANES}) and keeps {HOST_CAP_K} per
+    lane (any global top-K doc is necessarily in its own lane's top K, so
+    no survivor is lost); phase 2 re-ranks the <= K*lanes survivors per
+    host.  The heavy host's window shrinks from its full document count to
+    {HOST_CAP_K}*{HOST_CAP_LANES} rows; both shuffles stay O(n)."""
+    from .corpus import HOST_EXPR, HOST_EXPR_DUCK
+
+    host = HOST_EXPR_DUCK if duck else HOST_EXPR
+    return f"""
+      with hosted as (
+        select doc_id, {host} as host,
+               doc_id % {HOST_CAP_LANES} as lane
+        from {docs}
+      ),
+      r1 as (
+        select doc_id, host, lane,
+               row_number() over (partition by host, lane order by doc_id)
+                 as lrk
+        from hosted
+      ),
+      surv as (select doc_id, host from r1 where lrk <= {HOST_CAP_K}),
+      r2 as (
+        select doc_id, host,
+               row_number() over (partition by host order by doc_id) as rk
+        from surv
+      )
+      select doc_id, host, cast(rk as bigint) as host_rank
+      from r2
+      where rk <= {HOST_CAP_K}
       order by doc_id
     """
 

@@ -430,3 +430,52 @@ def test_extract_spans_reassemble(spark, sf_dir):
             assert r["char_start"] == pos
             assert r["char_end"] == pos + len(p)
             pos = r["char_end"] + 1
+
+
+def test_dedup_recall_full_on_duped_corpus(spark, sf_dir):
+    """Banding recall audit: ground truth must equal the ngram_jaccard
+    pair count, and on this corpus 8x2 banding surfaces EVERY true pair
+    (n_hits == n_true) while over-generating some candidates that the
+    verify join then discards (n_cand >= n_true)."""
+    from htmlgraft import textops
+
+    (row,) = textops.run(spark, sf_dir, textops.dedup_recall_sql).collect()
+    n_jaccard = textops.run(spark, sf_dir, textops.ngram_jaccard_sql).count()
+    assert row["n_true"] == n_jaccard > 0
+    assert row["n_hits"] == row["n_true"]  # full candidate recall
+    assert row["n_cand"] >= row["n_true"]
+
+
+def test_host_cap_recompute(spark, sf_dir):
+    """The two-phase (lane-bounded) cap must equal the naive per-host
+    top-K by doc_id, computed directly in Python."""
+    from collections import defaultdict
+
+    from htmlgraft import textops
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    )
+    by_host = defaultdict(list)
+    for d in ids:
+        host = (
+            "popular.example.com" if d % 5 == 0
+            else f"site-{d % 211}.example.org"
+        )
+        by_host[host].append(d)
+    want = {
+        (d, h, i + 1)
+        for h, ds in by_host.items()
+        for i, d in enumerate(sorted(ds)[: textops.HOST_CAP_K])
+    }
+    got = {
+        (r["doc_id"], r["host"], r["host_rank"])
+        for r in textops.run(spark, sf_dir, textops.host_cap_sql).collect()
+    }
+    assert got == want
+    per_host = defaultdict(int)
+    for _d, h, _rk in got:
+        per_host[h] += 1
+    assert max(per_host.values()) <= textops.HOST_CAP_K
