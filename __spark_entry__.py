@@ -319,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": textops.run_dedup_clusters,
         "dedup_incremental": textops.run_dedup_incremental,
         "dedup_pipeline": textops.run_dedup_pipeline,
-        "dedup_recall": _textop(textops.dedup_recall_sql),
+        "dedup_recall": textops.run_dedup_recall,
         "host_cap": _textop(textops.host_cap_sql),
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
@@ -333,7 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _textop(textops.stratified_sample_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
         "lm_score": _textop(textops.lm_score_sql),
-        "ppl_bucket": _textop(textops.ppl_bucket_sql),
+        "ppl_bucket": textops.run_ppl_bucket,
         "repetition_stats": _textop(textops.repetition_stats_sql),
         "text_normalize": _textop(textops.text_normalize_sql),
         "shard_pack": _textop(textops.shard_pack_sql),

@@ -712,6 +712,39 @@ def run_minhash_lsh(spark, sf_dir: str, k: int = 3):
     return spark.sql(minhash_lsh_sql(duck=False, k=k, shingles_ref="__mh_shingles"))
 
 
+def run_dedup_recall(spark, sf_dir: str, k: int = 3):
+    """Spark-side banding-recall eval with the shingle relation persisted
+    once (five consumers: min-hashing, both sides of the all-pairs join,
+    both size lookups); same scan-parallelism repartition as
+    ``run_minhash_lsh``."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql(
+        f"with {duped_docs_cte(False)} select doc_id, text from ddocs"
+    ).repartition(n_parts).createOrReplaceTempView("__dr_ddocs")
+    sh = spark.sql(
+        f"with {shingles_cte(False, '__dr_ddocs', k)} "
+        "select doc_id, shingle from shingles"
+    ).persist()
+    sh.createOrReplaceTempView("__dr_shingles")
+    return spark.sql(
+        dedup_recall_sql(duck=False, k=k, shingles_ref="__dr_shingles")
+    )
+
+
+def run_ppl_bucket(spark, sf_dir: str):
+    """Spark-side perplexity bucketing with the doc_scores relation
+    persisted once (it feeds the value-domain histogram AND the per-doc
+    labeling join; inlined CTEs would run the bigram-model pipeline
+    twice)."""
+    _register_documents(spark, sf_dir)
+    ds = spark.sql(
+        f"with {lm_scored_cte(False)} select * from doc_scores"
+    ).persist()
+    ds.createOrReplaceTempView("__ppl_scores")
+    return spark.sql(ppl_bucket_sql(duck=False, scores_ref="__ppl_scores"))
+
+
 def run_simhash_neardup(spark, sf_dir: str):
     """Spark-side SimHash near-dup with the (doc_id, simhash) relation
     persisted once: the banding self-join consumes it twice, and Catalyst's
@@ -961,7 +994,9 @@ def lm_score_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
-def ppl_bucket_sql(duck: bool, docs: str = "documents") -> str:
+def ppl_bucket_sql(
+    duck: bool, docs: str = "documents", scores_ref: str | None = None
+) -> str:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): split
     the corpus into head/middle/tail thirds by LM typicality — CCNet keeps
     the low-perplexity head for training and uses the buckets as curriculum
@@ -974,9 +1009,21 @@ def ppl_bucket_sql(duck: bool, docs: str = "documents") -> str:
     over that tiny relation ordered by score descending, then map each
     bucket boundary back onto docs with one hash join.  The window never
     sees 10^12 rows; ties share a score value and therefore a bucket, so
-    the labeling is deterministic in both engines."""
+    the labeling is deterministic in both engines.
+
+    ``scores_ref`` names a pre-materialized doc_scores relation: it feeds
+    both the histogram and the per-doc labeling join, and Catalyst's CTE
+    inlining would otherwise run the whole bigram-model pipeline twice —
+    ``run_ppl_bucket`` persists it once."""
+    if scores_ref is None:
+        pre = f"with {lm_scored_cte(duck, docs)},"
+    else:
+        pre = (
+            "with doc_scores as (select doc_id, n_bigrams, lm_score, "
+            f"min_logit from {scores_ref}),"
+        )
     return f"""
-      with {lm_scored_cte(duck, docs)},
+      {pre}
       hist as (
         select lm_score as v, count(*) as c from doc_scores group by lm_score
       ),
@@ -1113,7 +1160,10 @@ def shard_pack_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
-def dedup_recall_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
+def dedup_recall_sql(
+    duck: bool, docs: str = "documents", k: int = 3,
+    shingles_ref: str | None = None,
+) -> str:
     """MinHash-LSH candidate-recall evaluation — the dedup analogue of
     ann_recall ("measure, don't guess"): compare the LSH CANDIDATE pair set
     (pre-verification banding output) against ground truth = ALL pairs with
@@ -1123,10 +1173,18 @@ def dedup_recall_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
 
     Eval-only query: the all-pairs shingle self-join is the documented
     small-scale oracle path (quadratic); at 100 TB one runs this on a
-    sampled slice to validate banding parameters, never on the corpus."""
+    sampled slice to validate banding parameters, never on the corpus.
+    ``shingles_ref`` names a pre-materialized shingle relation (five
+    consumers here — ``run_dedup_recall`` persists it once)."""
+    if shingles_ref is None:
+        pre = (
+            f"with {duped_docs_cte(duck, docs)},\n"
+            f"      {shingles_cte(duck, 'ddocs', k)},"
+        )
+    else:
+        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
     return f"""
-      with {duped_docs_cte(duck, docs)},
-      {shingles_cte(duck, 'ddocs', k)},
+      {pre}
       {_minhash_cand_cte(duck)},
       sizes as (select doc_id, count(*) as n from shingles group by doc_id),
       inter_all as (
