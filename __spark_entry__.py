@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classify": _textop(textops.quality_classify_sql),
         "dataset_card": _textop(textops.dataset_card_sql),
         "vocab_induct": _textop(textops.vocab_induct_sql),
+        "bpe_train": textops.run_bpe_train,
+        "bpe_vocab": textops.run_bpe_vocab,
+        "hash_embed": _textop(textops.hash_embed_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -420,6 +423,9 @@ def oracle_sql() -> dict[str, str]:
             "quality_classify": textops.quality_classify_sql(duck=True),
             "dataset_card": textops.dataset_card_sql(duck=True),
             "vocab_induct": textops.vocab_induct_sql(duck=True),
+            "bpe_train": textops.bpe_train_sql(duck=True),
+            "bpe_vocab": textops.bpe_vocab_sql(duck=True),
+            "hash_embed": textops.hash_embed_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),

@@ -1810,3 +1810,261 @@ def source_mix_sql(duck: bool, docs: str = "documents") -> str:
       from per_source s cross join mx m
       order by s.source
     """
+
+
+# --- BPE tokenizer training (iterative merges over the word-frequency dict) --
+
+BPE_MERGES = 8
+BPE_REPLACE_PASSES = 3
+
+
+def _char_split(duck: bool, col: str) -> str:
+    """Space-separate every character of ``col`` (the initial BPE symbol
+    sequence).  '.' excludes newline identically in both regex engines
+    (Java regex / RE2), so tokens carrying a stray newline keep it glued to
+    the following char the same way on both sides."""
+    if duck:
+        return f"trim(regexp_replace({col}, '(.)', '\\1 ', 'g'))"
+    return f"trim(regexp_replace({col}, '(.)', '$1 '))"
+
+
+def _bpe_dict0_cte(duck: bool, docs: str = "documents") -> str:
+    """Word-frequency dictionary with the initial char-level symbol repr.
+
+    This is the bounded relation all BPE iterations run on: ONE corpus-sized
+    token shuffle builds (word, wcount), and every merge round thereafter
+    touches only the vocabulary (10^5-ish rows at web scale after a
+    deterministic ``wcount >= min_count`` floor — never 10^12 documents).
+    That is exactly how reference BPE trainers operate (Sennrich et al.
+    2016 train on the word-count dict, not the corpus)."""
+    return f"""
+      {tokens_cte(duck, docs)},
+      wdict as (
+        select tok as word, count(*) as wcount
+        from tokens where tok <> '' group by tok
+      ),
+      dict0 as (
+        select word, wcount, {_char_split(duck, 'word')} as repr from wdict
+      )"""
+
+
+def _bpe_round_ctes(duck: bool, t: int) -> str:
+    """One merge round: pair counts over dict{t-1}, the best pair (count
+    desc, then lexicographic — a deterministic total order shared by both
+    engines' binary string collation), and dict{t} with the pair merged.
+
+    The merge is ``BPE_REPLACE_PASSES`` applications of non-overlapping
+    left-to-right replace on the space-padded symbol string.  For runs of
+    the same symbol longer than ~2^passes this deviates from single-scan
+    greedy BPE (documented surrogate); both engines share the exact
+    semantics, so the oracle is still a byte-level check."""
+    d = _d(duck)
+    ln = "len" if duck else "size"
+    pair = (
+        d["elem"].format("ss", "i") + " || ' ' || "
+        + d["elem"].format("ss", "i + 1")
+    )
+    lam = d["lambda"].format("i", pair)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", f"{ln}(ss) - 1"), lam
+    )
+    un = "unnest" if duck else "explode"
+    sp = d["split"].format("pr")
+    l_expr = d["elem"].format(f"({sp})", "1")
+    r_expr = d["elem"].format(f"({sp})", "2")
+    pat = "' ' || b.l || ' ' || b.r || ' '"
+    rep = "' ' || b.l || b.r || ' '"
+    expr = "' ' || d.repr || ' '"
+    for _ in range(BPE_REPLACE_PASSES):
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+      syms{t} as (
+        select word, wcount, {d["split"].format("repr")} as ss
+        from dict{t - 1}
+      ),
+      prs{t} as (
+        select wcount, {un}({mk}) as pr
+        from syms{t} where {ln}(ss) >= 2
+      ),
+      pairs{t} as (
+        select {l_expr} as l, {r_expr} as r, sum(wcount) as c
+        from prs{t} group by {l_expr}, {r_expr}
+      ),
+      best{t} as (
+        select l, r, c from pairs{t} order by c desc, l asc, r asc limit 1
+      ),
+      dict{t} as (
+        select d.word, d.wcount, trim({expr}) as repr
+        from dict{t - 1} d cross join best{t} b
+      )"""
+
+
+def _bpe_rounds(duck: bool, docs: str, merges: int) -> str:
+    parts = [_bpe_dict0_cte(duck, docs).strip()]
+    for t in range(1, merges + 1):
+        parts.append(_bpe_round_ctes(duck, t).strip())
+    return ",\n      ".join(parts)
+
+
+def bpe_train_sql(
+    duck: bool, docs: str = "documents", merges: int = BPE_MERGES
+) -> str:
+    """BPE tokenizer training: the ranked merge table (the artifact a
+    tokenizer ships).  Iterative pair-count argmax over the word dict —
+    the oracle unrolls ``merges`` rounds as nested CTEs (the kmeans /
+    dedup_clusters pattern); ``run_bpe_train`` is the iterative Spark
+    runner that collects ONE best-pair row per round."""
+    sel = "\n      union all\n      ".join(
+        f"select cast({t} as bigint) as merge_rank, l as left_sym, "
+        f"r as right_sym, cast(c as bigint) as pair_count from best{t}"
+        for t in range(1, merges + 1)
+    )
+    return f"""
+      with {_bpe_rounds(duck, docs, merges)}
+      {sel}
+      order by merge_rank
+    """
+
+
+def bpe_vocab_sql(
+    duck: bool, docs: str = "documents", merges: int = BPE_MERGES
+) -> str:
+    """Post-merge symbol inventory: corpus frequency (weighted by word
+    count, with within-word multiplicity) and word coverage per symbol —
+    the table a vocab-size decision reads."""
+    d = _d(duck)
+    un = "unnest" if duck else "explode"
+    sp = d["split"].format("repr")
+    return f"""
+      with {_bpe_rounds(duck, docs, merges)},
+      fsyms as (
+        select word, wcount, {un}({sp}) as sym from dict{merges}
+      )
+      select sym,
+             cast(sum(wcount) as bigint) as freq,
+             cast(count(distinct word) as bigint) as n_words
+      from fsyms
+      group by sym
+      order by sym
+    """
+
+
+def _bpe_pairs_over(view: str) -> str:
+    """Spark SQL: best (l, r, c) pair over the ``view`` dict relation —
+    the same round body as ``_bpe_round_ctes`` but reading a bound view."""
+    d = _d(False)
+    pair = (
+        d["elem"].format("ss", "i") + " || ' ' || "
+        + d["elem"].format("ss", "i + 1")
+    )
+    mk = d["transform"].format(
+        d["range_incl"].format("1", "size(ss) - 1"),
+        d["lambda"].format("i", pair),
+    )
+    sp = d["split"].format("pr")
+    l_expr = d["elem"].format(f"({sp})", "1")
+    r_expr = d["elem"].format(f"({sp})", "2")
+    return f"""
+      with syms as (
+        select wcount, {d["split"].format("repr")} as ss from {view}
+      ),
+      prs as (
+        select wcount, explode({mk}) as pr from syms where size(ss) >= 2
+      )
+      select {l_expr} as l, {r_expr} as r, sum(wcount) as c
+      from prs group by {l_expr}, {r_expr}
+      order by c desc, l asc, r asc limit 1
+    """
+
+
+def _run_bpe_rounds(spark, sf_dir: str, merges: int):
+    """Shared iterative driver: returns (merge rows, name of the final dict
+    view).  The word dict is persisted once; each round is a pair-count agg
+    over the vocabulary-bounded relation plus a 1-row argmax collect (the
+    kmeans pattern — the merge table lives on the driver, as it must: it IS
+    the output artifact).  The next dict is a pure projection with the pair
+    injected as escaped literals, so lineage grows by one replace per
+    round."""
+    _register_documents(spark, sf_dir)
+    base = spark.sql(
+        f"with {_bpe_dict0_cte(False)} select word, wcount, repr from dict0"
+    ).persist()
+    base.createOrReplaceTempView("__bpe_dict_0")
+    out, cur = [], "__bpe_dict_0"
+    for t in range(1, merges + 1):
+        best = spark.sql(_bpe_pairs_over(cur)).collect()
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        out.append((t, l, r, c))
+        ql, qr = l.replace("'", "''"), r.replace("'", "''")
+        expr = "' ' || repr || ' '"
+        for _ in range(BPE_REPLACE_PASSES):
+            expr = f"replace({expr}, ' {ql} {qr} ', ' {ql}{qr} ')"
+        nxt = spark.sql(
+            f"select word, wcount, trim({expr}) as repr from {cur}"
+        )
+        cur = f"__bpe_dict_{t}"
+        nxt.createOrReplaceTempView(cur)
+    return out, cur
+
+
+def run_bpe_train(spark, sf_dir: str, merges: int = BPE_MERGES):
+    """Iterative BPE trainer, the production shape (see
+    ``_run_bpe_rounds``).  Oracle = ``bpe_train_sql(duck=True)``, the same
+    rounds unrolled as nested CTEs."""
+    out, _ = _run_bpe_rounds(spark, sf_dir, merges)
+    return spark.createDataFrame(
+        out,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+def run_bpe_vocab(spark, sf_dir: str, merges: int = BPE_MERGES):
+    """Iterative-runner twin of ``bpe_vocab_sql``: run the merge rounds,
+    then aggregate the final symbol inventory from the last dict view."""
+    _, last = _run_bpe_rounds(spark, sf_dir, merges)
+    sp = _d(False)["split"].format("repr")
+    return spark.sql(f"""
+      with fsyms as (
+        select word, wcount, explode({sp}) as sym from {last}
+      )
+      select sym,
+             cast(sum(wcount) as bigint) as freq,
+             cast(count(distinct word) as bigint) as n_words
+      from fsyms
+      group by sym
+      order by sym
+    """)
+
+
+def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16) -> str:
+    """Feature-hashing document embedding (the hashing trick, Weinberger et
+    al. 2009, public): each token hashes to one of ``dims`` buckets with a
+    +/-1 sign drawn from the next hash bit, and the document vector is the
+    signed count per bucket — the cheapest text->vector bridge into the ANN
+    tier (simops), entirely JVM-side.
+
+    Emitted in sparse long form (doc_id, dim, val): integers only, and the
+    never-touched-bucket rows simply don't exist (both engines agree).
+    Scale: one token explode + one (doc_id, dim) hash agg with map-side
+    combine — linear, one shuffle, no skew (doc_id dominates the key)."""
+    h = h32("tok", duck)
+    div = "//" if duck else "div"
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tb as (
+        select doc_id, {h} as h from tokens where tok <> ''
+      ),
+      contrib as (
+        select doc_id, h % {dims} as dim,
+               case when (h {div} {dims}) % 2 = 0 then 1 else -1 end as s
+        from tb
+      )
+      select doc_id, cast(dim as bigint) as dim,
+             cast(sum(s) as bigint) as val
+      from contrib
+      group by doc_id, dim
+      order by doc_id, dim
+    """

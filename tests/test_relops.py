@@ -479,3 +479,88 @@ def test_host_cap_recompute(spark, sf_dir):
     for _d, h, _rk in got:
         per_host[h] += 1
     assert max(per_host.values()) <= textops.HOST_CAP_K
+
+
+def test_bpe_train_pure_python_recompute(spark, sf_dir):
+    """Third independent implementation: recompute the full BPE merge
+    sequence in pure Python (Counter word dict, padded-string bounded-pass
+    merge, count-desc/lexicographic argmax) and require the iterative Spark
+    runner to agree row-for-row, plus the final vocab table."""
+    import re
+    from collections import Counter
+
+    from htmlgraft import textops
+    from htmlgraft.textops import BPE_MERGES, BPE_REPLACE_PASSES
+
+    texts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text").toPandas()["text"].tolist()
+    )
+    wc = Counter(t for txt in texts for t in txt.split(" ") if t != "")
+    rep = {
+        w: re.sub(r"(.)", r"\1 ", w).strip(" ") for w in wc
+    }
+    merges = []
+    for t in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, cnt in wc.items():
+            ss = rep[w].split(" ")
+            for i in range(len(ss) - 1):
+                pairs[(ss[i], ss[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((t, l, r, c))
+        pat, sub = f" {l} {r} ", f" {l}{r} "
+        for w in rep:
+            s = " " + rep[w] + " "
+            for _ in range(BPE_REPLACE_PASSES):
+                s = s.replace(pat, sub)
+            rep[w] = s.strip(" ")
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in textops.run_bpe_train(spark, sf_dir).collect()
+    ]
+    assert got == merges
+
+    vocab, nw = Counter(), Counter()
+    for w, cnt in wc.items():
+        syms = rep[w].split(" ")
+        for s in syms:
+            vocab[s] += cnt
+        for s in set(syms):
+            nw[s] += 1
+    vgot = {
+        r["sym"]: (r["freq"], r["n_words"])
+        for r in textops.run_bpe_vocab(spark, sf_dir).collect()
+    }
+    assert vgot == {s: (vocab[s], nw[s]) for s in vocab}
+
+
+def test_hash_embed_pure_python_recompute(spark, sf_dir):
+    """Feature-hashing embedding pinned by per-token recompute (md5-derived
+    bucket + sign bit) for a sample of documents, including the absence of
+    untouched-bucket rows."""
+    import hashlib
+    from collections import defaultdict
+
+    from htmlgraft import textops
+
+    df = textops.run(spark, sf_dir, textops.hash_embed_sql).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(20).toPandas()
+    )
+    for _, d in docs.iterrows():
+        want = defaultdict(int)
+        for tok in d["text"].split(" "):
+            if tok == "":
+                continue
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            want[h % 16] += 1 if (h // 16) % 2 == 0 else -1
+        rows = df[df["doc_id"] == d["doc_id"]]
+        got = dict(zip(rows["dim"], rows["val"]))
+        assert got == {k: v for k, v in want.items()}
