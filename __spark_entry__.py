@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
         "anchor_text": linkops.run_anchor_text,
+        "crawl_frontier": linkops.run_crawl_frontier,
         "line_dedup": _q_line_dedup,
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
@@ -325,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
+        "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
@@ -340,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords_filter": _textop(textops.badwords_filter_sql),
         "pii_scrub": _textop(textops.pii_scrub_sql),
         "corpus_filter": _textop(textops.corpus_filter_sql),
+        "gopher_filter": _textop(textops.gopher_filter_sql),
         "source_mix": _textop(textops.source_mix_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
@@ -369,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media.media_features,
         "media_resize": media.media_resize,
         "media_frame_sample": media.media_frame_sample,
+        "charset_sniff": _textop(media.charset_sniff_sql),
         # PDF layout parse (binary column -> content-stream text extraction)
         "pdf_extract_text": pdfops.pdf_extract_text,
         # relational warehouse queries (broadcast joins, rollup, top-k)
@@ -415,6 +419,10 @@ def oracle_sql() -> dict[str, str]:
             "badwords_filter": textops.badwords_filter_sql(duck=True),
             "pii_scrub": textops.pii_scrub_sql(duck=True),
             "corpus_filter": textops.corpus_filter_sql(duck=True),
+            "gopher_filter": textops.gopher_filter_sql(duck=True),
+            "latest_snapshot": urlops.latest_snapshot_sql(duck=True),
+            "charset_sniff": media.charset_sniff_sql(duck=True),
+            "crawl_frontier": linkops.frontier_oracle_sql(),
             "dedup_incremental": textops.dedup_incremental_sql(duck=True),
             "source_mix": textops.source_mix_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),

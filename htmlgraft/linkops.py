@@ -621,3 +621,74 @@ def pagerank_oracle_sql() -> str:
       select host, rank from r{ITERS}
     """
     )
+
+
+# --- crawl frontier -----------------------------------------------------------
+
+def frontier_df(links: DataFrame, crawled_urls: DataFrame) -> DataFrame:
+    """URL frontier: every link target that resolves OUTSIDE the crawled
+    url set, with reference counts — the discovery table a crawler feeds
+    back into its fetch queue.  Relative hrefs resolve against the page
+    host; absolute ``http(s)://`` hrefs stand alone.
+
+    Scale: one anti-join on the target url (the same size-gated
+    broadcast-vs-SMJ decision as the resume anti-join — at 10^12 urls both
+    sides shuffle on the url hash) plus one hash aggregation keyed on the
+    target; never a global sort (the order-by exists only for the
+    sf-scale oracle compare)."""
+    resolved = links.select(
+        F.split("url", "/").getItem(2).alias("src_host"),
+        F.when(
+            F.col("href").rlike("^https?://"), F.col("href")
+        ).otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.split("url", "/").getItem(2),
+                F.col("href"),
+            )
+        ).alias("frontier_url"),
+    )
+    crawled = crawled_urls.select(F.col("url").alias("frontier_url"))
+    return (
+        resolved.join(crawled, "frontier_url", "left_anti")
+        .groupBy("frontier_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_refs"),
+            F.countDistinct("src_host").cast("bigint").alias("n_ref_hosts"),
+        )
+        .orderBy("frontier_url")
+    )
+
+
+def run_crawl_frontier(spark, sf_dir: str) -> DataFrame:
+    pages = pages_df(spark, sf_dir)
+    return frontier_df(links_df(pages), pages.select("url"))
+
+
+def frontier_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + """,
+      resolved as (
+        select split_part(url, '/', 3) as src_host,
+               case when href like 'https://%' or href like 'http://%'
+                    then href
+                    else concat('https://', split_part(url, '/', 3), href)
+                    end as frontier_url
+        from lnk
+      ),
+      frontier as (
+        select r.src_host, r.frontier_url
+        from resolved r
+        left join expected e on e.url = r.frontier_url
+        where e.url is null
+      )
+      select frontier_url,
+             cast(count(*) as bigint) as n_refs,
+             cast(count(distinct src_host) as bigint) as n_ref_hosts
+      from frontier group by frontier_url
+      order by frontier_url
+    """
+    )

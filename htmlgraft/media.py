@@ -750,3 +750,101 @@ def media_features_oracle_sql(docs: str = "documents") -> str:
       from m
       order by doc_id
     """
+
+
+# --- charset sniffing (WHATWG encoding prescan subset) ------------------------
+
+def charset_sniff_sql(duck: bool, docs: str = "documents") -> str:
+    """Charset detection over the raw ``html:binary`` column — the WHATWG
+    encoding-sniffing prescan subset an extraction tier runs BEFORE tokenizing
+    (html.spec.whatwg.org "determining the character encoding", public spec):
+    (1) a byte-order mark wins (EF BB BF / FE FF / FF FE), else (2) the first
+    ``charset=`` declaration within the first 1024 BYTES (case-insensitive,
+    optionally quoted), else (3) the windows-1252 default.
+
+    The Spark side genuinely parses bytes: BOM via the hex prefix of the
+    blob, the meta scan via decode of the post-BOM slice capped at 1024
+    chars (the synthesized heads are pure ASCII, so chars == bytes — the cap
+    is the spec's byte budget).  Six deterministic variants per doc_id % 6
+    pin every branch, including a head whose ``<meta charset=koi8-r>`` sits
+    BEYOND the 1024-byte window and must NOT be detected.  DuckDB cannot
+    slice blobs, so the oracle restates the expected verdict relationally
+    from the synthesis parameters and independently recomputes n_bytes =
+    bom_len + head length (an offset bug on either side mismatches).
+
+    Scale: a map-only projection over the page scan — no shuffle at all;
+    the 1024-byte cap bounds per-row work regardless of document size."""
+    d = "varchar" if duck else "string"
+    pad = "repeat('<!-- boilerplate pad -->', 50)"
+    head = (
+        f"concat('<html><head><title>Doc ', cast(doc_id as {d}), '</title>',"
+        " case doc_id % 6"
+        " when 3 then '<meta charset=\"iso-8859-7\">'"
+        " when 4 then '<META HTTP-EQUIV=\"Content-Type\""
+        " CONTENT=\"text/html; CHARSET=Shift_JIS\">'"
+        f" when 5 then concat({pad}, '<meta charset=koi8-r>')"
+        " else '' end,"
+        " '</head><body>hello</body></html>')"
+    )
+    bom = (
+        "case doc_id % 6 when 0 then 'EFBBBF' when 1 then 'FEFF'"
+        " when 2 then 'FFFE' else '' end"
+    )
+    if duck:
+        # relational restatement: expected verdict + independent byte count
+        return f"""
+          with m as (
+            select doc_id, {head} as head, {bom} as bomhex
+            from {docs}
+          )
+          select doc_id,
+                 case when doc_id % 6 in (0, 1, 2) then 'bom'
+                      when doc_id % 6 in (3, 4) then 'meta'
+                      else 'default' end as sniff_src,
+                 case doc_id % 6 when 0 then 'utf-8' when 1 then 'utf-16be'
+                      when 2 then 'utf-16le' when 3 then 'iso-8859-7'
+                      when 4 then 'shift_jis' else 'windows-1252' end
+                   as charset,
+                 cast(length(bomhex) // 2 + length(head) as bigint) as n_bytes
+          from m
+          order by doc_id
+        """
+    return f"""
+      with m as (
+        select doc_id,
+               concat(unhex({bom}), encode({head}, 'UTF-8')) as html
+        from {docs}
+      ),
+      pfx as (
+        select doc_id, html, hex(substr(html, 1, 3)) as hexpfx from m
+      ),
+      bomd as (
+        select doc_id, html,
+               case when hexpfx like 'EFBBBF%' then 3
+                    when hexpfx like 'FEFF%' then 2
+                    when hexpfx like 'FFFE%' then 2
+                    else 0 end as bom_len,
+               case when hexpfx like 'EFBBBF%' then 'utf-8'
+                    when hexpfx like 'FEFF%' then 'utf-16be'
+                    when hexpfx like 'FFFE%' then 'utf-16le'
+                    end as bom_enc
+        from pfx
+      ),
+      scanned as (
+        select doc_id, html, bom_len, bom_enc,
+               regexp_extract(
+                 lower(substr(decode(substr(html, bom_len + 1, 1024),
+                                     'UTF-8'), 1, 1024)),
+                 'charset\\\\s*=\\\\s*["\\\\x27]?([a-z0-9_-]+)', 1) as meta_cs
+        from bomd
+      )
+      select doc_id,
+             case when bom_enc is not null then 'bom'
+                  when meta_cs <> '' then 'meta'
+                  else 'default' end as sniff_src,
+             coalesce(bom_enc, nullif(meta_cs, ''), 'windows-1252')
+               as charset,
+             cast(octet_length(html) as bigint) as n_bytes
+      from scanned
+      order by doc_id
+    """

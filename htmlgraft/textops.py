@@ -2068,3 +2068,89 @@ def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16) -> str:
       group by doc_id, dim
       order by doc_id, dim
     """
+
+
+def gopher_filter_sql(duck: bool, docs: str = "documents") -> str:
+    """Gopher-rules quality filter (Rae et al. 2021 / Dolma, public): the
+    document-shape heuristics a pretraining pipeline applies BEFORE any
+    model-based scoring — word count bounds, mean word length bounds,
+    symbol-token ratio, alphabetic-word ratio, stopword presence — with the
+    first failing rule as the audit reason (fixed priority order, matching
+    ``corpus_filter``'s verdict shape).
+
+    All thresholds use integer surrogates (x10 / permille) so both engines
+    emit identical bigints.  The clean corpus passes trivially, so each rule
+    is pinned by a synthesized per-doc perturbation (the urlops messy-variant
+    pattern): doc_id%17 == 0 truncates to 3 words (word_count), == 1 replaces
+    the text with ten 15-char words (mean_word_length), == 2 appends 20
+    symbol-only tokens (symbol_ratio), == 3 appends 120 digit tokens
+    (alpha_ratio), == 4 strips every stopword (stopwords).
+
+    Scale: one token explode + one per-doc hash agg with map-side combine —
+    linear at 10^12 docs, no joins, no windows."""
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    if duck:
+        first3 = "array_to_string(string_split(text, ' ')[1:3], ' ')"
+        nostop = (
+            "array_to_string(list_filter(string_split(text, ' '), "
+            f"t -> t not in ({stop_in})), ' ')"
+        )
+        is_sym = "regexp_full_match(tok, '[^a-z0-9]+')"
+        is_alpha = "regexp_full_match(tok, '[a-z]+')"
+    else:
+        first3 = "array_join(slice(split(text, ' '), 1, 3), ' ')"
+        nostop = (
+            "array_join(filter(split(text, ' '), "
+            f"t -> not (t in ({stop_in}))), ' ')"
+        )
+        is_sym = "tok rlike '^[^a-z0-9]+$'"
+        is_alpha = "tok rlike '^[a-z]+$'"
+    return f"""
+      with gdocs as (
+        select doc_id,
+               case doc_id % 17
+                 when 0 then {first3}
+                 when 1 then trim(repeat('internationaliz ', 10))
+                 when 2 then concat(text, repeat(' ###', 20))
+                 when 3 then concat(text, repeat(' 12345', 120))
+                 when 4 then {nostop}
+                 else text end as text
+        from {docs}
+      ),
+      {tokens_cte(duck, "gdocs")},
+      stats as (
+        select doc_id,
+               count(*) as n_words,
+               (10 * sum(length(tok))) {"//" if duck else "div"} count(*)
+                 as mean_wlen_x10,
+               (1000 * sum(case when {is_sym} then 1 else 0 end))
+                 {"//" if duck else "div"} count(*) as symbol_permille,
+               (1000 * sum(case when {is_alpha} then 1 else 0 end))
+                 {"//" if duck else "div"} count(*) as alpha_permille,
+               sum(case when tok in ({stop_in}) then 1 else 0 end) as n_stop
+        from tokens where tok <> '' group by doc_id
+      ),
+      verdict as (
+        select doc_id, n_words, mean_wlen_x10, symbol_permille,
+               alpha_permille, n_stop,
+               case when n_words < 8 or n_words > 100000 then 'word_count'
+                    when mean_wlen_x10 < 25 or mean_wlen_x10 > 100
+                      then 'mean_word_length'
+                    when symbol_permille > 100 then 'symbol_ratio'
+                    when alpha_permille < 700 then 'alpha_ratio'
+                    when n_stop < 1 then 'stopwords'
+                    else '' end as reject_reason
+        from stats
+      )
+      select doc_id,
+             cast(n_words as bigint) as n_words,
+             cast(mean_wlen_x10 as bigint) as mean_wlen_x10,
+             cast(symbol_permille as bigint) as symbol_permille,
+             cast(alpha_permille as bigint) as alpha_permille,
+             cast(n_stop as bigint) as n_stop,
+             cast(case when reject_reason = '' then 1 else 0 end as bigint)
+               as keep,
+             reject_reason
+      from verdict
+      order by doc_id
+    """

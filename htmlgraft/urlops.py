@@ -193,6 +193,58 @@ def robots_filter_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
+    """Newest-capture-per-URL selection — the recrawl collapse a
+    Common-Crawl-style pipeline runs before any content processing (each
+    crawl re-fetches URLs; training data wants exactly one, the freshest,
+    snapshot per URL).
+
+    Captures are synthesized deterministically (1 + doc_id % 3 per URL,
+    one day apart, so ties are impossible and both engines agree on the
+    winner); the query itself sees only (url, capture_idx, ts_seconds) and
+    must pick row_number() == 1 per url ordered by ts desc.
+
+    Scale: ONE window partitioned by url — the same hash shuffle as exact
+    dedup, per-url local state, never a global sort.  At 10^12 captures the
+    url key is near-unique (fan-in <= crawl count), so no skew."""
+    d = _d(duck)
+    host = (
+        "case when doc_id % 5 = 0 then 'popular.example.com' "
+        f"else concat('site-', cast(doc_id % 211 as {d['str']}), "
+        "'.example.org') end"
+    )
+    ks = d["range_incl"].format("0", "doc_id % 3")
+    k_col = f"unnest({ks})" if duck else f"explode({ks})"
+    return f"""
+      with caps as (
+        select doc_id,
+               concat('https://', {host}, '/', source, '/',
+                      cast(doc_id as {d['str']})) as url,
+               {k_col} as capture_idx
+        from {docs}
+      ),
+      stamped as (
+        select url, capture_idx,
+               1709251200 + (doc_id % 31536000) + capture_idx * 86400
+                 as ts_seconds
+        from caps
+      ),
+      ranked as (
+        select url, capture_idx, ts_seconds,
+               row_number() over (partition by url order by ts_seconds desc)
+                 as rk,
+               count(*) over (partition by url) as n_captures
+        from stamped
+      )
+      select url,
+             cast(n_captures as bigint) as n_captures,
+             cast(capture_idx as bigint) as latest_capture,
+             cast(ts_seconds as bigint) as latest_ts_seconds
+      from ranked where rk = 1
+      order by url
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

@@ -1,0 +1,91 @@
+"""Semantic pins for the crawl-tier operators added in round 3 session 4:
+gopher_filter (quality rules), latest_snapshot (recrawl collapse),
+charset_sniff (WHATWG prescan subset), crawl_frontier (link discovery).
+
+The value-level oracle agreement is covered by tests/test_entry.py; these
+tests pin the SEMANTICS — that each rule/branch fires for the row it was
+designed to catch — so a threshold or synthesis drift cannot silently turn
+an operator into a no-op while both dialects still agree."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return entrymod.queries()[name](spark, sf_dir).toPandas()
+
+    return run
+
+
+def test_gopher_rules_each_fire(q):
+    df = q("gopher_filter").set_index("doc_id")
+    want = {
+        0: "word_count",
+        1: "mean_word_length",
+        2: "symbol_ratio",
+        3: "alpha_ratio",
+        4: "stopwords",
+    }
+    for doc_id, row in df.iterrows():
+        m = doc_id % 17
+        if m in want:
+            assert row.reject_reason == want[m], (doc_id, dict(row))
+            assert row.keep == 0
+    # the clean corpus mostly survives: every keep row passed every rule
+    kept = df[df.keep == 1]
+    assert len(kept) > 0
+    assert (kept.n_words >= 8).all()
+    assert kept.mean_wlen_x10.between(25, 100).all()
+    assert (kept.symbol_permille <= 100).all()
+    assert (kept.alpha_permille >= 700).all()
+    assert (kept.n_stop >= 1).all()
+
+
+def test_latest_snapshot_picks_newest(q):
+    df = q("latest_snapshot")
+    doc_ids = df.url.str.rsplit("/", n=1).str[1].astype(int)
+    assert (df.n_captures == 1 + doc_ids % 3).all()
+    # newest capture == highest index; ts carries the day offset
+    assert (df.latest_capture == df.n_captures - 1).all()
+    assert (
+        df.latest_ts_seconds
+        == 1709251200 + (doc_ids % 31536000) + df.latest_capture * 86400
+    ).all()
+
+
+def test_charset_sniff_branches(q):
+    df = q("charset_sniff").set_index("doc_id")
+    want = {
+        0: ("bom", "utf-8"),
+        1: ("bom", "utf-16be"),
+        2: ("bom", "utf-16le"),
+        3: ("meta", "iso-8859-7"),
+        4: ("meta", "shift_jis"),
+        5: ("default", "windows-1252"),
+    }
+    for doc_id, row in df.iterrows():
+        src, cs = want[doc_id % 6]
+        assert (row.sniff_src, row.charset) == (src, cs), (doc_id, dict(row))
+    # the % 6 == 5 head DOES declare koi8-r — but beyond the 1024-byte
+    # prescan budget, so the detector must not have seen it
+    beyond = df[df.index % 6 == 5]
+    assert len(beyond) > 0 and (beyond.charset == "windows-1252").all()
+
+
+def test_crawl_frontier_excludes_crawled(q, spark, sf_dir):
+    from htmlgraft.corpus import pages_df
+
+    frontier = q("crawl_frontier")
+    crawled = {
+        r.url for r in pages_df(spark, sf_dir).select("url").collect()
+    }
+    assert crawled, "corpus empty?"
+    assert not (set(frontier.frontier_url) & crawled)
+    # the partner link surfaces uncrawled roots, incl. the heavy host's
+    assert "https://popular.example.com/" in set(frontier.frontier_url)
+    # every crawled host contributes its relative-path targets
+    tos = frontier[frontier.frontier_url.str.endswith("/tos")]
+    assert len(tos) > 0 and (tos.n_ref_hosts == 1).all()
