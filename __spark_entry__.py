@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from htmlgraft import (
-    clusterops, eventops, linkops, media, pdfops, relops, simops, textops,
-    urlops, warcops,
+    clusterops, eventops, linkops, media, pdfops, relops, simops, streaming,
+    textops, urlops, warcops,
 )
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_reconcile": _q_extract_reconcile,
         "extract_ratio": _q_extract_ratio,
         "extract_spans": _q_extract_spans,
+        # streaming ingest (Structured Streaming file source, exactly-once
+        # sink) — same parse UDF, value-checked against the batch oracle
+        "stream_extract_text": streaming.run_stream_extract_text,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_stats": warcops.run_warc_stats,
@@ -352,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_induct": _textop(textops.vocab_induct_sql),
         "bpe_train": textops.run_bpe_train,
         "bpe_vocab": textops.run_bpe_vocab,
+        "bpe_encode": textops.run_bpe_encode,
         "hash_embed": _textop(textops.hash_embed_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
@@ -389,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "warc_extract_text": _expected("select url, text from expected"),
+            "stream_extract_text": _expected("select url, text from expected"),
             "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
             "warc_cdx": warcops.warc_cdx_oracle_sql(),
@@ -433,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
             "vocab_induct": textops.vocab_induct_sql(duck=True),
             "bpe_train": textops.bpe_train_sql(duck=True),
             "bpe_vocab": textops.bpe_vocab_sql(duck=True),
+            "bpe_encode": textops.bpe_encode_sql(duck=True),
             "hash_embed": textops.hash_embed_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),

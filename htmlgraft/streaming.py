@@ -178,3 +178,33 @@ def streaming_dedup(pages: DataFrame, horizon: str = "2 hours") -> DataFrame:
     return pages.withWatermark("warc_ts", horizon).dropDuplicatesWithinWatermark(
         ["url"]
     )
+
+
+def run_stream_extract_text(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the STREAMING ingest path end-to-end under
+    the value-level oracle — pages written to a drop directory, picked up
+    by the file-source stream in bounded micro-batches, parsed by the SAME
+    mapInPandas UDF as the batch job, committed exactly-once to the
+    parquet sink, and read back.  The result must be value-hash-identical
+    to the batch ``extract_text`` oracle, so the streaming deployment
+    shape (checkpointing, micro-batch re-chunking, sink commit protocol)
+    is pinned by the same byte-identity gate as the batch path.
+
+    Scale: the stream is a stateless map — no shuffle, no state store;
+    throughput scales with executors exactly like the batch job, and
+    ``availableNow`` makes the identical query an incremental backfill."""
+    import tempfile
+
+    from .corpus import pages_df
+
+    base = tempfile.mkdtemp(prefix="graft_stream_q_")
+    drop, out, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+    pages_df(spark, sf_dir).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).repartition(4).write.parquet(drop)
+    q = start_results_sink(
+        stream_parse_extract(stream_pages(spark, drop, max_files_per_trigger=2)),
+        out, ckpt,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select("url", "text")

@@ -2039,6 +2039,79 @@ def run_bpe_vocab(spark, sf_dir: str, merges: int = BPE_MERGES):
     """)
 
 
+def _bpe_encode_select(duck: bool, dict_ref: str, docs: str) -> str:
+    """Shared encode body: positional tokens joined to the word->repr dict,
+    aggregated per doc with an ORDER-FAITHFUL stream digest."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    tok = d["elem"].format("ws", "i")
+    nsub = ("len(string_split(repr, ' '))" if duck
+            else "size(split(repr, ' '))")
+    if duck:
+        stream = "md5(string_agg(repr, ' ' order by pos))"
+    else:
+        stream = (
+            "md5(array_join(transform("
+            "array_sort(collect_list(struct(pos, repr))), s -> s.repr), ' '))"
+        )
+    return f"""
+      encw as (select doc_id, {ws} as ws from {docs}),
+      ptok as (
+        select doc_id, i as pos, {tok} as tok
+        from (select doc_id, ws, {un}({d['range_incl'].format('1', n)}) as i
+              from encw)
+      ),
+      enc as (
+        select p.doc_id, p.pos, v.repr, {nsub} as n_sub
+        from ptok p join {dict_ref} v on v.word = p.tok
+        where p.tok <> ''
+      )
+      select doc_id,
+             cast(count(*) as bigint) as n_tokens,
+             cast(sum(n_sub) as bigint) as n_subwords,
+             cast((100 * sum(n_sub)) {"//" if duck else "div"} count(*)
+                  as bigint) as fertility_x100,
+             {stream} as stream_md5
+      from enc
+      group by doc_id
+      order by doc_id"""
+
+
+def bpe_encode_sql(
+    duck: bool, docs: str = "documents", merges: int = BPE_MERGES
+) -> str:
+    """Tokenizer APPLICATION — encode every document with the trained BPE
+    merges (the runtime half of ``bpe_train``; together they are the full
+    tokenizer lifecycle a data pipeline runs).  Each token looks up its
+    post-merge subword repr in the trained dict; per doc we emit token and
+    subword counts, fertility (subwords per 100 tokens — the tokenizer-
+    quality number), and an md5 over the POSITION-ORDERED subword stream,
+    so a wrong merge application or a shuffled order mismatches the oracle.
+
+    Scale: the word->repr dict is vocabulary-bounded (10^5-ish rows at web
+    scale) — a broadcast join against the token explode, so hot stopwords
+    cause no shuffle skew; the per-doc agg is one hash shuffle on doc_id.
+    The ordered digest uses a per-doc sorted aggregate (array_sort of
+    (pos, repr) structs / string_agg order by) — per-document local state,
+    never a global sort."""
+    return f"""
+      with {_bpe_rounds(duck, docs, merges)},
+      {_bpe_encode_select(duck, f"dict{merges}", docs)}
+    """
+
+
+def run_bpe_encode(spark, sf_dir: str, merges: int = BPE_MERGES):
+    """Iterative-runner twin of ``bpe_encode_sql``: train via
+    ``_run_bpe_rounds`` (persisted dict, 1-row argmax collects), then
+    encode the corpus against the final dict view."""
+    _, last = _run_bpe_rounds(spark, sf_dir, merges)
+    return spark.sql(
+        f"with {_bpe_encode_select(False, last, 'documents')}"
+    )
+
+
 def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16) -> str:
     """Feature-hashing document embedding (the hashing trick, Weinberger et
     al. 2009, public): each token hashes to one of ``dims`` buckets with a

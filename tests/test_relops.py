@@ -540,6 +540,63 @@ def test_bpe_train_pure_python_recompute(spark, sf_dir):
     assert vgot == {s: (vocab[s], nw[s]) for s in vocab}
 
 
+def test_bpe_encode_pure_python_recompute(spark, sf_dir):
+    """Tokenizer application pinned end-to-end: retrain the merge table in
+    pure Python (same loop as the bpe_train pin), encode every document
+    with it, and require the Spark encode's counts, fertility, and the
+    position-ordered stream md5 to agree per doc."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from htmlgraft import textops
+    from htmlgraft.textops import BPE_MERGES, BPE_REPLACE_PASSES
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").toPandas()
+    )
+    wc = Counter(
+        t for txt in docs["text"] for t in txt.split(" ") if t != ""
+    )
+    rep = {w: re.sub(r"(.)", r"\1 ", w).strip(" ") for w in wc}
+    for _t in range(BPE_MERGES):
+        pairs = Counter()
+        for w, cnt in wc.items():
+            ss = rep[w].split(" ")
+            for i in range(len(ss) - 1):
+                pairs[(ss[i], ss[i + 1])] += cnt
+        if not pairs:
+            break
+        (left, right), _c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        pat, sub = f" {left} {right} ", f" {left}{right} "
+        for w in rep:
+            s = " " + rep[w] + " "
+            for _ in range(BPE_REPLACE_PASSES):
+                s = s.replace(pat, sub)
+            rep[w] = s.strip(" ")
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_subwords"], r["fertility_x100"],
+            r["stream_md5"],
+        )
+        for r in textops.run_bpe_encode(spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs)
+    for _, d in docs.iterrows():
+        toks = [t for t in d["text"].split(" ") if t != ""]
+        stream = " ".join(rep[t] for t in toks)
+        nsub = sum(len(rep[t].split(" ")) for t in toks)
+        want = (
+            len(toks), nsub, (100 * nsub) // len(toks),
+            hashlib.md5(stream.encode()).hexdigest(),
+        )
+        assert got[d["doc_id"]] == want, d["doc_id"]
+
+
 def test_hash_embed_pure_python_recompute(spark, sf_dir):
     """Feature-hashing embedding pinned by per-token recompute (md5-derived
     bucket + sign bit) for a sample of documents, including the absence of
