@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
         "fingerprint": _textop(textops.fingerprint_sql),
+        "winnow_fingerprint": _textop(textops.winnow_fingerprint_sql),
         "keyword_extract": _textop(textops.keyword_extract_sql),
         "stratified_sample": _textop(textops.stratified_sample_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
             "quality_score": textops.quality_sql(duck=True),
             "token_count": textops.token_count_sql(duck=True),
             "fingerprint": textops.fingerprint_sql(duck=True),
+            "winnow_fingerprint": textops.winnow_fingerprint_sql(duck=True),
             "keyword_extract": textops.keyword_extract_sql(duck=True),
             "stratified_sample": textops.stratified_sample_sql(duck=True),
             "decontaminate": textops.decontaminate_sql(duck=True),

@@ -2143,6 +2143,75 @@ def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16) -> str:
     """
 
 
+WINNOW_K = 4  # k-gram width (tokens) for winnowing fingerprints
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per W k-grams
+
+
+def winnow_fingerprint_sql(duck: bool, docs: str = "documents") -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — public):
+    hash every {K}-token k-gram, slide a window of {W} consecutive k-gram
+    hashes, and select each window's minimum — the guarantee is that any
+    shared substring of >= {K}+{W}-1 tokens shares a SELECTED fingerprint,
+    at ~2/(W+1) the density of keeping every k-gram.  This is the robust
+    substring-fingerprint layer between whole-doc ``fingerprint`` (md5) and
+    the exhaustive ``substring_dedup`` span map.
+
+    Ties break to the RIGHTMOST position like the paper's robust variant;
+    both engines agree because the minimum runs over one bigint encoding
+    (hash * 2^20 + (2^20 - pos)) — deterministic, no float, no collation.
+
+    Scale: positions and window minima are per-document window functions
+    partitioned by doc_id (local state, one shuffle on doc_id); the
+    fingerprint relation is ~2/(W+1) of the token count and narrow —
+    linear at 10^12 docs, never a global sort."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    k = WINNOW_K
+    if duck:
+        gram = f"array_to_string(ws[i:i + {k - 1}], ' ')"
+    else:
+        gram = f"array_join(slice(ws, i, {k}), ' ')"
+    h = h32("gram", duck)
+    return f"""
+      with wnw as (select doc_id, {ws} as ws from {docs}),
+      grams as (
+        select doc_id, i as pos, {gram} as gram
+        from (
+          select doc_id, ws,
+                 {un}({d['range_incl'].format('1', f'{n} - {k - 1}')}) as i
+          from wnw where {n} >= {k}
+        )
+      ),
+      hashed as (
+        select doc_id, pos,
+               ({h}) * 1048576 + (1048576 - pos) as code
+        from grams
+      ),
+      wins as (
+        select doc_id, pos,
+               min(code) over (
+                 partition by doc_id order by pos
+                 rows between current row and {WINNOW_W - 1} following
+               ) as sel_code,
+               max(pos) over (partition by doc_id) as max_pos
+        from hashed
+      ),
+      selected as (
+        select distinct doc_id, sel_code
+        from wins where pos <= max_pos - {WINNOW_W - 1}
+      )
+      select doc_id,
+             cast(sel_code {"//" if duck else "div"} 1048576 as bigint)
+               as fp_hash,
+             cast(1048576 - (sel_code % 1048576) as bigint) as fp_pos
+      from selected
+      order by doc_id, fp_pos
+    """
+
+
 def gopher_filter_sql(duck: bool, docs: str = "documents") -> str:
     """Gopher-rules quality filter (Rae et al. 2021 / Dolma, public): the
     document-shape heuristics a pretraining pipeline applies BEFORE any

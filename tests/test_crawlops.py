@@ -75,6 +75,58 @@ def test_charset_sniff_branches(q):
     assert len(beyond) > 0 and (beyond.charset == "windows-1252").all()
 
 
+def test_winnow_fingerprint_pure_python_recompute(q, spark, sf_dir):
+    """Third independent implementation of winnowing: per doc, hash every
+    k-gram (md5-derived 32-bit, the shared h32), slide the W-window, select
+    each window's minimum with rightmost tie-break, dedupe — and require
+    the Spark/window-function result to agree exactly.  Also pins the
+    paper's guarantee on the corpus duplicates: identical texts select
+    identical fingerprint (hash, pos) sets."""
+    import hashlib
+    from collections import defaultdict
+
+    from htmlgraft.textops import WINNOW_K, WINNOW_W
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").toPandas()
+    )
+    want = defaultdict(set)
+    texts = {}
+    for _, d in docs.iterrows():
+        ws = d["text"].split(" ")
+        texts[d["doc_id"]] = d["text"]
+        if len(ws) < WINNOW_K:
+            continue
+        grams = [
+            " ".join(ws[i:i + WINNOW_K])
+            for i in range(len(ws) - WINNOW_K + 1)
+        ]
+        codes = [
+            h32(g) * 1048576 + (1048576 - (i + 1))
+            for i, g in enumerate(grams)
+        ]
+        for s in range(len(codes) - WINNOW_W + 1):
+            m = min(codes[s:s + WINNOW_W])
+            want[d["doc_id"]].add((m // 1048576, 1048576 - (m % 1048576)))
+
+    got = defaultdict(set)
+    for r in q("winnow_fingerprint").itertuples():
+        got[r.doc_id].add((r.fp_hash, r.fp_pos))
+    assert dict(got) == {k: v for k, v in want.items() if v}
+    # identical text => identical fingerprint set (the dedup guarantee)
+    by_text = defaultdict(list)
+    for doc_id, t in texts.items():
+        by_text[t].append(doc_id)
+    for _t, ids in by_text.items():
+        if len(ids) > 1:
+            sets = [got[i] for i in ids]
+            assert all(s == sets[0] for s in sets)
+
+
 def test_crawl_frontier_excludes_crawled(q, spark, sf_dir):
     from htmlgraft.corpus import pages_df
 
