@@ -111,7 +111,7 @@ def kmeans_assign_sql(duck: bool, emb: str = "embeddings") -> str:
     return f"""
       with {_kmeans_ctes(duck, emb)},
       {_iteration_ctes(duck, final, f"cents{ITERS}").strip()}
-      select cid as cluster_id,
+      select cast(cid as bigint) as cluster_id,
              count(*) as n_vectors,
              min(vec_id) as min_vec_id,
              cast(min(d2) as bigint) as min_d2,
@@ -131,7 +131,8 @@ def kmeans_centroids_sql(duck: bool, emb: str = "embeddings") -> str:
     val = d["elem"].format("qe", "dim")
     return f"""
       with {_kmeans_ctes(duck, emb)}
-      select c.cid as cluster_id, dims.dim,
+      select cast(c.cid as bigint) as cluster_id,
+             cast(dims.dim as bigint) as dim,
              cast({val} as bigint) as value
       from cents{ITERS} c cross join {_dims_rel(duck)} dims
       order by cluster_id, dim
@@ -217,7 +218,7 @@ def run_kmeans_assign(spark, sf_dir: str):
           from __km_v v cross join __km_cents c
         )
       )
-      select cid as cluster_id,
+      select cast(cid as bigint) as cluster_id,
              count(*) as n_vectors,
              min(vec_id) as min_vec_id,
              cast(min(d2) as bigint) as min_d2,
@@ -233,7 +234,7 @@ def run_kmeans_centroids(spark, sf_dir: str):
     d = _d(False)
     val = d["elem"].format("qe", "dim")
     return spark.sql(f"""
-      select c.cid as cluster_id, dims.dim, cast({val} as bigint) as value
+      select cast(c.cid as bigint) as cluster_id, cast(dims.dim as bigint) as dim, cast({val} as bigint) as value
       from __km_cents c cross join {_dims_rel(False)} dims
       order by cluster_id, dim
     """)

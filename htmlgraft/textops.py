@@ -854,7 +854,7 @@ def keyword_extract_sql(duck: bool, docs: str = "documents", k: int = 3) -> str:
                ) as rk
         from tf join df on df.tok = tf.tok
       )
-      select doc_id, rk as rank,
+      select doc_id, cast(rk as bigint) as rank,
              tok as keyword,
              cast(tf as bigint) as tf,
              cast(df as bigint) as df
@@ -1722,7 +1722,7 @@ def vocab_induct_sql(duck: bool, docs: str = "documents") -> str:
                row_number() over (order by n desc, tok asc) as rk
         from counts
       )
-      select rk as rank,
+      select cast(rk as bigint) as rank,
              tok as token,
              cast(n as bigint) as n,
              cast((1000 * sum(n) over (
