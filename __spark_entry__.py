@@ -187,6 +187,83 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_corpus_build(spark, sf_dir):
+    """The end-to-end dataset build a user of this engine actually ships:
+    parse+extract the (doubled) crawl, then decide keep/drop per document —
+    exact dedup on the EXTRACTED text (string-min url wins), minimum token
+    count, stopword presence — emitting the verdict with the first matching
+    reject reason and the keeper url for dropped duplicates.
+
+    The multiplier-2 corpus makes every rule fire: each page has one
+    content-identical twin under a different url (exact_dup), short docs
+    and stopword-free docs occur naturally.
+
+    Scale: one parse pass, one hash shuffle on md5(text) for the keeper
+    choice, map-only filters — the same shapes as extract_text +
+    dedup_exact composed; nothing new materializes at 10^12 docs."""
+    res = parse_extract(pages_df(spark, sf_dir, multiplier=2)).select(
+        "url", "text"
+    )
+    res.createOrReplaceTempView("__build_res")
+    return spark.sql("""
+      with t as (
+        select url, text, md5(text) as h,
+               size(split(text, '[ \\n]')) as n_tokens,
+               size(filter(split(text, '[ \\n]'),
+                    x -> x in ('the','a','of','and','to','in'))) as n_stop
+        from __build_res
+      ),
+      keep1 as (select h, min(url) as keeper_url from t group by h),
+      verdict as (
+        select t.url, t.n_tokens, k.keeper_url,
+               case when t.url <> k.keeper_url then 'exact_dup'
+                    when t.n_tokens < 30 then 'too_short'
+                    when t.n_stop = 0 then 'no_stopwords'
+                    else '' end as reject_reason
+        from t join keep1 k on k.h = t.h
+      )
+      select url,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(case when reject_reason = '' then 1 else 0 end as bigint)
+               as keep,
+             reject_reason,
+             case when reject_reason = 'exact_dup' then keeper_url
+                  else '' end as keeper_url
+      from verdict
+      order by url
+    """)
+
+
+def _corpus_build_oracle() -> str:
+    return pages_oracle_cte(multiplier=2) + """
+      , t as (
+        select url, text, md5(text) as h,
+               len(string_split_regex(text, '[ \\n]')) as n_tokens,
+               len(list_filter(string_split_regex(text, '[ \\n]'),
+                   x -> x in ('the','a','of','and','to','in'))) as n_stop
+        from expected
+      ),
+      keep1 as (select h, min(url) as keeper_url from t group by h),
+      verdict as (
+        select t.url, t.n_tokens, k.keeper_url,
+               case when t.url <> k.keeper_url then 'exact_dup'
+                    when t.n_tokens < 30 then 'too_short'
+                    when t.n_stop = 0 then 'no_stopwords'
+                    else '' end as reject_reason
+        from t join keep1 k on k.h = t.h
+      )
+      select url,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(case when reject_reason = '' then 1 else 0 end as bigint)
+               as keep,
+             reject_reason,
+             case when reject_reason = 'exact_dup' then keeper_url
+                  else '' end as keeper_url
+      from verdict
+      order by url
+    """
+
+
 def _expected(select: str) -> str:
     return pages_oracle_cte() + " " + select
 
@@ -298,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_reconcile": _q_extract_reconcile,
         "extract_ratio": _q_extract_ratio,
         "extract_spans": _q_extract_spans,
+        "corpus_build": _q_corpus_build,
         # streaming ingest (Structured Streaming file source, exactly-once
         # sink) — same parse UDF, value-checked against the batch oracle
         "stream_extract_text": streaming.run_stream_extract_text,
@@ -395,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "warc_extract_text": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
+            "corpus_build": _corpus_build_oracle(),
             "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
             "warc_cdx": warcops.warc_cdx_oracle_sql(),
