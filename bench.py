@@ -301,6 +301,18 @@ def main() -> None:
                 spark, sf_dir, textops.quality_classify_sql
             ).count(),
         )
+        timed(
+            "winnow_fingerprint",
+            lambda: textops.run(
+                spark, sf_dir, textops.winnow_fingerprint_sql
+            ).count(),
+        )
+        timed(
+            "gopher_filter",
+            lambda: textops.run(
+                spark, sf_dir, textops.gopher_filter_sql
+            ).count(),
+        )
         probes["ops"].append(_noise_probe())
     spark.stop()
 
