@@ -162,7 +162,9 @@ class TreeBuilder:
     # --- schema-directed open / append / close (treebuilder.js:181-240) ---
 
     def try_open(self, name, attrs, id, kind, rule):
-        if self._prepare(name, kind):
+        # the leading content test is _prepare's first-iteration fast path,
+        # inlined here to skip the call in the common already-insertable case
+        if kind & self.tip.rule.content or self._prepare(name, kind):
             node = Element(name, attrs)
             tip = self.tip
             tip_ = tip.apply_rule(rule, name, id, kind, node)
@@ -179,7 +181,8 @@ class TreeBuilder:
         return False
 
     def try_append(self, item, kind):
-        if self._prepare(getattr(item, "name", None), kind):
+        if kind & self.tip.rule.content or \
+                self._prepare(getattr(item, "name", None), kind):
             tip = self.tip
             parent = tip.fosterParent if kind & tip.rule.trap else tip.node
             parent.children.append(item)

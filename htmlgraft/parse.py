@@ -70,6 +70,22 @@ _C_body = C["body"]
 _C_head = C["head"]
 _C_html = C["html"]
 
+# class ids hoisted out of the per-tag hot path (eq is a dict)
+_ID_html = eq["html"]
+_ID_head = eq["head"]
+_ID_body = eq["body"]
+_ID_frameset = eq["frameset"]
+_ID_table = eq["table"]
+_ID_select = eq["select"]
+_ID_image = eq["image"]
+_ID_img = eq["img"]
+_ID_form = eq["form"]
+_ID_svg = eq["svg"]
+_ID_math = eq["math"]
+_ID_br = eq["br"]
+_ID_p = eq["p"]
+_ID_Heading = eq["Heading"]
+
 # SVG camelCase tag-name adjustments (parser.js:361-403)
 _CORRECTED_SVG_TAG_NAMES = (
     "altGlyph", "altGlyphDef", "altGlyphItem", "animateColor", "animateMotion",
@@ -112,17 +128,17 @@ class Parser:
 
     def _onopen(self, name, id, node, node_parent, node_index):
         builder = self.builder
-        if id == eq["html"]:
+        if id == _ID_html:
             self.html = node
-        elif id == eq["head"]:
+        elif id == _ID_head:
             builder.document.head = node
             self.head = node
             builder.stack[1].fosterParent = node  # html frame fosters to head
-        elif id == eq["body"]:
+        elif id == _ID_body:
             self.bodyIndex = node_index
             builder.document.body = node
             self.body = node
-        elif id == eq["frameset"]:
+        elif id == _ID_frameset:
             if self.body is None:
                 self.bodyIndex = node_index
             elif self.body.name == "body":
@@ -130,7 +146,7 @@ class Parser:
                 self.html.children[self.bodyIndex] = node
             builder.document.body = node
             self.body = node
-        elif id == eq["table"]:
+        elif id == _ID_table:
             # foster-parent setup: splice '#reparented' before the table
             parent = Element("#reparented")
             builder.tip.fosterParent = parent
@@ -152,34 +168,34 @@ class Parser:
 
         self.mode &= _clearMode
 
-        if cid == eq["body"] or cid == eq["head"]:
+        if cid == _ID_body or cid == _ID_head:
             # <body>/<head> escalate out of svg/math (parser.js:143-153)
             if namespace & (NS_SVG | NS_MATH):
                 if namespace & NS_SVG:
-                    name, fid = "svg", eq["svg"]
+                    name, fid = "svg", _ID_svg
                 else:
-                    name, fid = "math", eq["math"]
+                    name, fid = "math", _ID_math
                 builder.try_close(name, 1 << fid)
                 return builder.tip.kind
             return self._write_tag(item, cid, kind, rule)
 
-        if cid == eq["frameset"]:
+        if cid == _ID_frameset:
             if builder.allOpened & ~_C_FramesetOK:
                 return builder.tip.kind
             return self._write_tag(item, cid, _C_frameset, rule)
 
-        if cid == eq["select"]:
+        if cid == _ID_select:
             if nesting & _C_select:
                 builder.try_close("select", _C_select)
                 return builder.tip.kind
             return self._write_tag(item, cid, _C_select, rule)
 
-        if cid == eq["image"]:
-            return self._write_tag(Element("img", item.attrs), eq["img"], _C_img, rule)
+        if cid == _ID_image:
+            return self._write_tag(Element("img", item.attrs), _ID_img, _C_img, rule)
 
-        if cid == eq["form"]:
+        if cid == _ID_form:
             if (nesting & _C_form) == 0:
-                self._write_tag(item, eq["form"], kind, rule)
+                self._write_tag(item, _ID_form, kind, rule)
             return builder.tip.kind
 
         if cid in _SELF_NESTING_IDS:
@@ -191,7 +207,7 @@ class Parser:
 
     def _write_tag(self, item, cid, kind, rule):
         builder = self.builder
-        if kind & _C_Reformat:
+        if kind & _C_Reformat and builder.formatting:
             builder.reconstruct_formatting()
 
         in_svg = builder.tip.namespace & NS_SVG
@@ -220,35 +236,35 @@ class Parser:
         hit = BREAKOUT_RULES.get(name)
         cid = hit[0] if hit is not None else None
 
-        if cid == eq["br"]:
+        if cid == _ID_br:
             # </br> -> <br> without attributes (parser.js:233-236)
             node = Element(name)
             _, rule = child_rule(node.name, None, tip)
-            return self._write_tag(node, eq["br"], _C_br, rule)
+            return self._write_tag(node, _ID_br, _C_br, rule)
 
-        if cid == eq["p"]:
+        if cid == _ID_p:
             # </p> outside a <p> becomes <p></p> (parser.js:238-247)
             if not (closable & _C_p) and self.body is not None:
                 node = Element(name)
                 _, rule = HTML_RULES["p"]
-                self._write_tag(node, eq["p"], _C_p, rule)
+                self._write_tag(node, _ID_p, _C_p, rule)
                 builder.try_close(item.name, _C_p)
                 return builder.tip.kind
 
-        elif cid == eq["Heading"]:
+        elif cid == _ID_Heading:
             builder.try_close_by_kind(_C_Heading)
             return builder.tip.kind
 
-        elif cid == eq["body"]:
+        elif cid == _ID_body:
             # </body> after head -> synthesize <body> (parser.js:256-264)
             if self.head is None or nesting & _C_head:
                 _, rule = child_rule(item.name, None, tip)
-                builder.try_open(item.name, {}, eq["body"], _C_body, rule)
+                builder.try_open(item.name, {}, _ID_body, _C_body, rule)
             if self.body is not None and not (builder.tip.nestingContext & _dontSetMode):
                 self.mode = _afterBody
             return builder.tip.kind
 
-        elif cid == eq["head"]:
+        elif cid == _ID_head:
             r = builder.tip.rule
             before_head = (
                 r is RULES["documentRule"]
@@ -257,7 +273,7 @@ class Parser:
             )
             if before_head:
                 _, rule = child_rule(item.name, None, tip)
-                builder.try_open(item.name, {}, eq["head"], _C_head, rule)
+                builder.try_open(item.name, {}, _ID_head, _C_head, rule)
                 builder.try_close(name, _C_head)
                 return builder.tip.kind
 
@@ -329,7 +345,8 @@ class Parser:
         self.n_tokens += 1
         self.mode &= _clearMode
         builder = self.builder
-        builder.reconstruct_formatting()
+        if builder.formatting:
+            builder.reconstruct_formatting()
         builder.try_append(item, _C_TEXT)
         return builder.tip.kind
 
@@ -342,7 +359,7 @@ class Parser:
             if allow_foster_parenting and builder.tip.kind & _leadingSpaceAdjust
             else _C_SPACE
         )
-        if kind & _C_Reformat:
+        if kind & _C_Reformat and builder.formatting:
             builder.reconstruct_formatting()
         builder.try_append(buff, kind)
         return builder.tip.kind
@@ -372,12 +389,12 @@ class Parser:
         builder = self.builder
         if self.initial_rule is RULES["documentRule"]:
             if self.html is None:
-                builder.try_open("html", {}, eq["html"], _C_html, RULES["beforeHead"])
+                builder.try_open("html", {}, _ID_html, _C_html, RULES["beforeHead"])
             if self.head is None:
-                if not builder.try_open("head", {}, eq["head"], _C_head, RULES["inHead"]):
+                if not builder.try_open("head", {}, _ID_head, _C_head, RULES["inHead"]):
                     self.html.children.append(Element("head"))
             if self.body is None:
-                if not builder.try_open("body", {}, eq["body"], _C_body, RULES["inBody"]):
+                if not builder.try_open("body", {}, _ID_body, _C_body, RULES["inBody"]):
                     self.html.children.append(Element("body"))
         return builder.tip.kind
 
