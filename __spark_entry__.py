@@ -187,6 +187,139 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_line_scrub(spark, sf_dir):
+    """C4-style duplicated-line REMOVAL (not just detection): lines that
+    occur more than twice corpus-wide are scrubbed from every document's
+    extracted text, and each document re-emits with its cleaned-text digest
+    plus kept/dropped line counts.  Repetitious documents (corpus repeat
+    factor >= 3) lose their content lines; unique docs pass through — both
+    outcomes occur naturally at every sf.
+
+    Scale: one hash agg keyed on the line for the counts, one join back,
+    one per-url agg to reassemble (array_sort over the doc's own lines —
+    per-document local state, never a global sort).  The parsed relation
+    feeds BOTH the counts side and the join-back side, so it is persisted
+    once — otherwise Catalyst inlines the view and the corpus parses
+    twice (plan-audited in PLANS.md)."""
+    parse_extract(pages_df(spark, sf_dir)).select("url", "text") \
+        .persist().createOrReplaceTempView("__scrub_res")
+    return spark.sql("""
+      with lines as (
+        select url, posexplode(split(text, chr(10))) as (idx, line)
+        from __scrub_res
+      ),
+      counts as (select line, count(*) as n_total from lines group by line),
+      flagged as (
+        select l.url, l.idx, l.line,
+               case when c.n_total > 2 then 0 else 1 end as keep
+        from lines l join counts c on c.line = l.line
+      )
+      select url,
+             md5(coalesce(array_join(transform(array_sort(collect_list(
+                   case when keep = 1 then struct(idx, line) end)),
+                 x -> x.line), chr(10)), '')) as scrub_md5,
+             cast(sum(keep) as bigint) as n_kept,
+             cast(sum(1 - keep) as bigint) as n_dropped
+      from flagged
+      group by url
+      order by url
+    """)
+
+
+def _q_layout_cluster(spark, sf_dir):
+    """Template detection: cluster pages by their DOM layout skeleton — the
+    document-order tag-name sequence pulled from the serialized DOM the
+    parse stage already emits (element lines of the html5lib-style print;
+    text/comment/doctype lines don't match the line-anchored pattern).
+    Boilerplate-heavy crawls collapse into a handful of skeletons; the
+    cluster table is what a template-stripping tier keys on.
+
+    The oracle restates the expected skeleton INDEPENDENTLY from the corpus
+    repeat factor (prefix + ' p b' * r + suffix), so this query cross-pins
+    the parser's structural output — tbody synthesis, implicit li/tr/td
+    closes, foster-parent splice — against a relational statement of it.
+
+    Scale: map-side regexp over the dom column + ONE hash agg on the
+    skeleton digest; the result is template-count-sized."""
+    parse_extract(pages_df(spark, sf_dir), include_dom=True) \
+        .select("url", "dom").createOrReplaceTempView("__layout_res")
+    return spark.sql(r"""
+      with skel as (
+        select url,
+               md5(array_join(regexp_extract_all(dom,
+                 '(?m)^\\| *<([a-zA-Z][a-zA-Z0-9-]*)>$', 1), ' '))
+                 as skeleton_md5
+        from __layout_res
+      )
+      select skeleton_md5,
+             cast(count(*) as bigint) as n_pages,
+             min(url) as exemplar_url
+      from skel
+      group by skeleton_md5
+      order by skeleton_md5
+    """)
+
+
+# layout_cluster oracle: the corpus template's parsed tag sequence.  The
+# constants below restate what the PARSER must produce for the known page
+# template — including the <tbody> the source never contains, the implicit
+# <li>/<tr>/<td> closes, and the svg subtree — as a function of the repeat
+# factor r alone (attribute differences don't change the skeleton).
+_LAYOUT_PRE = (
+    "html head meta title style script body nav ul li a li a li a "
+    "header h1 p div"
+)
+_LAYOUT_SUF = (
+    " table tbody tr th td tr th td tr th td a aside svg circle desc "
+    "ul li a li a footer a a"
+)
+
+
+def _layout_cluster_oracle() -> str:
+    return pages_oracle_cte() + f"""
+      , skel as (
+        select e.url,
+               md5('{_LAYOUT_PRE}' || repeat(' p b', d.r) || '{_LAYOUT_SUF}')
+                 as skeleton_md5
+        from expected e join derived d on d.doc_id = e.doc_id
+      )
+      select skeleton_md5,
+             cast(count(*) as bigint) as n_pages,
+             min(url) as exemplar_url
+      from skel
+      group by skeleton_md5
+      order by skeleton_md5
+    """
+
+
+def _line_scrub_oracle() -> str:
+    # Same scrub restated over the oracle's expected text: DuckDB's zipped
+    # unnest/generate_subscripts gives the line index, string_agg(... order
+    # by idx) reassembles kept lines in document order.
+    return pages_oracle_cte() + """
+      , lines as (
+        select url,
+               generate_subscripts(string_split(text, chr(10)), 1) - 1 as idx,
+               unnest(string_split(text, chr(10))) as line
+        from expected
+      ),
+      counts as (select line, count(*) as n_total from lines group by line),
+      flagged as (
+        select l.url, l.idx, l.line,
+               case when c.n_total > 2 then 0 else 1 end as keep
+        from lines l join counts c on c.line = l.line
+      )
+      select url,
+             md5(coalesce(string_agg(case when keep = 1 then line end,
+                   chr(10) order by idx), '')) as scrub_md5,
+             cast(sum(keep) as bigint) as n_kept,
+             cast(sum(1 - keep) as bigint) as n_dropped
+      from flagged
+      group by url
+      order by url
+    """
+
+
 def _q_corpus_build(spark, sf_dir):
     """The end-to-end dataset build a user of this engine actually ships:
     parse+extract the (doubled) crawl, then decide keep/drop per document —
@@ -392,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": linkops.run_anchor_text,
         "crawl_frontier": linkops.run_crawl_frontier,
         "line_dedup": _q_line_dedup,
+        "line_scrub": _q_line_scrub,
+        "layout_cluster": _q_layout_cluster,
         # deduplication suite (documents table)
         "dedup_exact": _textop(textops.dedup_exact_sql),
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
@@ -436,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": textops.run_bpe_vocab,
         "bpe_encode": textops.run_bpe_encode,
         "hash_embed": _textop(textops.hash_embed_sql),
+        "inverted_index": _textop(textops.inverted_index_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -474,6 +610,9 @@ def oracle_sql() -> dict[str, str]:
             "warc_extract_text": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "corpus_build": _corpus_build_oracle(),
+            "line_scrub": _line_scrub_oracle(),
+            "layout_cluster": _layout_cluster_oracle(),
+            "inverted_index": textops.inverted_index_sql(duck=True),
             "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
             "warc_cdx": warcops.warc_cdx_oracle_sql(),

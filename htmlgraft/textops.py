@@ -2296,3 +2296,39 @@ def gopher_filter_sql(duck: bool, docs: str = "documents") -> str:
       from verdict
       order by doc_id
     """
+
+
+def inverted_index_sql(duck: bool, docs: str = "documents") -> str:
+    """IR-shape inverted index over the corpus vocabulary: per token, the
+    document frequency, total term frequency, and an exact digest of the
+    sorted posting list (md5 over the comma-joined sorted distinct doc_ids —
+    the digest keeps the oracle value-exact without shipping posting arrays
+    through the compare).
+
+    Scale (10^12 docs): one (doc_id, tok) explode that aggregates map-side,
+    then ONE hash shuffle keyed on the token — the canonical index-build
+    shape.  Posting lists for stopword-grade tokens are corpus-sized; a
+    production build would shard them (tok, doc_id div S), which changes
+    only the group key.  No global sort: the order-by is oracle-compare
+    ordering over the vocabulary-bounded result."""
+    if duck:
+        postings = (
+            "md5(array_to_string(list_transform("
+            "list_sort(list(distinct doc_id)), x -> cast(x as varchar)), ','))"
+        )
+    else:
+        postings = (
+            "md5(concat_ws(',', transform("
+            "array_sort(collect_set(doc_id)), x -> cast(x as string))))"
+        )
+    return f"""
+      with {tokens_cte(duck, docs)}
+      select tok,
+             cast(count(distinct doc_id) as bigint) as n_docs,
+             cast(count(*) as bigint) as n_total,
+             {postings} as postings_md5
+      from tokens
+      where tok <> ''
+      group by tok
+      order by tok
+    """
