@@ -2332,3 +2332,205 @@ def inverted_index_sql(duck: bool, docs: str = "documents") -> str:
       group by tok
       order by tok
     """
+
+
+BM25_TOPK = 3    # documents returned per query
+BM25_LANES = 8   # phase-1 lanes bounding the per-query ranking window
+BM25_NQ = 4      # queries synthesized from the corpus vocabulary
+
+
+def bm25_search_sql(duck: bool, docs: str = "documents") -> str:
+    """BM25 ranked retrieval (Robertson/Spärck Jones probabilistic
+    relevance, public) over the corpus: the consumer of the inverted-index
+    shape — given a query term set, rank documents by summed per-term
+    relevance.  The query set is synthesized FROM the corpus vocabulary
+    (top-{2*BM25_NQ} tokens of length >= 4 by document frequency, paired
+    rank i with rank i+{BM25_NQ}), so both engines derive identical queries
+    with no fixture dependency.
+
+    All arithmetic is integer-quantized so both engines emit identical
+    bigints (the repo's no-floats invariant):
+      norm_m = 250 + (750 * dl * n_docs) div total_toks  -- 1000*((1-b) + b*dl/avgdl), b=0.75
+      idf_m  = (1000 * (n_docs - df + 1)) div (df + 1)   -- monotone rational idf surrogate
+      tf_q   = (22000000 * tf) div (10000*tf + 12*norm_m)  -- 10^4 * tf*(k1+1)/(tf+k1*norm), k1=1.2
+      score  = sum(idf_m * tf_q) over the query's terms
+    (tf_q carries 4 fractional digits of the 0..2.2 true tf component —
+    enough that tf and document-length variation rank, not just term
+    presence; a 10^3 quantizer measurably collapsed to presence tiers).
+    (documented surrogates: rational idf in place of ln-idf preserves the
+    df ordering; at 10^12 docs the 750*dl*n_docs product approaches bigint
+    range — a production build would precompute avgdl once instead).
+
+    Scale shape: tf/dl/df are the index-build aggregations (map-side
+    combine, one shuffle each); the query relation is {2*BM25_NQ} rows
+    (broadcast); candidate scoring touches only postings of query terms;
+    the final top-k uses host_cap's two-phase bounded windows — phase 1
+    ranks per (query_id, doc_id % {BM25_LANES}) lane, phase 2 re-ranks the
+    <= {BM25_TOPK}*{BM25_LANES} survivors — so a stopword-grade query term
+    never materializes a corpus-sized window."""
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tf as (
+        select doc_id, tok, count(*) as tf
+        from tokens where tok <> '' group by doc_id, tok
+      ),
+      {_bm25_rest(duck, "tf")}
+    """
+
+
+def _bm25_rest(duck: bool, tf: str) -> str:
+    """The BM25 chain downstream of the (doc_id, tok, tf) relation — shared
+    between the inline oracle template and the persisted-tf Spark runner so
+    the two cannot drift."""
+    iv = "//" if duck else "div"
+    return f"""
+      dl as (select doc_id, sum(tf) as dl from {tf} group by doc_id),
+      stats as (
+        select count(*) as n_docs, sum(dl) as total_toks from dl
+      ),
+      df as (select tok, count(distinct doc_id) as df from {tf} group by tok),
+      qranked as (
+        select tok, df,
+               row_number() over (order by df desc, tok) as qrk
+        from df where length(tok) >= 4
+      ),
+      queries as (
+        select ((qrk - 1) % {BM25_NQ}) + 1 as query_id, tok, df
+        from qranked where qrk <= {2 * BM25_NQ}
+      ),
+      qlabel as (
+        select query_id, min(tok) || ' ' || max(tok) as q_terms
+        from queries group by query_id
+      ),
+      scored as (
+        select q.query_id, t.doc_id,
+               sum(((1000 * (s.n_docs - q.df + 1)) {iv} (q.df + 1))
+                   * ((22000000 * t.tf) {iv}
+                      (10000 * t.tf
+                       + 12 * (250 + (750 * d.dl * s.n_docs) {iv} s.total_toks)))
+               ) as score
+        from {tf} t
+        join queries q on q.tok = t.tok
+        join dl d on d.doc_id = t.doc_id
+        cross join stats s
+        group by q.query_id, t.doc_id
+      ),
+      r1 as (
+        select query_id, doc_id, score,
+               row_number() over (
+                 partition by query_id, doc_id % {BM25_LANES}
+                 order by score desc, doc_id) as lrk
+        from scored
+      ),
+      r2 as (
+        select query_id, doc_id, score,
+               row_number() over (
+                 partition by query_id order by score desc, doc_id) as rk
+        from r1 where lrk <= {BM25_TOPK}
+      )
+      select cast(r.query_id as bigint) as query_id, l.q_terms,
+             cast(r.rk as bigint) as rank,
+             r.doc_id,
+             cast(r.score as bigint) as score
+      from r2 r join qlabel l on l.query_id = r.query_id
+      where r.rk <= {BM25_TOPK}
+      order by r.query_id, r.rk
+    """
+
+
+def run_bm25_search(spark, sf_dir: str):
+    """Spark-side BM25 with the (doc_id, tok, tf) index relation persisted
+    once: it feeds four consumers (dl, df via the query derivation, and the
+    scoring join), and Catalyst inlines CTEs, so the unpersisted template
+    re-scans and re-explodes the corpus four times — at 10^12 docs the
+    token explode IS the dominant cost.  Same scan-parallelism repartition
+    as ``run_minhash_lsh`` (the parquet scan's 3 partitions would otherwise
+    bound the explode's map side)."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tf = (
+        spark.table("documents")
+        .repartition(n_parts)
+        .selectExpr("doc_id", "explode(split(text, ' ')) as tok")
+        .where("tok <> ''")
+        .groupBy("doc_id", "tok")
+        .count()
+        .withColumnRenamed("count", "tf")
+        .persist()
+    )
+    tf.createOrReplaceTempView("__bm25_tf")
+    return spark.sql(f"with {_bm25_rest(False, '__bm25_tf')}")
+
+
+CDC_K = 3     # k-gram width feeding the rolling boundary hash
+CDC_DIV = 16  # boundary when kgram_hash % CDC_DIV == 0 (avg chunk ~16 toks)
+
+
+def cdc_chunk_sql(duck: bool, docs: str = "documents") -> str:
+    """Content-defined chunking (the FastCDC/rsync boundary idea, public):
+    split each document where the rolling {CDC_K}-gram hash satisfies
+    ``hash % {CDC_DIV} == 0`` instead of at fixed offsets, so chunk
+    boundaries are CONTENT-anchored — inserting or deleting a prefix
+    changes only the chunks up to the first surviving boundary, and every
+    later chunk hashes identically (the property that makes chunk-level
+    dedup shift-resistant where ``passage_chunk``'s fixed windows are not;
+    pinned by the prefix-perturbation test).
+
+    No min/max chunk-size clamp: the clamp makes boundary choice
+    sequentially dependent (each boundary depends on the previous one),
+    which needs a per-doc scan; the unclamped rule keeps the whole operator
+    window-expressible.  Expected chunk length is {CDC_DIV} tokens by the
+    uniformity of the hash.
+
+    Scale: position explode (narrow rows), one running-sum window and one
+    reassembly agg, both partitioned by doc_id — per-document local state,
+    one shuffle on doc_id, never a global sort."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    if duck:
+        gram = f"array_to_string(ws[pos:pos + {CDC_K - 1}], ' ')"
+        reasm = "md5(string_agg(tok, ' ' order by pos))"
+    else:
+        gram = f"array_join(slice(ws, pos, {CDC_K}), ' ')"
+        reasm = (
+            "md5(concat_ws(' ', transform("
+            "array_sort(collect_list(struct(pos, tok))), x -> x.tok)))"
+        )
+    h = h32("gram", duck)
+    return f"""
+      with cwords as (select doc_id, {ws} as ws from {docs}),
+      toks as (
+        select doc_id, pos, {d['elem'].format('ws', 'pos')} as tok,
+               case when pos > 1 and pos <= {n} - {CDC_K - 1}
+                    then {gram} end as gram
+        from (
+          select doc_id, ws,
+                 {un}({d['range_incl'].format('1', n)}) as pos
+          from cwords where {n} >= 1
+        )
+      ),
+      flagged as (
+        select doc_id, pos, tok,
+               case when gram is not null and ({h}) % {CDC_DIV} = 0
+                    then 1 else 0 end as is_boundary
+        from toks
+      ),
+      labeled as (
+        select doc_id, pos, tok,
+               sum(is_boundary) over (
+                 partition by doc_id order by pos
+                 rows between unbounded preceding and current row
+               ) as chunk_id
+        from flagged
+      )
+      select doc_id,
+             cast(chunk_id as bigint) as chunk_id,
+             cast(min(pos) as bigint) as start_pos,
+             cast(count(*) as bigint) as n_toks,
+             {reasm} as chunk_md5
+      from labeled
+      group by doc_id, chunk_id
+      order by doc_id, chunk_id
+    """

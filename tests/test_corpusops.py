@@ -104,3 +104,102 @@ def test_inverted_index_full_recompute(q, spark, sf_dir):
         assert row.postings_md5 == want, tok
     # posting lists must have real multiplicity (n_total > n_docs somewhere)
     assert (got.n_total > got.n_docs).any()
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def test_bm25_full_recompute(q, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    tf = defaultdict(Counter)   # doc -> tok -> tf
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        for tok in text.split(" "):
+            if tok:
+                tf[int(doc_id)][tok] += 1
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs, total = len(dl), sum(dl.values())
+    df = Counter(tok for c in tf.values() for tok in c)
+    ranked = sorted(
+        (t for t in df if len(t) >= 4), key=lambda t: (-df[t], t)
+    )[:8]
+    queries = defaultdict(list)
+    for i, tok in enumerate(ranked):
+        queries[(i % 4) + 1].append(tok)
+    rows = []
+    for qid, terms in queries.items():
+        scored = []
+        for d, c in tf.items():
+            norm_m = 250 + (750 * dl[d] * n_docs) // total
+            s = 0
+            for t in terms:
+                if c[t]:
+                    idf_m = (1000 * (n_docs - df[t] + 1)) // (df[t] + 1)
+                    tf_q = (22000000 * c[t]) // (10000 * c[t] + 12 * norm_m)
+                    s += idf_m * tf_q
+            if s:
+                scored.append((-s, d))
+        for rk, (negs, d) in enumerate(sorted(scored)[:3], 1):
+            rows.append((qid, f"{min(terms)} {max(terms)}", rk, d, -negs))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "q_terms", "rank", "doc_id", "score"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = q("bm25_search")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the ranking must discriminate (tf/dl variation, not just presence)
+    assert got.groupby("query_id").score.nunique().min() >= 2
+
+
+def _cdc_py(text: str, k: int = 3, div: int = 16):
+    ws = text.split(" ")
+    n = len(ws)
+    chunks, cur = [], []
+    for pos in range(1, n + 1):
+        boundary = (
+            1 < pos <= n - (k - 1)
+            and _h32(" ".join(ws[pos - 1 : pos - 1 + k])) % div == 0
+        )
+        if boundary and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append(ws[pos - 1])
+    if cur:
+        chunks.append(cur)
+    return [_md5(" ".join(c)) for c in chunks]
+
+
+def test_cdc_chunk_full_recompute(q, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    got = q("cdc_chunk")
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        want = _cdc_py(text)
+        rows = got[got.doc_id == doc_id].sort_values("chunk_id")
+        assert list(rows.chunk_md5) == want, doc_id
+    # chunking must actually split (multiple chunks somewhere)
+    assert got.groupby("doc_id").chunk_id.max().max() >= 2
+
+
+def test_cdc_chunk_shift_resistance(spark, sf_dir):
+    """The CDC property fixed-window chunking lacks: prepending tokens
+    leaves every chunk after the first content-defined boundary
+    byte-identical."""
+    from htmlgraft import textops
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    base = docs.head(40).copy()
+    shifted = base.copy()
+    shifted.doc_id += 1000000
+    shifted.text = "zz1 zz2 zz3 zz4 zz5 " + shifted.text
+    spark.createDataFrame(pd.concat([base, shifted])) \
+        .createOrReplaceTempView("cdc_docs")
+    out = spark.sql(textops.cdc_chunk_sql(False, docs="cdc_docs")).toPandas()
+    checked = 0
+    for doc_id in base.doc_id:
+        o = list(out[out.doc_id == doc_id]
+                 .sort_values("chunk_id").chunk_md5)
+        s = list(out[out.doc_id == doc_id + 1000000]
+                 .sort_values("chunk_id").chunk_md5)
+        if len(o) >= 2:
+            assert s[-(len(o) - 1):] == o[1:], doc_id
+            checked += 1
+    assert checked >= 5  # the property must actually be exercised
