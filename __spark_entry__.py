@@ -543,6 +543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
         "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
+        "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
+        "domain_stats": _urlop(urlops.domain_stats_sql),
+        "filter_funnel": _textop(textops.filter_funnel_sql),
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
@@ -650,6 +653,9 @@ def oracle_sql() -> dict[str, str]:
             "corpus_filter": textops.corpus_filter_sql(duck=True),
             "gopher_filter": textops.gopher_filter_sql(duck=True),
             "latest_snapshot": urlops.latest_snapshot_sql(duck=True),
+            "recrawl_delta": urlops.recrawl_delta_sql(duck=True),
+            "domain_stats": urlops.domain_stats_sql(duck=True),
+            "filter_funnel": textops.filter_funnel_sql(duck=True),
             "charset_sniff": media.charset_sniff_sql(duck=True),
             "crawl_frontier": linkops.frontier_oracle_sql(),
             "dedup_incremental": textops.dedup_incremental_sql(duck=True),

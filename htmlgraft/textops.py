@@ -2534,3 +2534,91 @@ def cdc_chunk_sql(duck: bool, docs: str = "documents") -> str:
       group by doc_id, chunk_id
       order by doc_id, chunk_id
     """
+
+
+# filter_funnel stages, in pipeline order: (name, reject reason they encode)
+FUNNEL_STAGES = (
+    "min_tokens",      # >= 15 word tokens
+    "has_stopword",    # contains 'the'
+    "distinct_tokens", # >= 20 distinct tokens (repetition guard)
+    "mean_word_len",   # mean token length in [4.0, 6.0] (x10 fixed-point)
+    "max_tokens",      # <= 90 tokens (truncation guard)
+)
+
+
+def filter_funnel_sql(duck: bool, docs: str = "documents") -> str:
+    """Filter-funnel report — the stage-by-stage retention table every
+    production data pipeline publishes next to its dataset card: for each
+    filter IN PIPELINE ORDER, how many documents reached it, how many it
+    rejected (of those that survived everything before it), how many it
+    would reject UNCONDITIONALLY (its marginal bite, order-independent),
+    and how many flowed on.  The composed verdict per doc already exists
+    (``corpus_build``); this is the aggregate view used to TUNE the
+    pipeline — a stage whose sequential rejects are ~0 but whose
+    unconditional rejects are large is shadowed by an earlier stage.
+
+    Stages (thresholds sized so every stage fires on this corpus):
+    {stages}.
+
+    Scale: ONE map-only projection computes five 0/1 flags per document,
+    ONE global aggregate folds them into sequential-survivor and
+    unconditional-reject sums (map-side partial agg -> a single reduced
+    row), and the 5-row output is a constant-size unpivot of that row —
+    nothing in the plan is proportional to anything but the scan."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    ndist = (
+        "len(list_distinct(ws))" if duck else "size(array_distinct(ws))"
+    )
+    iv = "//" if duck else "div"
+    stage_rows = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    stages = (
+        f"select * from (values {stage_rows}) v(stage_idx, stage_name)"
+        if duck
+        else f"select * from values {stage_rows} as v(stage_idx, stage_name)"
+    )
+    # per-stage column pickers: stage i reads p{i-1} (p0 == n0) and p{i}
+    p = lambda i: "n0" if i == 0 else f"p{i}"  # noqa: E731
+    n_in = " ".join(f"when {i} then {p(i - 1)}" for i in range(1, 6))
+    n_out = " ".join(f"when {i} then p{i}" for i in range(1, 6))
+    n_rej = " ".join(f"when {i} then {p(i - 1)} - p{i}" for i in range(1, 6))
+    n_unc = " ".join(f"when {i} then u{i}" for i in range(1, 6))
+    return f"""
+      with stages as ({stages}),
+      wsrel as (
+        select doc_id, text, {ws} as ws from {docs}
+      ),
+      flags as (
+        select
+          case when {n} >= 15 then 1 else 0 end as f1,
+          case when {d['strpos'].format("concat(' ', text, ' ')", "' the '")}
+                    > 0 then 1 else 0 end as f2,
+          case when {ndist} >= 20 then 1 else 0 end as f3,
+          case when (10 * length(replace(text, ' ', ''))) {iv} {n}
+                    between 40 and 60 then 1 else 0 end as f4,
+          case when {n} <= 90 then 1 else 0 end as f5
+        from wsrel
+      ),
+      acc as (
+        select count(*) as n0,
+               sum(f1) as p1,
+               sum(f1 * f2) as p2,
+               sum(f1 * f2 * f3) as p3,
+               sum(f1 * f2 * f3 * f4) as p4,
+               sum(f1 * f2 * f3 * f4 * f5) as p5,
+               sum(1 - f1) as u1, sum(1 - f2) as u2, sum(1 - f3) as u3,
+               sum(1 - f4) as u4, sum(1 - f5) as u5
+        from flags
+      )
+      select cast(s.stage_idx as bigint) as stage_idx,
+             s.stage_name,
+             cast(case s.stage_idx {n_in} end as bigint) as n_in,
+             cast(case s.stage_idx {n_out} end as bigint) as n_out,
+             cast(case s.stage_idx {n_rej} end as bigint) as n_rejected,
+             cast(case s.stage_idx {n_unc} end as bigint) as n_fail_uncond
+      from stages s cross join acc
+      order by stage_idx
+    """

@@ -245,6 +245,194 @@ def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def recrawl_delta_sql(duck: bool, docs: str = "documents") -> str:
+    """Content-change detection between the two most recent captures of
+    each URL — the signal a crawler uses to set per-URL recrawl frequency
+    (unchanged pages get crawled less; churning pages more) and a dedup
+    tier uses to decide whether a recrawl is a new document at all.
+
+    Captures reuse ``latest_snapshot``'s deterministic synthesis
+    (1 + doc_id % 3 captures per URL) and add per-capture TEXT:
+      * doc_id % 7 == 0 and latest capture  -> a full rewrite (8 fresh
+        tokens sharing nothing with the base text)        => tier 'major'
+      * doc_id % 5 == 0                     -> byte-identical recrawls
+                                                            => 'unchanged'
+      * otherwise the LATEST capture appends one token rq<k> => 'minor'
+        (earlier captures are the plain base text; one added token keeps
+        Jaccard = 1000B/(B+1) >= 800 down to B = 4 distinct base tokens,
+        clear of this corpus's floor of 6)
+    so every tier occurs and both engines derive identical inputs.
+
+    Delta metric: token-SET Jaccard between the latest two captures,
+    integer permille (1000*|A∩B| div |A∪B|); tier thresholds 1000 /
+    >= 800 / < 800.  URLs with a single capture have no delta and are
+    excluded.
+
+    Scale: ONE window partitioned by url picks the latest two captures
+    (per-url local state); the token explode touches <= 2 captures per
+    url; the Venn count is one hash agg keyed (url, tok) and the rollup
+    one keyed url — the exact-dedup shuffle shape, never a global sort."""
+    d = _d(duck)
+    host = (
+        "case when doc_id % 5 = 0 then 'popular.example.com' "
+        f"else concat('site-', cast(doc_id % 211 as {d['str']}), "
+        "'.example.org') end"
+    )
+    ks = d["range_incl"].format("0", "doc_id % 3")
+    k_col = f"unnest({ks})" if duck else f"explode({ks})"
+    tok_col = (
+        "unnest(string_split(ctext, ' '))" if duck
+        else "explode(split(ctext, ' '))"
+    )
+    rewrite = "'cq1 cq2 cq3 cq4 cq5 cq6 cq7 cq8'"
+    return f"""
+      with caps as (
+        select doc_id, text,
+               concat('https://', {host}, '/', source, '/',
+                      cast(doc_id as {d['str']})) as url,
+               {k_col} as capture_idx
+        from {docs}
+      ),
+      captext as (
+        select url, capture_idx,
+               case
+                 when doc_id % 7 = 0 and capture_idx = doc_id % 3
+                      and doc_id % 3 >= 1 then {rewrite}
+                 when doc_id % 5 = 0 then text
+                 when capture_idx = doc_id % 3
+                   then concat(text, ' rq', cast(capture_idx as {d['str']}))
+                 else text
+               end as ctext
+        from caps
+      ),
+      ranked as (
+        select url, capture_idx, ctext,
+               row_number() over (partition by url
+                                  order by capture_idx desc) as rk,
+               count(*) over (partition by url) as n_captures
+        from captext
+      ),
+      pairtoks as (
+        select distinct url, n_captures, rk, {tok_col} as tok
+        from ranked where rk <= 2 and n_captures >= 2
+      ),
+      venn as (
+        select url, min(n_captures) as n_captures, tok, count(*) as c
+        from pairtoks group by url, tok
+      )
+      select url,
+             cast(min(n_captures) as bigint) as n_captures,
+             cast(sum(case when c = 2 then 1 else 0 end) as bigint)
+               as n_shared,
+             cast(count(*) as bigint) as n_union,
+             cast((1000 * sum(case when c = 2 then 1 else 0 end))
+                  {'//'if duck else 'div'} count(*) as bigint)
+               as jaccard_permille,
+             case
+               when sum(case when c = 2 then 1 else 0 end) = count(*)
+                 then 'unchanged'
+               when (1000 * sum(case when c = 2 then 1 else 0 end))
+                    {'//'if duck else 'div'} count(*) >= 800 then 'minor'
+               else 'major'
+             end as tier
+      from venn
+      group by url
+      order by url
+    """
+
+
+# Public-suffix rules (a tiny deterministic stand-in for the Mozilla
+# Public Suffix List, which is what a production build would broadcast;
+# 'github.io' models a PRIVATE suffix — every user subdomain is its own
+# registrable domain).
+PSL_SUFFIXES = ("com", "org", "uk", "co.uk", "github.io")
+
+
+def domain_stats_sql(duck: bool, docs: str = "documents") -> str:
+    """Registrable-domain (eTLD+1) aggregation — crawl policies, host caps,
+    and per-site quality stats all key on the REGISTRABLE domain, not the
+    host: www.a.foo.co.uk and b.foo.co.uk are one site (foo.co.uk), while
+    user-1.github.io and user-2.github.io are two (github.io is a private
+    suffix).  Implements the Public Suffix List algorithm (public,
+    publicsuffix.org): longest matching suffix wins, registrable domain =
+    matched suffix plus one more label.
+
+    Hosts are synthesized at four label depths so every rule fires:
+    ``site-m.example.com`` (plain), ``www.site-m.foo-j.co.uk`` (two-label
+    suffix must beat 'uk'), ``user-j.github.io`` (private suffix),
+    ``a.b.site-m.deep.org`` (deep subdomains collapse).
+
+    Scale: hosts are first reduced to a (host, n_docs) relation (one hash
+    agg — the host domain is ~10^7, not 10^12); candidate suffixes explode
+    <= 3 short rows per HOST; the suffix rules are PSL-sized (broadcast);
+    the final rollup aggregates the host-sized relation.  Unmatched hosts
+    would inner-join away — a production build adds an 'unknown' lane."""
+    d = _d(duck)
+    m = f"cast(doc_id % 37 as {d['str']})"
+    j = f"cast(doc_id % 23 as {d['str']})"
+    vals = ", ".join(f"('{s}')" for s in PSL_SUFFIXES)
+    suffixes = (
+        f"select * from (values {vals}) v(suffix)" if duck
+        else f"select * from values {vals} as v(suffix)"
+    )
+    # Spark's split() takes a REGEX — '[.]' keeps the dot literal.
+    split_host = (
+        "string_split(host, '.')" if duck else "split(host, '[.]')"
+    )
+    n = "len(labels)" if duck else "size(labels)"
+    i_col = (
+        f"unnest({d['range_incl'].format('1', f'least({n} - 1, 3)')})"
+        if duck
+        else f"explode({d['range_incl'].format('1', f'least({n} - 1, 3)')})"
+    )
+    cand = (
+        f"array_to_string(labels[{n} - i + 1:{n}], '.')" if duck
+        else f"array_join(slice(labels, {n} - i + 1, i), '.')"
+    )
+    label_above = d["elem"].format("labels", f"{n} - i")
+    return f"""
+      with psl as ({suffixes}),
+      pages as (
+        select doc_id,
+               case
+                 when doc_id % 4 = 0
+                   then concat('site-', {m}, '.example.com')
+                 when doc_id % 4 = 1
+                   then concat('www.site-', {m}, '.foo-', {j}, '.co.uk')
+                 when doc_id % 4 = 2
+                   then concat('user-', {j}, '.github.io')
+                 else concat('a.b.site-', {m}, '.deep.org')
+               end as host
+        from {docs}
+      ),
+      hostagg as (
+        select host, count(*) as n_docs from pages group by host
+      ),
+      labeled as (
+        select host, n_docs, {split_host} as labels from hostagg
+      ),
+      exploded as (
+        select host, n_docs, labels, {i_col} as i from labeled
+      ),
+      cands as (
+        select host, n_docs, labels, i, {cand} as cand from exploded
+      ),
+      matched as (
+        select c.host, c.n_docs, c.i, s.suffix,
+               concat({label_above}, '.', s.suffix) as reg_domain,
+               row_number() over (partition by c.host
+                                  order by c.i desc) as rk
+        from cands c join psl s on c.cand = s.suffix
+      )
+      select reg_domain, suffix,
+             cast(count(*) as bigint) as n_hosts,
+             cast(sum(n_docs) as bigint) as n_docs
+      from matched where rk = 1
+      group by reg_domain, suffix
+      order by reg_domain
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

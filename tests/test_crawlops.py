@@ -141,3 +141,64 @@ def test_crawl_frontier_excludes_crawled(q, spark, sf_dir):
     # every crawled host contributes its relative-path targets
     tos = frontier[frontier.frontier_url.str.endswith("/tos")]
     assert len(tos) > 0 and (tos.n_ref_hosts == 1).all()
+
+
+def test_recrawl_delta_tiers(q):
+    df = q("recrawl_delta")
+    doc_ids = df.url.str.rsplit("/", n=1).str[1].astype(int)
+    # single-capture urls (doc_id % 3 == 0) never appear
+    assert (doc_ids % 3 != 0).all()
+    assert (df.n_captures == 1 + doc_ids % 3).all()
+    # every designed tier occurs and lands on the designed rows
+    rewritten = (doc_ids % 7 == 0)
+    assert (df.tier[rewritten] == "major").all()
+    assert rewritten.any()
+    identical = (doc_ids % 5 == 0) & ~rewritten
+    assert (df.tier[identical] == "unchanged").all()
+    assert (df.jaccard_permille[identical] == 1000).all()
+    assert identical.any()
+    drifted = ~rewritten & ~identical
+    assert (df.tier[drifted] == "minor").all()
+    assert drifted.any()
+    # minor drift = exactly the one rq<k> token added on the latest capture
+    assert (df.n_union[drifted] - df.n_shared[drifted] == 1).all()
+    # the full rewrite shares nothing with the base text
+    assert (df.n_shared[rewritten] == 0).all()
+    assert (df.jaccard_permille <= 1000).all()
+
+
+def test_domain_stats_psl_semantics(q):
+    df = q("domain_stats").set_index("reg_domain")
+    # longest suffix wins: foo-*.co.uk grouped under co.uk, never bare uk
+    co_uk = df[df.suffix == "co.uk"]
+    assert len(co_uk) > 0 and not (df.suffix == "uk").any()
+    assert co_uk.index.str.match(r"foo-\d+\.co\.uk$").all()
+    # private suffix: each github.io user is its OWN registrable domain
+    gh = df[df.suffix == "github.io"]
+    assert len(gh) > 1
+    assert (gh.n_hosts == 1).all()
+    assert gh.index.str.match(r"user-\d+\.github\.io$").all()
+    # deep subdomains (a.b.site-m.deep.org) collapse to one domain
+    assert df.loc["deep.org", "n_hosts"] > 1
+    # host-count and doc-count accounting are consistent
+    assert (df.n_docs >= df.n_hosts).all()
+    assert df.n_docs.sum() == 500
+
+
+def test_filter_funnel_accounting(q):
+    df = q("filter_funnel").sort_values("stage_idx").reset_index(drop=True)
+    assert list(df.stage_name) == [
+        "min_tokens", "has_stopword", "distinct_tokens",
+        "mean_word_len", "max_tokens",
+    ]
+    # flow conservation: stage k's out feeds stage k+1's in, no leaks
+    assert (df.n_in - df.n_rejected == df.n_out).all()
+    assert (df.n_in.shift(-1).dropna() == df.n_out[:-1]).all()
+    assert df.n_in.iloc[0] == 500
+    # sequential rejects never exceed the stage's unconditional bite
+    assert (df.n_rejected <= df.n_fail_uncond).all()
+    # every stage has real marginal bite on this corpus
+    assert (df.n_fail_uncond > 0).all()
+    # the report's tuning signal occurs: a stage shadowed by earlier ones
+    shadowed = df[(df.n_rejected == 0) & (df.n_fail_uncond > 0)]
+    assert "mean_word_len" in set(shadowed.stage_name)
