@@ -160,7 +160,7 @@ def _timed_parse(spark, pages_path: str, cpus: int, runs: int,
     return direct, shuffled
 
 
-def _scaling_pair(pages_path: str, n_low: int) -> dict:
+def _scaling_pair(pages_path: str, n_low: int, adaptive: bool = True) -> dict:
     """Measure one N -> 4N scaling pair on the staged corpus.
 
     The shared host has transient multi-second noise spikes that a
@@ -193,16 +193,19 @@ def _scaling_pair(pages_path: str, n_low: int) -> dict:
             s.stop()
 
     measure((n_high, n_low, n_high, n_low))
-    # Adaptive extension: a reading near the 0.8 gate is exactly where one
-    # degraded window flips the verdict (noise inflating t_4n lowers the
-    # ratio; inflating t_n raises it).  Add up to two more decorrelated
-    # session pairs and keep taking mins — every run stays in the reported
-    # lists, so the extension adds evidence, never discards it.
-    for _ in range(2):
-        eff = min(pair[n_low]) / (4 * min(pair[n_high]))
-        if eff >= 0.85:
-            break
-        measure((n_high, n_low))
+    # Adaptive extension (gate pair only): a reading near the 0.8 gate is
+    # exactly where one degraded window flips the verdict (noise inflating
+    # t_4n lowers the ratio; inflating t_n raises it).  Add up to two more
+    # decorrelated session pairs and keep taking mins — every run stays in
+    # the reported lists, so the extension adds evidence, never discards
+    # it.  The 8->32 saturation pair reads ~0.6 by design (documented in
+    # BENCH/BASELINE.md) and must NOT trigger it.
+    if adaptive:
+        for _ in range(2):
+            eff = min(pair[n_low]) / (4 * min(pair[n_high]))
+            if eff >= 0.85:
+                break
+            measure((n_high, n_low))
     return {
         "n_cores": n_low,
         "t_n": min(pair[n_low]),
@@ -370,7 +373,7 @@ def main() -> None:
         # zero-Spark multiprocessing control in BENCH/trials_r2.txt pins
         # the limiter on the hardware, 0.745 spin efficiency at 8->32).
         out["scaling_4_16"] = _scaling_pair(pages_path, 4)
-        out["scaling_8_32"] = _scaling_pair(pages_path, 8)
+        out["scaling_8_32"] = _scaling_pair(pages_path, 8, adaptive=False)
         out["scaling"] = out["scaling_4_16"]  # primary, kept for r1/r2 compat
 
     sys.stdout.write(json.dumps(out) + "\n")
