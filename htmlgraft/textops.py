@@ -2622,3 +2622,172 @@ def filter_funnel_sql(duck: bool, docs: str = "documents") -> str:
       from stages s cross join acc
       order by stage_idx
     """
+
+
+PHRASE_NQ = 3  # phrase queries derived from the corpus's top bigrams
+
+
+def phrase_search_sql(duck: bool, docs: str = "documents") -> str:
+    """Exact-phrase search over a POSITIONAL inverted index — the query
+    shape BM25's bag-of-words scoring cannot answer ("spark sql" as an
+    adjacent pair, not two independent terms).  The classic positional-
+    postings algorithm (public, Manning et al. IR book §2.4): postings
+    carry (doc_id, tok, pos); a two-term phrase is a self-join of the two
+    terms' postings on (doc_id, pos + 1 = pos).
+
+    Queries are the corpus's top-{PHRASE_NQ} bigrams by document frequency
+    (ties broken lexically), derived identically in both engines — no
+    fixture dependency.
+
+    Scale shape: the positions explode is corpus-sized but narrow
+    (doc_id, tok, pos); the phrase table is {PHRASE_NQ} rows (broadcast),
+    so each side of the adjacency self-join is pre-filtered to postings OF
+    QUERY TERMS ONLY before any shuffle — the join never sees a stopword's
+    full posting list unless the query asked for it, and then only that
+    term's rows.  One shuffle keyed (doc_id, pos) per side, one count agg."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    return f"""
+      with pwords as (select doc_id, {ws} as ws from {docs}),
+      postings as (
+        select doc_id, pos, {d['elem'].format('ws', 'pos')} as tok
+        from (
+          select doc_id, ws, {un}({d['range_incl'].format('1', n)}) as pos
+          from pwords where {n} >= 1
+        )
+      ),
+      bigram_df as (
+        select t1.tok as w1, t2.tok as w2,
+               count(distinct t1.doc_id) as df
+        from postings t1
+        join postings t2
+          on t2.doc_id = t1.doc_id and t2.pos = t1.pos + 1
+        group by t1.tok, t2.tok
+      ),
+      phrases as (
+        select w1, w2, df,
+               row_number() over (order by df desc, w1, w2) as query_id
+        from bigram_df
+      ),
+      q as (select query_id, w1, w2 from phrases where query_id <= {PHRASE_NQ}),
+      m1 as (
+        select q.query_id, p.doc_id, p.pos
+        from postings p join q on p.tok = q.w1
+      ),
+      m2 as (
+        select q.query_id, p.doc_id, p.pos
+        from postings p join q on p.tok = q.w2
+      )
+      select cast(m1.query_id as bigint) as query_id,
+             concat(q.w1, ' ', q.w2) as phrase,
+             m1.doc_id,
+             cast(count(*) as bigint) as n_occurrences
+      from m1
+      join m2 on m2.query_id = m1.query_id
+             and m2.doc_id = m1.doc_id
+             and m2.pos = m1.pos + 1
+      join q on q.query_id = m1.query_id
+      group by m1.query_id, q.w1, q.w2, m1.doc_id
+      order by m1.query_id, m1.doc_id
+    """
+
+
+COLLOC_MIN_PAIR = 20  # minimum corpus-wide pair count to score
+COLLOC_TOPK = 25      # collocations reported
+
+
+def ngram_collocations_sql(duck: bool, docs: str = "documents") -> str:
+    """Collocation mining — rank adjacent token pairs by LIFT (how much
+    more often the pair occurs than its unigram frequencies predict),
+    the association measure behind phrase-vocabulary induction and
+    word2phrase-style preprocessing (Mikolov et al. 2013, public).  PMI is
+    log(lift); log is float, so the score is the integer-quantized lift
+    itself, rank-equivalent to PMI:
+
+        lift_ppm = (1000000 * pair_count * total_pairs)
+                     div (count(w1) * count(w2))
+
+    Pairs below {COLLOC_MIN_PAIR} corpus occurrences are not scored (the
+    standard low-count guard: a 2-occurrence typo pair would otherwise
+    out-lift every real collocation).
+
+    Scale: one bigram-explode agg and one unigram agg (both map-side
+    combined, one shuffle each); scoring joins the VOCABULARY-sized
+    relations, not the corpus; top-k is a window over the scored-pair
+    relation only.  Output is the top {COLLOC_TOPK} by lift."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n = "len(ws)" if duck else "size(ws)"
+    un = "unnest" if duck else "explode"
+    iv = "//" if duck else "div"
+    return f"""
+      with cwords as (select doc_id, {ws} as ws from {docs}),
+      toks as (
+        select doc_id, pos, {d['elem'].format('ws', 'pos')} as tok
+        from (
+          select doc_id, ws, {un}({d['range_incl'].format('1', n)}) as pos
+          from cwords where {n} >= 1
+        )
+      ),
+      uni as (select tok, count(*) as c from toks group by tok),
+      tot as (select count(*) - count(distinct doc_id) as total_pairs
+              from toks),
+      pairs as (
+        select t1.tok as w1, t2.tok as w2, count(*) as pair_count
+        from toks t1
+        join toks t2 on t2.doc_id = t1.doc_id and t2.pos = t1.pos + 1
+        group by t1.tok, t2.tok
+        having count(*) >= {COLLOC_MIN_PAIR}
+      ),
+      scored as (
+        select p.w1, p.w2, p.pair_count,
+               (1000000 * p.pair_count * t.total_pairs)
+                 {iv} (u1.c * u2.c) as lift_ppm
+        from pairs p
+        join uni u1 on u1.tok = p.w1
+        join uni u2 on u2.tok = p.w2
+        cross join tot t
+      ),
+      ranked as (
+        select w1, w2, pair_count, lift_ppm,
+               row_number() over (order by lift_ppm desc, w1, w2) as rk
+        from scored
+      )
+      select cast(rk as bigint) as rk, w1, w2,
+             cast(pair_count as bigint) as pair_count,
+             cast(lift_ppm as bigint) as lift_ppm
+      from ranked where rk <= {COLLOC_TOPK}
+      order by rk
+    """
+
+
+def run_phrase_search(spark, sf_dir: str):
+    """Spark-side phrase search with the positional postings relation
+    persisted once: the template's postings CTE feeds THREE consumers
+    (query derivation's self-join uses it twice, then m1/m2) and Catalyst
+    inlines CTEs, so the unpersisted plan re-scans and re-explodes the
+    corpus four times.  Same scan-parallelism repartition as
+    ``run_bm25_search``."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    postings = (
+        spark.table("documents")
+        .repartition(n_parts)
+        .selectExpr(
+            "doc_id",
+            "posexplode(split(text, ' ')) as (pos0, tok)",
+        )
+        .selectExpr("doc_id", "pos0 + 1 as pos", "tok")
+        .persist()
+    )
+    postings.createOrReplaceTempView("__phrase_postings")
+    sql = phrase_search_sql(duck=False)
+    # strip the corpus-derived CTEs; point every consumer at the persisted
+    # relation (the template text from 'bigram_df' on is reused verbatim so
+    # the two paths cannot drift)
+    body = sql.split("bigram_df as (", 1)[1]
+    return spark.sql(
+        "with bigram_df as (" + body.replace("postings", "__phrase_postings")
+    )

@@ -203,3 +203,49 @@ def test_cdc_chunk_shift_resistance(spark, sf_dir):
             assert s[-(len(o) - 1):] == o[1:], doc_id
             checked += 1
     assert checked >= 5  # the property must actually be exercised
+
+
+def test_phrase_search_full_recompute(q, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {int(d): t.split(" ") for d, t in zip(docs.doc_id, docs.text)}
+    # derive the queries exactly as the operator does: top bigrams by df
+    bdf = Counter()
+    for ws in toks.values():
+        bdf.update(set(zip(ws, ws[1:])))
+    phrases = sorted(bdf, key=lambda b: (-bdf[b], b[0], b[1]))[:3]
+    got = q("phrase_search")
+    for qid, (w1, w2) in enumerate(phrases, 1):
+        sub = got[got.query_id == qid]
+        assert (sub.phrase == f"{w1} {w2}").all()
+        want = {
+            d: sum(a == w1 and b == w2 for a, b in zip(ws, ws[1:]))
+            for d, ws in toks.items()
+        }
+        want = {d: c for d, c in want.items() if c}
+        assert dict(zip(sub.doc_id, sub.n_occurrences)) == want, (w1, w2)
+    # adjacency, not co-occurrence: multi-occurrence rows exist somewhere
+    assert set(got.query_id) == {1, 2, 3}
+
+
+def test_ngram_collocations_full_recompute(q, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {int(d): t.split(" ") for d, t in zip(docs.doc_id, docs.text)}
+    uni, pairs = Counter(), Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+    total_pairs = sum(pairs.values())
+    scored = {
+        (w1, w2): (1_000_000 * c * total_pairs) // (uni[w1] * uni[w2])
+        for (w1, w2), c in pairs.items()
+        if c >= 20
+    }
+    ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = q("ngram_collocations").sort_values("rk").reset_index(drop=True)
+    assert len(got) == 25
+    for row, ((w1, w2), lift) in zip(got.itertuples(), ranked):
+        assert (row.w1, row.w2) == (w1, w2), (row.rk, (w1, w2))
+        assert row.lift_ppm == lift
+        assert row.pair_count == pairs[(w1, w2)]
+    # lift actually discriminates (not a constant tier)
+    assert got.lift_ppm.nunique() > 10
