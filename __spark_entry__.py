@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk": _textop(textops.cdc_chunk_sql),
         "phrase_search": textops.run_phrase_search,
         "ngram_collocations": _textop(textops.ngram_collocations_sql),
+        "dedup_band_audit": _textop(textops.dedup_band_audit_sql),
         # similarity search (embeddings table)
         "ann_brute_topk": _simop(simops.ann_topk_sql),
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
@@ -624,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
             "cdc_chunk": textops.cdc_chunk_sql(duck=True),
             "phrase_search": textops.phrase_search_sql(duck=True),
             "ngram_collocations": textops.ngram_collocations_sql(duck=True),
+            "dedup_band_audit": textops.dedup_band_audit_sql(duck=True),
             "extract_ratio": _extract_ratio_oracle(),
             "warc_stats": warcops.warc_stats_oracle_sql(),
             "warc_cdx": warcops.warc_cdx_oracle_sql(),

@@ -2791,3 +2791,94 @@ def run_phrase_search(spark, sf_dir: str):
     return spark.sql(
         "with bigram_df as (" + body.replace("postings", "__phrase_postings")
     )
+
+
+def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
+    """Banding skew audit — turns the near-dup operators' scale claims
+    ("band buckets stay small; candidate pairs stay ~O(n)") into a
+    continuously-gated METRIC instead of a prose assertion.  For both
+    candidate-generation schemes, over the SAME duped corpus the dedup
+    operators run on, report the bucket-size distribution:
+
+      * ``minhash_band``  — MinHash+LSH (band, band_key) buckets, built by
+        the exact `_minhash_cand_cte` fragment `dedup_minhash_lsh` /
+        `dedup_recall` use (the unused ``cand`` CTE is pruned by both
+        engines);
+      * ``simhash_byte``  — SimHash (band, byte) buckets BEFORE the
+        overflow re-banding lane, i.e. the distribution the
+        SIMHASH_BUCKET_CAP guard in `simhash_neardup_sql` exists to tame
+        (byte_key derivation mirrored from there; pinned by the
+        pure-Python recompute in tests).
+
+    Columns: n_buckets, n_rows (doc×band memberships), max_bucket,
+    p99_bucket (exact, via cumulative counts over the bucket-SIZE value
+    domain — never a window over the bucket relation itself), and
+    pairs_bound = sum n·(n−1)/2, the in-bucket candidate-join size the
+    shuffle actually pays.  Round-2's "near-uniform, no hot keys" claim
+    died when this number was first measured by hand (hottest simhash
+    bucket held 27% of the corpus at sf0.1); this query keeps the
+    measurement in the driver gate.
+
+    Scale: two bucket-size aggs (map-side combined); everything downstream
+    runs on bucket-size relations (~n_docs-bounded) and their distinct
+    VALUE domain."""
+    d = _d(duck)
+    iv = "//" if duck else "div"
+    shr = "({0} >> {1})" if duck else "shiftright({0}, {1})"
+    expl = "unnest" if duck else "explode"
+    byte_key = f"cast(({shr.format('simhash', '8 * b.band')} & 255) as int)"
+    return f"""
+      with {duped_docs_cte(duck, docs)},
+      {shingles_cte(duck, "ddocs")},
+      {_minhash_cand_cte(duck)},
+      mh_sizes as (
+        select band, band_key, count(*) as n
+        from bands group by band, band_key
+      ),
+      {_hashed_tokens_cte(duck, "ddocs")},
+      sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),
+      sbands as (
+        select doc_id, b.band, {byte_key} as byte_key
+        from sh cross join (
+          select {expl}({d['range_incl'].format('0', '3')}) as band
+        ) b
+      ),
+      sh_sizes as (
+        select band, byte_key, count(*) as n
+        from sbands group by band, byte_key
+      ),
+      allsizes as (
+        select 'minhash_band' as scheme, n from mh_sizes
+        union all
+        select 'simhash_byte' as scheme, n from sh_sizes
+      ),
+      hist as (
+        select scheme, n, count(*) as b from allsizes group by scheme, n
+      ),
+      cum as (
+        select scheme, n,
+               sum(b) over (partition by scheme order by n) as cumb,
+               sum(b) over (partition by scheme) as totb
+        from hist
+      ),
+      p99 as (
+        select scheme, min(n) as p99_bucket
+        from cum where 100 * cumb >= 99 * totb group by scheme
+      ),
+      agg as (
+        select scheme,
+               count(*) as n_buckets,
+               sum(n) as n_rows,
+               max(n) as max_bucket,
+               sum((n * (n - 1)) {iv} 2) as pairs_bound
+        from allsizes group by scheme
+      )
+      select a.scheme,
+             cast(a.n_buckets as bigint) as n_buckets,
+             cast(a.n_rows as bigint) as n_rows,
+             cast(a.max_bucket as bigint) as max_bucket,
+             cast(p.p99_bucket as bigint) as p99_bucket,
+             cast(a.pairs_bound as bigint) as pairs_bound
+      from agg a join p99 p on p.scheme = a.scheme
+      order by a.scheme
+    """

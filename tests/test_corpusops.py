@@ -249,3 +249,67 @@ def test_ngram_collocations_full_recompute(q, sf_dir):
         assert row.pair_count == pairs[(w1, w2)]
     # lift actually discriminates (not a constant tier)
     assert got.lift_ppm.nunique() > 10
+
+
+def _h32i(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_dedup_band_audit_full_recompute(q, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    ddocs = {int(d): t for d, t in zip(docs.doc_id, docs.text)}
+    for d in list(ddocs):
+        if d % 10 == 0:
+            ddocs[d + 1_000_000] = ddocs[d]
+        if d % 17 == 0:
+            ddocs[d + 2_000_000] = ddocs[d] + " zq1 zq2 zq3"
+
+    # minhash (band, band_key) buckets — mirror of _minhash_cand_cte
+    mh_buckets = Counter()
+    for d, t in ddocs.items():
+        ws = t.split(" ")
+        sh = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        if not sh:
+            continue
+        mh = [min(hashlib.md5(f"{s}#{g}".encode()).hexdigest() for g in sh)
+              for s in range(16)]
+        for band in range(8):
+            mh_buckets[(band, mh[2 * band] + mh[2 * band + 1])] += 1
+
+    # simhash (band, byte) buckets — mirror of _simhash_expr + byte_key
+    sh_buckets = Counter()
+    for d, t in ddocs.items():
+        hv = [_h32i(w) for w in t.split(" ")]
+        simhash = sum(
+            1 << i
+            for i in range(32)
+            if sum(1 if (h >> i) & 1 else -1 for h in hv) > 0
+        )
+        for band in range(4):
+            sh_buckets[(band, (simhash >> (8 * band)) & 255)] += 1
+
+    def stats(c):
+        sizes = sorted(c.values())
+        cum, tot, p99 = 0, len(sizes), None
+        for n in sizes:
+            cum += 1
+            if p99 is None and 100 * cum >= 99 * tot:
+                p99 = n
+        return {
+            "n_buckets": tot, "n_rows": sum(sizes), "max_bucket": sizes[-1],
+            "p99_bucket": p99,
+            "pairs_bound": sum(n * (n - 1) // 2 for n in sizes),
+        }
+
+    got = q("dedup_band_audit").set_index("scheme")
+    for scheme, c in [("minhash_band", mh_buckets),
+                      ("simhash_byte", sh_buckets)]:
+        want = stats(c)
+        row = got.loc[scheme]
+        for k, v in want.items():
+            assert row[k] == v, (scheme, k, row[k], v)
+    # the audit's reason to exist: the simhash byte distribution IS skewed
+    # (this is what the SIMHASH_BUCKET_CAP overflow lane tames) while the
+    # minhash band keys stay flat
+    assert got.loc["simhash_byte", "max_bucket"] > 20 * got.loc[
+        "minhash_band", "max_bucket"]
