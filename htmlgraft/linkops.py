@@ -445,6 +445,78 @@ def run_anchor_text(spark, sf_dir: str) -> DataFrame:
     return anchor_text_df(links_df(pages_df(spark, sf_dir)))
 
 
+# host_components: min-label rounds unrolled in the oracle / iterated by the
+# Spark runner.  Fixpoint on this corpus measured at 10 rounds (sf0.01; the
+# recompute pin in tests/test_linkops.py proves round HC_ITERS is the true
+# labeling); 12 leaves margin.  Production note: plain min-label needs
+# O(diameter) rounds — a web-scale run uses alternating large-star /
+# small-star (Kiveris et al. 2014, public), which converges in O(log n)
+# rounds with the same per-round join+min shape.
+HC_ITERS = 12
+# repeated-linkage threshold: a single cross-host link is incidental (every
+# corpus page carries one partner-footer link, which connects the WHOLE host
+# graph into one component); hosts linked by >= 2 distinct page links form
+# the site families this operator exists to find.
+HC_MIN_WEIGHT = 2
+
+
+def host_components_df(links: DataFrame) -> DataFrame:
+    """Site-family detection: connected components over the UNDIRECTED
+    repeated-linkage host graph (cross-host edges with >= {HC_MIN_WEIGHT}
+    links), labels = lexicographic-min host per component via
+    {HC_ITERS} min-label propagation rounds.
+
+    Iterative production shape (the run_dedup_clusters pattern): edges
+    materialized once; each round is one join keyed on the edge endpoint +
+    one group-min, label relation lineage-truncated per round
+    (localCheckpoint here, reliable-storage checkpoint on a real
+    cluster)."""
+    hg = hostgraph_df(links)
+    nodes = (
+        hg.select(F.col("src_host").alias("host"))
+        .unionAll(hg.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    strong = hg.where(
+        (F.col("src_host") != F.col("dst_host"))
+        & (F.col("n_links") >= HC_MIN_WEIGHT)
+    )
+    edges = (
+        strong.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .unionAll(
+            strong.select(F.col("dst_host").alias("src"), F.col("src_host").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("lbl", F.col("host"))
+    for _ in range(HC_ITERS):
+        prop = edges.join(labels, edges.dst == labels.host).select(
+            F.col("src").alias("host"), F.col("lbl")
+        )
+        labels = (
+            labels.select("host", "lbl")
+            .unionAll(prop)
+            .groupBy("host")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            "host",
+            F.col("lbl").alias("cluster_rep"),
+            F.col("n").alias("cluster_size"),
+        )
+    )
+
+
+def run_host_components(spark, sf_dir: str) -> DataFrame:
+    return host_components_df(links_df(pages_df(spark, sf_dir))).orderBy("host")
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 # The corpus link skeleton (document order; htmlgraft/corpus.py _html_expr):
 #   1 nav   <a href="/">Home</a>
@@ -619,6 +691,62 @@ def pagerank_oracle_sql() -> str:
       r0 as (select host, cast({SCALE} as bigint) as rank from nodes),
       {",".join(rounds)}
       select host, rank from r{ITERS}
+    """
+    )
+
+
+
+def host_components_oracle_sql() -> str:
+    """The HC_ITERS min-label rounds unrolled as nested CTEs (pagerank
+    pattern): l_k(host) = min over the CLOSED neighborhood (self-loop
+    edges included) of l_{k-1} — one edge join + group-min per round."""
+    rounds = []
+    for k in range(1, HC_ITERS + 1):
+        # reference l{k-1} exactly ONCE: engines inline CTEs, so a round
+        # referencing its predecessor twice doubles the plan per round
+        # (2^HC_ITERS scans by the last round).  The self-loop edges in
+        # sedges make the single propagated stream already contain each
+        # host's own label (min over the CLOSED neighborhood).
+        rounds.append(
+            f"""
+      l{k} as (
+        select e.src as host, min(q.lbl) as lbl
+        from sedges e join l{k - 1} q on q.host = e.dst
+        group by e.src
+      )"""
+        )
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + f""",
+      hg as (select src, dst, count(*) as n from resolved group by src, dst),
+      nodes as (
+        select distinct host from (
+          select src as host from hg union all select dst from hg
+        ) h
+      ),
+      strong as (
+        select src, dst from hg
+        where src <> dst and n >= {HC_MIN_WEIGHT}
+      ),
+      sedges as (
+        select src, dst from strong
+        union
+        select dst, src from strong
+        union
+        select host, host from nodes
+      ),
+      l0 as (select host, host as lbl from nodes),
+      {",".join(rounds)}
+      select l.host, l.lbl as cluster_rep,
+             cast(s.n as bigint) as cluster_size
+      from l{HC_ITERS} l
+      join (select lbl, count(*) as n from l{HC_ITERS} group by lbl) s
+        on s.lbl = l.lbl
+      order by l.host
     """
     )
 

@@ -256,3 +256,46 @@ def test_pagerank_oracle_properties():
     top = df.sort_values("rank", ascending=False).iloc[0]
     assert top["host"] == "popular.example.com"
     assert df["rank"].sum() <= len(df) * SCALE
+
+
+def test_host_components_full_recompute(spark, sf_dir):
+    """Pin host_components against an independent pure-Python BFS over the
+    oracle-free hostgraph recompute: the true components (not a round-
+    limited approximation), so the test also proves HC_ITERS rounds reach
+    the fixpoint on this corpus."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+    from htmlgraft.linkops import HC_MIN_WEIGHT
+
+    qs = entrymod.queries()
+    hg = qs["link_hostgraph"](spark, sf_dir).toPandas()
+    adj = defaultdict(set)
+    hosts = sorted(set(hg.src_host) | set(hg.dst_host))
+    strong = hg[(hg.src_host != hg.dst_host) & (hg.n_links >= HC_MIN_WEIGHT)]
+    for s, d in zip(strong.src_host, strong.dst_host):
+        adj[s].add(d)
+        adj[d].add(s)
+    want = {}
+    for h in hosts:
+        if h in want:
+            continue
+        comp, q = set(), [h]
+        while q:
+            c = q.pop()
+            if c in comp:
+                continue
+            comp.add(c)
+            q.extend(adj[c] - comp)
+        rep = min(comp)
+        for c in comp:
+            want[c] = (rep, len(comp))
+
+    got = qs["host_components"](spark, sf_dir).toPandas()
+    assert len(got) == len(hosts)
+    for row in got.itertuples():
+        assert (row.cluster_rep, row.cluster_size) == want[row.host], row.host
+    # the thresholded graph is non-trivial: real multi-host families exist
+    # AND the partner-footer giant component is gone
+    assert got.cluster_size.max() > 3
+    assert got.cluster_rep.nunique() > 10
