@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
         "host_components": linkops.run_host_components,
+        "crawl_schedule": linkops.run_crawl_schedule,
         "anchor_text": linkops.run_anchor_text,
         "crawl_frontier": linkops.run_crawl_frontier,
         "line_dedup": _q_line_dedup,
@@ -683,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),
+            "crawl_schedule": linkops.crawl_schedule_oracle_sql(),
             "anchor_text": linkops.anchor_text_oracle_sql(),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),

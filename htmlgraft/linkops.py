@@ -793,7 +793,10 @@ def run_crawl_frontier(spark, sf_dir: str) -> DataFrame:
     return frontier_df(links_df(pages), pages.select("url"))
 
 
-def frontier_oracle_sql() -> str:
+def _frontier_ctes() -> str:
+    """Shared CTE chain ending in fagg(frontier_url, n_refs, n_ref_hosts) —
+    used by both the frontier oracle and the crawl-schedule oracle so the
+    two cannot drift."""
     return (
         pages_oracle_cte()
         + ","
@@ -812,11 +815,101 @@ def frontier_oracle_sql() -> str:
         from resolved r
         left join expected e on e.url = r.frontier_url
         where e.url is null
+      ),
+      fagg as (
+        select frontier_url,
+               cast(count(*) as bigint) as n_refs,
+               cast(count(distinct src_host) as bigint) as n_ref_hosts
+        from frontier group by frontier_url
+      )"""
+    )
+
+
+def frontier_oracle_sql() -> str:
+    return _frontier_ctes() + """
+      select frontier_url, n_refs, n_ref_hosts
+      from fagg order by frontier_url
+    """
+
+
+# politeness scheduling constants.  The per-host delay would come from each
+# host's robots.txt crawl-delay in production (see urlops.robots_filter for
+# the rule-table shape); here two deterministic classes exercise the math.
+N_CRAWL_WORKERS = 8
+SLOW_HOST = "popular.example.com"
+SLOW_DELAY_S, FAST_DELAY_S = 5, 2
+
+
+def crawl_schedule_df(frontier: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    return _crawl_schedule_impl(frontier, Window)
+
+
+def _crawl_schedule_impl(frontier: DataFrame, Window) -> DataFrame:
+    """Politeness scheduler — turn the discovery frontier into an
+    executable fetch plan: every target host is pinned to ONE worker
+    (hash affinity, so per-host politeness needs no coordination), urls
+    are ranked within their host by reference count (the crawler's
+    priority signal), and fetch times space host-mates one crawl-delay
+    apart.  Output: (frontier_url, host, worker, slot, fetch_at_seconds).
+
+    Scale: one window partitioned by host (the exact-dedup shuffle shape —
+    per-host local state, never a global sort; a 10^6-url host means a
+    10^6-row partition-local rank, which is the politeness queue itself);
+    worker assignment and delays are pure projections."""
+    from .textops import h32
+
+    host = F.split("frontier_url", "/").getItem(2)
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("frontier_url").asc()
+    )
+    return (
+        frontier.select("frontier_url", "n_refs", host.alias("host"))
+        .withColumn("worker", F.expr(h32("host", False) + f" % {N_CRAWL_WORKERS}"))
+        .withColumn("slot", F.row_number().over(w).cast("bigint") - 1)
+        .withColumn(
+            "fetch_at_seconds",
+            F.expr(
+                f"slot * case when host = '{SLOW_HOST}' "
+                f"then {SLOW_DELAY_S} else {FAST_DELAY_S} end"
+            ).cast("bigint"),
+        )
+        .select("frontier_url", "host", "worker", "slot", "fetch_at_seconds")
+    )
+
+
+def run_crawl_schedule(spark, sf_dir: str) -> DataFrame:
+    pages = pages_df(spark, sf_dir)
+    return crawl_schedule_df(
+        frontier_df(links_df(pages), pages.select("url"))
+    ).orderBy("frontier_url")
+
+
+def crawl_schedule_oracle_sql() -> str:
+    from .textops import h32
+
+    return _frontier_ctes() + f""",
+      sched as (
+        select frontier_url, n_refs,
+               split_part(frontier_url, '/', 3) as host
+        from fagg
+      ),
+      ranked as (
+        select frontier_url, host,
+               ({h32("host", True)}) % {N_CRAWL_WORKERS} as worker,
+               row_number() over (
+                 partition by host
+                 order by n_refs desc, frontier_url asc
+               ) - 1 as slot
+        from sched
       )
-      select frontier_url,
-             cast(count(*) as bigint) as n_refs,
-             cast(count(distinct src_host) as bigint) as n_ref_hosts
-      from frontier group by frontier_url
+      select frontier_url, host,
+             cast(worker as bigint) as worker,
+             cast(slot as bigint) as slot,
+             cast(slot * case when host = '{SLOW_HOST}'
+                  then {SLOW_DELAY_S} else {FAST_DELAY_S} end as bigint)
+               as fetch_at_seconds
+      from ranked
       order by frontier_url
     """
-    )

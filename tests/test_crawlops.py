@@ -202,3 +202,27 @@ def test_filter_funnel_accounting(q):
     # the report's tuning signal occurs: a stage shadowed by earlier ones
     shadowed = df[(df.n_rejected == 0) & (df.n_fail_uncond > 0)]
     assert "mean_word_len" in set(shadowed.stage_name)
+
+
+def test_crawl_schedule_politeness(q):
+    df = q("crawl_schedule")
+    frontier = q("crawl_frontier")
+    # host affinity: every host pinned to exactly one worker
+    assert (df.groupby("host").worker.nunique() == 1).all()
+    assert df.worker.between(0, 7).all()
+    # slots are a dense 0..n-1 queue per host (politeness positions)
+    for host, g in df.groupby("host"):
+        assert sorted(g.slot) == list(range(len(g))), host
+    # fetch spacing: one crawl-delay apart, slow host slower
+    slow = df[df.host == "popular.example.com"]
+    fast = df[df.host != "popular.example.com"]
+    assert len(slow) > 1 and (slow.fetch_at_seconds == slow.slot * 5).all()
+    assert (fast.fetch_at_seconds == fast.slot * 2).all()
+    # priority: within a host, slot order follows n_refs desc (url tiebreak)
+    refs = dict(zip(frontier.frontier_url, frontier.n_refs))
+    for host, g in df.groupby("host"):
+        ordered = g.sort_values("slot")
+        keys = [(-refs[u], u) for u in ordered.frontier_url]
+        assert keys == sorted(keys), host
+    # the schedule covers the frontier exactly
+    assert set(df.frontier_url) == set(frontier.frontier_url)
