@@ -841,12 +841,6 @@ SLOW_DELAY_S, FAST_DELAY_S = 5, 2
 
 
 def crawl_schedule_df(frontier: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    return _crawl_schedule_impl(frontier, Window)
-
-
-def _crawl_schedule_impl(frontier: DataFrame, Window) -> DataFrame:
     """Politeness scheduler — turn the discovery frontier into an
     executable fetch plan: every target host is pinned to ONE worker
     (hash affinity, so per-host politeness needs no coordination), urls
@@ -858,6 +852,8 @@ def _crawl_schedule_impl(frontier: DataFrame, Window) -> DataFrame:
     per-host local state, never a global sort; a 10^6-url host means a
     10^6-row partition-local rank, which is the politeness queue itself);
     worker assignment and delays are pure projections."""
+    from pyspark.sql import Window
+
     from .textops import h32
 
     host = F.split("frontier_url", "/").getItem(2)

@@ -298,6 +298,31 @@ def simhash_sql(duck: bool, docs: str = "documents") -> str:
 SIMHASH_NEARDUP_MAX_HAMMING = 3
 
 
+def _simhash_bytebands_cte(duck: bool, prefix: str = "") -> str:
+    """CTE fragment {prefix}bands -> {prefix}sizes over an in-scope
+    ``sh``(doc_id, simhash) relation: the 4 byte-bands per doc and the
+    per-(band, byte) bucket sizes.  Shared by ``simhash_neardup_sql``
+    (candidate generation + the overflow-cap decision) and
+    ``dedup_band_audit_sql`` (the skew metric), so the audit measures
+    exactly the banding the operator runs.  ``prefix`` renames the CTEs so
+    the audit can hold this alongside the minhash fragment's ``bands``."""
+    d = _d(duck)
+    shr = "({0} >> {1})" if duck else "shiftright({0}, {1})"
+    expl = "unnest" if duck else "explode"
+    byte_key = f"cast(({shr.format('simhash', '8 * b.band')} & 255) as int)"
+    bands, sizes = prefix + "bands", prefix + "sizes"
+    return f"""{bands} as (
+        select doc_id, simhash, b.band, {byte_key} as byte_key
+        from sh cross join (
+          select {expl}({d['range_incl'].format('0', '3')}) as band
+        ) b
+      ),
+      {sizes} as (
+        select band, byte_key, count(*) as n
+        from {bands} group by band, byte_key
+      )"""
+
+
 # skew guard: (band, byte) buckets bigger than this are re-banded on the
 # remaining 24 bits before the self-join (see simhash_neardup_sql docstring)
 SIMHASH_BUCKET_CAP = 64
@@ -345,7 +370,6 @@ def simhash_neardup_sql(
     shl = "({0} << {1})" if duck else "shiftleft({0}, {1})"
     one = "(1::bigint)" if duck else "cast(1 as bigint)"
     expl = "unnest" if duck else "explode"
-    byte_key = f"cast(({shr.format('simhash', '8 * b.band')} & 255) as int)"
     # the 24 bits outside band b, packed into one bigint
     rem = (
         f"{shl.format(shr.format('b.simhash', '8 * b.band + 8'), '8 * b.band')}"
@@ -360,16 +384,7 @@ def simhash_neardup_sql(
         pre = f"with sh as (select doc_id, simhash from {sh_ref}),"
     return f"""
       {pre}
-      bands as (
-        select doc_id, simhash, b.band, {byte_key} as byte_key
-        from sh cross join (
-          select {expl}({d['range_incl'].format('0', '3')}) as band
-        ) b
-      ),
-      sizes as (
-        select band, byte_key, count(*) as n
-        from bands group by band, byte_key
-      ),
+      {_simhash_bytebands_cte(duck)},
       small as (
         select b.doc_id, b.simhash, b.band, b.byte_key
         from bands b join sizes s
@@ -2627,7 +2642,9 @@ def filter_funnel_sql(duck: bool, docs: str = "documents") -> str:
 PHRASE_NQ = 3  # phrase queries derived from the corpus's top bigrams
 
 
-def phrase_search_sql(duck: bool, docs: str = "documents") -> str:
+def phrase_search_sql(
+    duck: bool, docs: str = "documents", postings_ref: str | None = None
+) -> str:
     """Exact-phrase search over a POSITIONAL inverted index — the query
     shape BM25's bag-of-words scoring cannot answer ("spark sql" as an
     adjacent pair, not two independent terms).  The classic positional-
@@ -2644,25 +2661,36 @@ def phrase_search_sql(duck: bool, docs: str = "documents") -> str:
     so each side of the adjacency self-join is pre-filtered to postings OF
     QUERY TERMS ONLY before any shuffle — the join never sees a stopword's
     full posting list unless the query asked for it, and then only that
-    term's rows.  One shuffle keyed (doc_id, pos) per side, one count agg."""
+    term's rows.  One shuffle keyed (doc_id, pos) per side, one count agg.
+
+    ``postings_ref``: name of a pre-materialized (doc_id, pos, tok)
+    relation (the shingles_ref/sh_ref/tf pattern) — the postings CTE feeds
+    FOUR consumers and engines inline CTEs, so ``run_phrase_search``
+    persists it once and renders this same template against it."""
     d = _d(duck)
     ws = d["split"].format("text")
     n = "len(ws)" if duck else "size(ws)"
     un = "unnest" if duck else "explode"
-    return f"""
-      with pwords as (select doc_id, {ws} as ws from {docs}),
+    if postings_ref is None:
+        p = "postings"
+        pre = f"""pwords as (select doc_id, {ws} as ws from {docs}),
       postings as (
         select doc_id, pos, {d['elem'].format('ws', 'pos')} as tok
         from (
           select doc_id, ws, {un}({d['range_incl'].format('1', n)}) as pos
           from pwords where {n} >= 1
         )
-      ),
+      ),"""
+    else:
+        p = postings_ref
+        pre = ""
+    return f"""
+      with {pre}
       bigram_df as (
         select t1.tok as w1, t2.tok as w2,
                count(distinct t1.doc_id) as df
-        from postings t1
-        join postings t2
+        from {p} t1
+        join {p} t2
           on t2.doc_id = t1.doc_id and t2.pos = t1.pos + 1
         group by t1.tok, t2.tok
       ),
@@ -2674,11 +2702,11 @@ def phrase_search_sql(duck: bool, docs: str = "documents") -> str:
       q as (select query_id, w1, w2 from phrases where query_id <= {PHRASE_NQ}),
       m1 as (
         select q.query_id, p.doc_id, p.pos
-        from postings p join q on p.tok = q.w1
+        from {p} p join q on p.tok = q.w1
       ),
       m2 as (
         select q.query_id, p.doc_id, p.pos
-        from postings p join q on p.tok = q.w2
+        from {p} p join q on p.tok = q.w2
       )
       select cast(m1.query_id as bigint) as query_id,
              concat(q.w1, ' ', q.w2) as phrase,
@@ -2783,13 +2811,8 @@ def run_phrase_search(spark, sf_dir: str):
         .persist()
     )
     postings.createOrReplaceTempView("__phrase_postings")
-    sql = phrase_search_sql(duck=False)
-    # strip the corpus-derived CTEs; point every consumer at the persisted
-    # relation (the template text from 'bigram_df' on is reused verbatim so
-    # the two paths cannot drift)
-    body = sql.split("bigram_df as (", 1)[1]
     return spark.sql(
-        "with bigram_df as (" + body.replace("postings", "__phrase_postings")
+        phrase_search_sql(duck=False, postings_ref="__phrase_postings")
     )
 
 
@@ -2806,9 +2829,9 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
         engines);
       * ``simhash_byte``  — SimHash (band, byte) buckets BEFORE the
         overflow re-banding lane, i.e. the distribution the
-        SIMHASH_BUCKET_CAP guard in `simhash_neardup_sql` exists to tame
-        (byte_key derivation mirrored from there; pinned by the
-        pure-Python recompute in tests).
+        SIMHASH_BUCKET_CAP guard in `simhash_neardup_sql` exists to tame,
+        built by the exact `_simhash_bytebands_cte` fragment that operator
+        runs (pinned by the pure-Python recompute in tests).
 
     Columns: n_buckets, n_rows (doc×band memberships), max_bucket,
     p99_bucket (exact, via cumulative counts over the bucket-SIZE value
@@ -2822,11 +2845,7 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
     Scale: two bucket-size aggs (map-side combined); everything downstream
     runs on bucket-size relations (~n_docs-bounded) and their distinct
     VALUE domain."""
-    d = _d(duck)
     iv = "//" if duck else "div"
-    shr = "({0} >> {1})" if duck else "shiftright({0}, {1})"
-    expl = "unnest" if duck else "explode"
-    byte_key = f"cast(({shr.format('simhash', '8 * b.band')} & 255) as int)"
     return f"""
       with {duped_docs_cte(duck, docs)},
       {shingles_cte(duck, "ddocs")},
@@ -2837,20 +2856,11 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
       ),
       {_hashed_tokens_cte(duck, "ddocs")},
       sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),
-      sbands as (
-        select doc_id, b.band, {byte_key} as byte_key
-        from sh cross join (
-          select {expl}({d['range_incl'].format('0', '3')}) as band
-        ) b
-      ),
-      sh_sizes as (
-        select band, byte_key, count(*) as n
-        from sbands group by band, byte_key
-      ),
+      {_simhash_bytebands_cte(duck, prefix="s")},
       allsizes as (
         select 'minhash_band' as scheme, n from mh_sizes
         union all
-        select 'simhash_byte' as scheme, n from sh_sizes
+        select 'simhash_byte' as scheme, n from ssizes
       ),
       hist as (
         select scheme, n, count(*) as b from allsizes group by scheme, n

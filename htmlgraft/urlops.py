@@ -193,20 +193,12 @@ def robots_filter_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
-def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
-    """Newest-capture-per-URL selection — the recrawl collapse a
-    Common-Crawl-style pipeline runs before any content processing (each
-    crawl re-fetches URLs; training data wants exactly one, the freshest,
-    snapshot per URL).
-
-    Captures are synthesized deterministically (1 + doc_id % 3 per URL,
-    one day apart, so ties are impossible and both engines agree on the
-    winner); the query itself sees only (url, capture_idx, ts_seconds) and
-    must pick row_number() == 1 per url ordered by ts desc.
-
-    Scale: ONE window partitioned by url — the same hash shuffle as exact
-    dedup, per-url local state, never a global sort.  At 10^12 captures the
-    url key is near-unique (fan-in <= crawl count), so no skew."""
+def _captures_cte(duck: bool, docs: str = "documents") -> str:
+    """Shared deterministic capture synthesis — caps(doc_id, text, url,
+    capture_idx): 1 + doc_id % 3 captures per URL.  Used by BOTH
+    ``latest_snapshot_sql`` (which ignores text) and ``recrawl_delta_sql``
+    (which perturbs it per capture), so the two operators provably
+    describe the same recrawl universe."""
     d = _d(duck)
     host = (
         "case when doc_id % 5 = 0 then 'popular.example.com' "
@@ -215,14 +207,32 @@ def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
     )
     ks = d["range_incl"].format("0", "doc_id % 3")
     k_col = f"unnest({ks})" if duck else f"explode({ks})"
-    return f"""
-      with caps as (
-        select doc_id,
+    return f"""caps as (
+        select doc_id, text,
                concat('https://', {host}, '/', source, '/',
                       cast(doc_id as {d['str']})) as url,
                {k_col} as capture_idx
         from {docs}
-      ),
+      )"""
+
+
+def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
+    """Newest-capture-per-URL selection — the recrawl collapse a
+    Common-Crawl-style pipeline runs before any content processing (each
+    crawl re-fetches URLs; training data wants exactly one, the freshest,
+    snapshot per URL).
+
+    Captures are synthesized deterministically (`_captures_cte`: 1 +
+    doc_id % 3 per URL, one day apart, so ties are impossible and both
+    engines agree on the winner); the query itself sees only
+    (url, capture_idx, ts_seconds) and must pick row_number() == 1 per url
+    ordered by ts desc.
+
+    Scale: ONE window partitioned by url — the same hash shuffle as exact
+    dedup, per-url local state, never a global sort.  At 10^12 captures the
+    url key is near-unique (fan-in <= crawl count), so no skew."""
+    return f"""
+      with {_captures_cte(duck, docs)},
       stamped as (
         select url, capture_idx,
                1709251200 + (doc_id % 31536000) + capture_idx * 86400
@@ -251,8 +261,9 @@ def recrawl_delta_sql(duck: bool, docs: str = "documents") -> str:
     (unchanged pages get crawled less; churning pages more) and a dedup
     tier uses to decide whether a recrawl is a new document at all.
 
-    Captures reuse ``latest_snapshot``'s deterministic synthesis
-    (1 + doc_id % 3 captures per URL) and add per-capture TEXT:
+    Captures come from the same `_captures_cte` fragment
+    ``latest_snapshot`` runs on (1 + doc_id % 3 captures per URL), with
+    per-capture TEXT added:
       * doc_id % 7 == 0 and latest capture  -> a full rewrite (8 fresh
         tokens sharing nothing with the base text)        => tier 'major'
       * doc_id % 5 == 0                     -> byte-identical recrawls
@@ -273,26 +284,13 @@ def recrawl_delta_sql(duck: bool, docs: str = "documents") -> str:
     url; the Venn count is one hash agg keyed (url, tok) and the rollup
     one keyed url — the exact-dedup shuffle shape, never a global sort."""
     d = _d(duck)
-    host = (
-        "case when doc_id % 5 = 0 then 'popular.example.com' "
-        f"else concat('site-', cast(doc_id % 211 as {d['str']}), "
-        "'.example.org') end"
-    )
-    ks = d["range_incl"].format("0", "doc_id % 3")
-    k_col = f"unnest({ks})" if duck else f"explode({ks})"
     tok_col = (
         "unnest(string_split(ctext, ' '))" if duck
         else "explode(split(ctext, ' '))"
     )
     rewrite = "'cq1 cq2 cq3 cq4 cq5 cq6 cq7 cq8'"
     return f"""
-      with caps as (
-        select doc_id, text,
-               concat('https://', {host}, '/', source, '/',
-                      cast(doc_id as {d['str']})) as url,
-               {k_col} as capture_idx
-        from {docs}
-      ),
+      with {_captures_cte(duck, docs)},
       captext as (
         select url, capture_idx,
                case

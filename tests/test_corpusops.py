@@ -251,10 +251,6 @@ def test_ngram_collocations_full_recompute(q, sf_dir):
     assert got.lift_ppm.nunique() > 10
 
 
-def _h32i(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
 def test_dedup_band_audit_full_recompute(q, sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
     ddocs = {int(d): t for d, t in zip(docs.doc_id, docs.text)}
@@ -279,7 +275,7 @@ def test_dedup_band_audit_full_recompute(q, sf_dir):
     # simhash (band, byte) buckets — mirror of _simhash_expr + byte_key
     sh_buckets = Counter()
     for d, t in ddocs.items():
-        hv = [_h32i(w) for w in t.split(" ")]
+        hv = [_h32(w) for w in t.split(" ")]
         simhash = sum(
             1 << i
             for i in range(32)
