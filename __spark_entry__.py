@@ -48,6 +48,43 @@ def _q_extract_text(spark, sf_dir):
     return _results(spark, sf_dir).select("url", "text")
 
 
+def _q_wet_export(spark, sf_dir):
+    """WET export — Common Crawl's extracted-text sibling format (ISO
+    28500 'conversion' records): the record a user downstream of this
+    extraction tier actually consumes.  The record string is assembled
+    JVM-side from the REAL parse's text (headers + Content-Length + body);
+    the oracle assembles the identical record from the relationally-stated
+    expected text, so the md5 check pins the header math (Content-Length
+    correctness, CRLF framing) on top of the already-pinned extraction.
+    Map-only projection over the parse output — no extra shuffle."""
+    return _results(spark, sf_dir).selectExpr(
+        "url",
+        "cast(length(text) as bigint) as content_length",
+        f"{_wet_record_expr(duck=False)} as wet_record",
+    ).selectExpr(
+        "url",
+        "content_length",
+        "cast(length(wet_record) as bigint) as rec_chars",
+        "md5(wet_record) as wet_md5",
+    )
+
+
+def _wet_record_expr(duck: bool) -> str:
+    """The WET conversion-record template, rendered from ONE definition for
+    both the Spark projection (over the parse's `text`) and the DuckDB
+    oracle (over the expected text) — chr(13)||chr(10) spells CRLF
+    identically in both engines; only the string type name differs."""
+    s = "varchar" if duck else "string"
+    return (
+        "concat('WARC/1.0', chr(13), chr(10), "
+        "'WARC-Type: conversion', chr(13), chr(10), "
+        "'WARC-Target-URI: ', url, chr(13), chr(10), "
+        "'Content-Type: text/plain', chr(13), chr(10), "
+        f"'Content-Length: ', cast(length(text) as {s}), chr(13), chr(10), "
+        "chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10))"
+    )
+
+
 def _q_extract_stats_by_lang(spark, sf_dir):
     return (
         _results(spark, sf_dir)
@@ -421,6 +458,16 @@ def _extract_ratio_oracle() -> str:
 
 _PIPELINE_ORACLES = {
     "extract_text": _expected("select url, text from expected"),
+    "wet_export": _expected(f""",
+      recs as (
+        select url, cast(length(text) as bigint) as content_length,
+               {_wet_record_expr(duck=True)} as wet_record
+        from expected
+      )
+      select url, content_length,
+             cast(length(wet_record) as bigint) as rec_chars,
+             md5(wet_record) as wet_md5
+      from recs"""),
     "extract_stats_by_lang": _expected(
         """select lang, count(*) as n_docs,
                   cast(sum(length(text)) as bigint) as text_chars,
@@ -500,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
         "extract_text": _q_extract_text,
+        "wet_export": _q_wet_export,
         "extract_stats_by_lang": _q_extract_stats_by_lang,
         "extract_stats_by_host": _q_extract_stats_by_host,
         "extract_skew_topk": _q_extract_skew_topk,

@@ -309,3 +309,26 @@ def test_dedup_band_audit_full_recompute(q, sf_dir):
     # minhash band keys stay flat
     assert got.loc["simhash_byte", "max_bucket"] > 20 * got.loc[
         "minhash_band", "max_bucket"]
+
+
+def test_wet_export_record_roundtrip(q):
+    """Re-parse the exported WET records structurally: rebuild each record
+    from the pipeline's own extract_text output, confirm the md5 matches,
+    and check the ISO 28500 framing invariants (Content-Length == body
+    bytes, CRLF-CRLF header/body separator, trailing record CRLFs)."""
+    texts = dict(zip(*(lambda d: (d.url, d.text))(q("extract_text"))))
+    got = q("wet_export")
+    assert set(got.url) == set(texts)
+    for row in got.itertuples():
+        text = texts[row.url]
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {row.url}\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(text)}\r\n\r\n{text}\r\n\r\n"
+        )
+        assert row.wet_md5 == hashlib.md5(rec.encode()).hexdigest(), row.url
+        assert row.content_length == len(text)
+        assert row.rec_chars == len(rec)
+        # framing: header block ends at the first CRLF-CRLF; body follows
+        head, _, rest = rec.partition("\r\n\r\n")
+        assert head.startswith("WARC/1.0") and rest == text + "\r\n\r\n"
