@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract_text": streaming.run_stream_extract_text,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
+        "warc_extract_text_gz": warcops.run_warc_extract_text_gz,
         "warc_stats": warcops.run_warc_stats,
         "warc_cdx": warcops.run_warc_cdx,
         # structured extraction from the parsed DOM (links, metadata, graph)
@@ -666,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "warc_extract_text": _expected("select url, text from expected"),
+            "warc_extract_text_gz": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "corpus_build": _corpus_build_oracle(),
             "line_scrub": _line_scrub_oracle(),

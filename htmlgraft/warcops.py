@@ -7,6 +7,9 @@ each record is a ``WARC/1.0`` header block, ``\\r\\n\\r\\n``, then exactly
 * synthesizes deterministic multi-record WARC FILES entirely in Spark SQL
   (binary concat over the corpus pages — no Python, no RNG), ``RECS_PER_FILE``
   response records per file blob;
+* compresses / decompresses the real container framing: per-record gzip
+  members (``.warc.gz`` — what every actual Common Crawl segment is),
+  with member-wise compressed offsets for CDX random access;
 * parses them back with a REAL record walker (``iter_warc_records``):
   Content-Length-governed slicing, never delimiter scanning — HTML payloads
   legally contain anything, so splitting on separators is wrong by spec, and
@@ -34,7 +37,13 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .corpus import pages_df
 
@@ -94,6 +103,31 @@ def warc_files_df(spark, sf_dir: str) -> DataFrame:
     )
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def iter_gzip_members(blob: bytes):
+    """Yield (raw: bytes, comp_offset: int, comp_length: int) per gzip
+    member of a multi-member gzip stream — the framing Common Crawl uses
+    for ``.warc.gz``: each WARC record is compressed as its OWN gzip
+    member, so a reader can seek to a member boundary and decompress one
+    record without touching the rest of the file.  ``zlib.decompressobj``
+    with ``wbits=31`` stops at each member's end; ``unused_data`` gives
+    the exact compressed member length, which is what a CDX index stores
+    for random access into the compressed file."""
+    import zlib
+
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(blob[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = (n - pos) - len(d.unused_data)
+        yield raw, pos, consumed
+        pos += consumed
+
+
 def iter_warc_spans(blob: bytes):
     """Yield (headers: dict, content: bytes, rec_offset: int, rec_length: int)
     for each record in a WARC blob — the walker that also does the byte
@@ -103,7 +137,19 @@ def iter_warc_spans(blob: bytes):
     ISO 28500 record grammar: version line + named fields, a blank line,
     then exactly Content-Length bytes, then CRLF CRLF.  Content is sliced
     by the declared length — a record whose content embeds 'WARC/1.0' or
-    blank lines parses correctly (tests pin this)."""
+    blank lines parses correctly (tests pin this).
+
+    Gzipped input (``.warc.gz``, the format every real Common Crawl
+    segment ships in) is detected by the gzip magic and walked member-wise:
+    each member is gunzipped and its records yielded with COMPRESSED
+    offsets/lengths (the member's position in the .gz file — the numbers a
+    CDX line must carry for random access into the compressed container).
+    A member holding k records yields k rows sharing the member's span."""
+    if blob[:2] == GZIP_MAGIC:
+        for raw, comp_off, comp_len in iter_gzip_members(blob):
+            for headers, content, _, _ in iter_warc_spans(raw):
+                yield headers, content, comp_off, comp_len
+        return
     pos, n = 0, len(blob)
     while pos < n:
         rec_start = pos
@@ -136,6 +182,70 @@ def iter_warc_records(blob: bytes):
     """Yield (headers, content) per record; see ``iter_warc_spans``."""
     for headers, content, _, _ in iter_warc_spans(blob):
         yield headers, content
+
+
+def gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0 so byte-stable across runs)
+    — the per-record compression unit of ``.warc.gz`` / ``.wet.gz``."""
+    import gzip
+
+    return gzip.compress(data, compresslevel=6, mtime=0)
+
+
+GZ_FILES_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("warc", BinaryType()),
+    ]
+)
+
+
+def warc_gz_files_df(spark, sf_dir: str) -> DataFrame:
+    """(file_id, warc): multi-member ``.warc.gz`` blobs — the SAME records
+    as ``warc_files_df`` but each record compressed as its own gzip member
+    (Common Crawl's on-disk framing).  Synthesis reuses the SQL record
+    builder for the record bytes, then a grouped Arrow map compresses
+    member-wise in doc_id order (gzip has no SQL builtin; mtime=0 keeps
+    the blobs deterministic).  One group = one output file = one row."""
+    pages_df(spark, sf_dir).createOrReplaceTempView("__warc_pages")
+    recs = spark.sql(
+        f"""
+      select cast(doc_id div {RECS_PER_FILE} as bigint) as file_id,
+             doc_id,
+             concat(
+               encode(concat(
+                 'WARC/1.0\\r\\n',
+                 'WARC-Type: response\\r\\n',
+                 'WARC-Target-URI: ', url, '\\r\\n',
+                 'WARC-Date: ',
+                 date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"), '\\r\\n',
+                 'Content-Length: ', cast(octet_length(html) as string),
+                 '\\r\\n\\r\\n'), 'UTF-8'),
+               html,
+               encode('\\r\\n\\r\\n', 'UTF-8')) as rec
+      from __warc_pages
+    """
+    )
+
+    def _gz(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(gzip_member(bytes(r)) for r in pdf["rec"])
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])], "warc": [blob]}
+        )
+
+    return recs.groupBy("file_id").applyInPandas(_gz, GZ_FILES_SCHEMA)
+
+
+def run_warc_extract_text_gz(spark, sf_dir: str) -> DataFrame:
+    """Driver query: gzipped WARC files -> member gunzip -> record walk ->
+    HTML parse -> main text.  Same oracle as extract_text — compression
+    framing must be invisible, which value-checks the member walker end to
+    end (a single byte of framing drift breaks every downstream hash)."""
+    files = warc_gz_files_df(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "file_id"
+    )
+    return files.mapInPandas(_extract_batch, WARC_TEXT_SCHEMA)
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,10 +300,12 @@ def _pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def read_warc_pages(spark, path: str) -> DataFrame:
-    """Pages table (url, html) from a directory of real .warc files on
-    disk, via Spark's built-in ``binaryFile`` source — the production
-    ingestion path behind ``job.read_pages('warc:<dir>')``.  One file is
-    one task input (binaryFile never splits a file, matching the
+    """Pages table (url, html) from a directory of real .warc or .warc.gz
+    files on disk, via Spark's built-in ``binaryFile`` source — the
+    production ingestion path behind ``job.read_pages('warc:<dir>')``.
+    Gzipped files are detected per-blob by magic (every real Common Crawl
+    segment is per-record gzip members) and walked member-wise.  One file
+    is one task input (binaryFile never splits a file, matching the
     sequential record chain); downstream the salted url-hash repartition
     rebalances record counts across the cluster."""
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -201,6 +313,69 @@ def read_warc_pages(spark, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return pages.withColumn("html", F.encode("html", "UTF-8"))
+
+
+def wet_record_bytes(url: str, text: str) -> bytes:
+    """One ISO 28500 'conversion' record — the WET line format Common
+    Crawl ships extracted text in.  Content-Length is the UTF-8 BYTE
+    length (the walker slices by it), not the char count."""
+    body = text.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8")
+    return hdr + body + b"\r\n\r\n"
+
+
+WET_WRITE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def write_wet_files(results_df: DataFrame, out_dir: str,
+                    compress: bool = True) -> DataFrame:
+    """Write a (url, text, ...) DataFrame out as ``.wet`` / ``.wet.gz``
+    files, one file per partition, each record its own gzip member when
+    compressed (the exact framing `iter_warc_spans` random-accesses).
+    Executor-local file writes — on a real cluster `out_dir` is a mounted
+    distributed store; partition count (and so file size) is whatever the
+    upstream plan set, matching how CC shards WET output.  Returns a
+    (path, n_records, n_bytes) manifest DataFrame (one row per file)."""
+    import os
+
+    suffix = ".wet.gz" if compress else ".wet"
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n_recs = n_bytes = 0
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                for url, text in zip(pdf["url"], pdf["text"]):
+                    rec = wet_record_bytes(url, text)
+                    fh.write(gzip_member(rec) if compress else rec)
+                    n_recs += 1
+            n_bytes = fh.tell()
+        if n_recs == 0:
+            os.unlink(path)
+            return
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n_recs], "n_bytes": [n_bytes]}
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return results_df.select("url", "text").mapInPandas(
+        _write, WET_WRITE_SCHEMA
+    )
 
 
 def run_warc_extract_text(spark, sf_dir: str) -> DataFrame:

@@ -148,3 +148,142 @@ def test_warc_cdx_offsets_chain(spark, sf_dir):
             assert r["rec_offset"] == pos
             pos += r["rec_length"]
         assert pos == sizes[fid]
+
+
+# --- gzipped container framing (.warc.gz / .wet.gz) --------------------------
+
+def _gz(data: bytes) -> bytes:
+    from htmlgraft.warcops import gzip_member
+
+    return gzip_member(data)
+
+
+def test_gzip_members_walk_and_offsets():
+    from htmlgraft.warcops import iter_gzip_members
+
+    m1, m2 = _gz(b"hello"), _gz(b"world!")
+    out = list(iter_gzip_members(m1 + m2))
+    assert [raw for raw, _, _ in out] == [b"hello", b"world!"]
+    assert out[0][1] == 0 and out[0][2] == len(m1)
+    assert out[1][1] == len(m1) and out[1][2] == len(m2)
+
+
+def test_gzip_truncated_member_raises():
+    from htmlgraft.warcops import iter_gzip_members
+
+    with pytest.raises(ValueError, match="truncated gzip"):
+        list(iter_gzip_members(_gz(b"hello")[:-4]))
+
+
+def test_warc_gz_records_transparent():
+    # per-record gzip members (CC framing): the record walker must yield
+    # identical (headers, content) as the plain blob, and report
+    # COMPRESSED member spans usable for random access into the .gz bytes
+    from htmlgraft.warcops import iter_warc_records, iter_warc_spans
+
+    r1 = _rec("http://a/", b"<html>WARC/1.0\r\n\r\n</html>")
+    r2 = _rec("http://b/", b"plain")
+    gz_blob = _gz(r1) + _gz(r2)
+    plain = [(h["warc-target-uri"], c) for h, c in iter_warc_records(r1 + r2)]
+    gz = [(h["warc-target-uri"], c) for h, c in iter_warc_records(gz_blob)]
+    assert gz == plain
+    spans = list(iter_warc_spans(gz_blob))
+    for _, _, off, ln in spans:
+        piece = gz_blob[off:off + ln]
+        (h2, c2, _, _), = iter_warc_spans(piece)  # random access works
+    assert spans[0][2] == 0 and spans[1][2] == len(_gz(r1))
+
+
+def test_warc_gz_multirecord_member():
+    # a member holding two records yields both, sharing the member's span
+    from htmlgraft.warcops import iter_warc_spans
+
+    r1, r2 = _rec("http://a/", b"x"), _rec("http://b/", b"yy")
+    blob = _gz(r1 + r2)
+    out = list(iter_warc_spans(blob))
+    assert [h["warc-target-uri"] for h, _, _, _ in out] == ["http://a/", "http://b/"]
+    assert all(off == 0 and ln == len(blob) for _, _, off, ln in out)
+
+
+def test_read_pages_warc_gz_from_disk_end_to_end(spark, sf_dir, tmp_path):
+    """Real .warc.gz files on disk -> read_pages('warc:...') -> full
+    parse+extract must equal the direct pages path (mirror of the plain-
+    WARC disk test — the compression layer must be invisible)."""
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract, read_pages
+    from htmlgraft.warcops import warc_gz_files_df
+
+    warc_dir = tmp_path / "crawl_gz"
+    warc_dir.mkdir()
+    rows = warc_gz_files_df(spark, sf_dir).collect()[:4]
+    for r in rows:
+        (warc_dir / f"seg-{r['file_id']:05d}.warc.gz").write_bytes(
+            bytes(r["warc"])
+        )
+
+    pages = read_pages(spark, f"warc:{warc_dir}")
+    got = {
+        (r["url"], r["text"])
+        for r in parse_extract(pages, include_dom=False)
+        .select("url", "text").collect()
+    }
+    urls = {u for u, _ in got}
+    want = {
+        (r["url"], r["text"])
+        for r in parse_extract(pages_df(spark, sf_dir), include_dom=False)
+        .select("url", "text").collect()
+        if r["url"] in urls
+    }
+    assert len(got) == 4 * RECS_PER_FILE
+    assert got == want
+
+
+def test_warc_gz_files_match_plain(spark, sf_dir):
+    # the .warc.gz synthesis carries byte-identical records to the plain one
+    from htmlgraft.warcops import warc_files_df, warc_gz_files_df
+
+    plain = {
+        r["file_id"]: [
+            (h["warc-target-uri"], c)
+            for h, c in iter_warc_records(bytes(r["warc"]))
+        ]
+        for r in warc_files_df(spark, sf_dir).collect()
+    }
+    gz = {
+        r["file_id"]: [
+            (h["warc-target-uri"], c)
+            for h, c in iter_warc_records(bytes(r["warc"]))
+        ]
+        for r in warc_gz_files_df(spark, sf_dir).collect()
+    }
+    assert gz == plain
+
+
+def test_write_wet_files_round_trip(spark, sf_dir, tmp_path):
+    """WET sink: write .wet.gz from the parse output, walk the files back
+    with the record walker, and recover exactly the (url, text) rows."""
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract
+    from htmlgraft.warcops import iter_warc_records, write_wet_files
+
+    res = parse_extract(pages_df(spark, sf_dir), include_dom=False)
+    want = {(r["url"], r["text"]) for r in res.select("url", "text").collect()}
+
+    for compress, suffix in ((True, ".wet.gz"), (False, ".wet")):
+        out = tmp_path / ("gz" if compress else "plain")
+        manifest = write_wet_files(
+            res.repartition(3), str(out), compress=compress
+        ).collect()
+        assert sum(m["n_records"] for m in manifest) == len(want)
+        got = set()
+        import os
+
+        for m in manifest:
+            assert m["path"].endswith(suffix)
+            assert os.path.getsize(m["path"]) == m["n_bytes"]
+            blob = open(m["path"], "rb").read()
+            for h, c in iter_warc_records(blob):
+                assert h["warc-type"] == "conversion"
+                assert h["content-type"] == "text/plain"
+                got.add((h["warc-target-uri"], c.decode("utf-8")))
+        assert got == want
