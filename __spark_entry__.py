@@ -48,6 +48,20 @@ def _q_extract_text(spark, sf_dir):
     return _results(spark, sf_dir).select("url", "text")
 
 
+def _q_extract_text_charsets(spark, sf_dir):
+    """The decode gate: the SAME parse+extract over the charset corpus —
+    four byte-level families (UTF-8+BOM with a lying meta, meta-declared
+    windows-1252, undeclared windows-1252, plain UTF-8) that must all
+    decode to the same expected text.  Covers htmlgraft/encoding.py's
+    prescan branches end to end; a blind utf-8 decode mojibakes the
+    non-ASCII marker in 2 of 4 families and fails the hash."""
+    from htmlgraft.corpus import pages_charset_df
+    from htmlgraft.job import parse_extract
+
+    res = parse_extract(pages_charset_df(spark, sf_dir), include_dom=False)
+    return res.select("url", "text")
+
+
 def _q_wet_export(spark, sf_dir):
     """WET export — Common Crawl's extracted-text sibling format (ISO
     28500 'conversion' records): the record a user downstream of this
@@ -456,8 +470,18 @@ def _extract_ratio_oracle() -> str:
     """
 
 
+def _charset_oracle() -> str:
+    from htmlgraft.corpus import CHARSET_MARKER
+
+    return (
+        pages_oracle_cte(marker=CHARSET_MARKER)
+        + " select url, text from expected"
+    )
+
+
 _PIPELINE_ORACLES = {
     "extract_text": _expected("select url, text from expected"),
+    "extract_text_charsets": _charset_oracle(),
     "wet_export": _expected(f""",
       recs as (
         select url, cast(length(text) as bigint) as content_length,
@@ -547,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
         "extract_text": _q_extract_text,
+        "extract_text_charsets": _q_extract_text_charsets,
         "wet_export": _q_wet_export,
         "extract_stats_by_lang": _q_extract_stats_by_lang,
         "extract_stats_by_host": _q_extract_stats_by_host,

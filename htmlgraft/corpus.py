@@ -76,9 +76,16 @@ _ESCAPE = (
 )
 
 
-def _html_expr() -> str:
+# default meta tag of the synthesized pages; charset_pages_sql swaps it per
+# family (a lying meta, a windows-1252 meta, or none) to exercise the decode
+_META_UTF8 = "'<meta charset=\"utf-8\">'"
+
+
+def _html_expr(meta: str = _META_UTF8) -> str:
     """Spark SQL expression building the page html (string) from columns
-    doc_id, source, lang, clean, host, r, partner."""
+    doc_id, source, lang, clean, host, r, partner.  ``meta`` is a SQL string
+    expression for the head's meta tag (default keeps the output
+    byte-identical to the original single-variant template)."""
     esc = _ESCAPE.format(src="clean")
     first = "substring_index(clean, ' ', 1)"
     # paragraph: <p><b>First</b> rest-of-text</p>, repeated R times; when the
@@ -90,7 +97,7 @@ def _html_expr() -> str:
     return (
         "concat("
         "case when doc_id % 7 = 0 then '' else '<!DOCTYPE html>' end,"
-        "'<html lang=\"', lang, '\"><head><meta charset=\"utf-8\">',"
+        f"'<html lang=\"', lang, '\"><head>', {meta},"
         "'<title>Doc ', cast(doc_id as string), ' — ', source, '</title>',"
         "'<style>p{margin:0 0 1em} /* <p> in style */</style>',"
         "'<script>var d=', cast(doc_id as string), ';if(d<0){x(\"</div>\")}</script>',"
@@ -180,12 +187,13 @@ def pages_df(spark, sf_dir: str, multiplier: int = 1, num_parts: int | None = No
     return spark.sql(pages_sql("__graft_documents", 1))
 
 
-def html_expr_duck() -> str:
+def html_expr_duck(meta: str = _META_UTF8) -> str:
     """DuckDB restatement of ``_html_expr`` (columns doc_id, source, lang,
     clean, host, r, partner in scope) — an INDEPENDENT second spelling of
     the page synthesis used by container-level oracles (warcops) to verify
     whole-page byte accounting.  Dialect deltas: cast as varchar,
-    substring_index -> split_part; everything else is shared SQL."""
+    substring_index -> split_part; everything else is shared SQL.  ``meta``
+    mirrors ``_html_expr``'s parameter and must be passed identically."""
     esc = _ESCAPE.format(src="clean")
     first = "split_part(clean, ' ', 1)"
     first_esc = _ESCAPE.format(src=first)
@@ -196,7 +204,7 @@ def html_expr_duck() -> str:
     return (
         "concat("
         "case when doc_id % 7 = 0 then '' else '<!DOCTYPE html>' end,"
-        "'<html lang=\"', lang, '\"><head><meta charset=\"utf-8\">',"
+        f"'<html lang=\"', lang, '\"><head>', {meta},"
         "'<title>Doc ', cast(doc_id as varchar), ' — ', source, '</title>',"
         "'<style>p{margin:0 0 1em} /* <p> in style */</style>',"
         "'<script>var d=', cast(doc_id as varchar), ';if(d<0){x(\"</div>\")}</script>',"
@@ -221,10 +229,13 @@ def html_expr_duck() -> str:
 
 # --- DuckDB oracle mirrors -------------------------------------------------
 
-def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1) -> str:
+def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1,
+                     marker: str = "") -> str:
     """DuckDB CTE body computing per-page EXPECTED pipeline outputs directly
     from the documents table (no parsing): url, lang, expected extracted
-    text, host, r, ts_seconds."""
+    text, host, r, ts_seconds.  ``marker`` is appended to the cleaned text
+    (the charset corpus plants a non-ASCII marker in the main text so a
+    decode bug cannot cancel out)."""
     copies = []
     for k in range(multiplier):
         copies.append(
@@ -232,11 +243,12 @@ def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1) -> s
             f"from {documents_ref}"
         )
     base = " union all ".join(copies)
+    clean = CLEAN_DUCK if not marker else f"concat({CLEAN_DUCK}, '{marker}')"
     return f"""
       with docs as ({base}),
       derived as (
         select doc_id, text, lang, source,
-               {CLEAN_DUCK} as clean,
+               {clean} as clean,
                {HOST_EXPR_DUCK} as host,
                {R_EXPR} as r,
                {PARTNER_EXPR_DUCK} as partner,
@@ -251,3 +263,83 @@ def pages_oracle_cte(documents_ref: str = "documents", multiplier: int = 1) -> s
         from derived
       )
     """
+
+
+# --- charset corpus (non-UTF-8 page families) --------------------------------
+
+# non-ASCII marker planted in every charset-corpus page's MAIN text: é is
+# 1 byte in cp1252 vs 2 in UTF-8, and the em dash exists in cp1252 only via
+# byte 0x97 — any decode-branch bug turns the marker into mojibake and the
+# extract oracle catches it (a pure-ASCII corpus cannot cover decode at all).
+CHARSET_MARKER = " café — fin"
+
+_META_1252 = "'<meta charset=\"windows-1252\">'"
+
+# cp1252-only chars the shared template uses (title em dash, breadcrumb ›,
+# marker): U+2014 -> 0x97 and U+203A -> 0x9B under windows-1252.  Spark can
+# only ENCODE latin-1, which has no mapping for either — so the synthesis
+# translates them to the control chars U+0097/U+009B first (latin-1 encodes
+# those as single bytes 0x97/0x9B), producing exactly the bytes a cp1252
+# decoder maps back to the originals.  é (U+00E9) passes latin-1 directly.
+_TO_CP1252 = (
+    "encode(translate({src}, '—›', concat(chr(151), chr(155))), 'ISO-8859-1')"
+)
+
+
+def charset_pages_sql(documents_ref: str) -> str:
+    """Spark SQL: the charset-coverage corpus — same page template, four
+    byte-level families by doc_id % 4 that exercise every prescan branch
+    (htmlgraft/encoding.py):
+
+    0: UTF-8 bytes with BOM and a LYING ``<meta charset=windows-1252>`` —
+       the BOM must win (decoding per the meta would mojibake the marker);
+    1: windows-1252 bytes declared by ``<meta charset=windows-1252>`` —
+       the meta branch with a genuinely non-UTF-8 payload;
+    2: windows-1252 bytes with NO meta and no BOM — the spec-default branch;
+    3: plain UTF-8 with the standard utf-8 meta — the control family.
+
+    The expected extracted text is identical across families (the decoded
+    string is family-invariant by construction), so the oracle stays
+    relational: pages_oracle_cte(marker=CHARSET_MARKER)."""
+    h_lie = _html_expr(_META_1252)
+    h_1252 = _html_expr(_META_1252)
+    h_none = _html_expr("''")
+    h_utf8 = _html_expr()
+    return f"""
+      with docs as (select doc_id, text, lang, source from {documents_ref}),
+      derived as (
+        select doc_id, text, lang, source,
+               concat({CLEAN_SPARK}, '{CHARSET_MARKER}') as clean,
+               {HOST_EXPR} as host,
+               {R_EXPR} as r,
+               {PARTNER_EXPR} as partner,
+               {TS_SECONDS_EXPR} as ts_seconds
+        from docs
+      ),
+      built as (
+        select doc_id, text, lang, source, host, r, ts_seconds,
+               case cast(doc_id % 4 as int)
+                 when 0 then {h_lie}
+                 when 1 then {h_1252}
+                 when 2 then {h_none}
+                 else {h_utf8}
+               end as hs
+        from derived
+      )
+      select {URL_EXPR} as url,
+             timestamp_seconds(ts_seconds) as warc_ts,
+             case cast(doc_id % 4 as int)
+               when 0 then concat(unhex('EFBBBF'), encode(hs, 'UTF-8'))
+               when 3 then encode(hs, 'UTF-8')
+               else {_TO_CP1252.format(src="hs")}
+             end as html,
+             text, lang, doc_id, host, r, ts_seconds
+      from built
+    """
+
+
+def pages_charset_df(spark, sf_dir: str):
+    """DataFrame of charset-family pages for the documents table in sf_dir."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__graft_documents_cs")
+    return spark.sql(charset_pages_sql("__graft_documents_cs"))

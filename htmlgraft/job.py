@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
 
+from .encoding import decode_html
 from .extract import analyze_tree
 from .lexer import Tokeniser
 from .parse import Parser
@@ -158,7 +159,10 @@ def make_parse_batch(
                 extra = ([], None, None, 0)
                 t0 = time.perf_counter()
                 try:
-                    html = raw_bytes.decode("utf-8", "replace")
+                    # WHATWG prescan (BOM -> meta charset -> windows-1252
+                    # default): real crawls are ~5-10% non-UTF-8 and a blind
+                    # utf-8 decode mojibakes them silently (encoding.py)
+                    html = decode_html(raw_bytes)
                     parsed = parse_document(html, include_dom, include_links)
                     dom, text, n_tokens, n_nodes, status = parsed[:5]
                     if include_links:

@@ -8,8 +8,8 @@ the reference parser) feeds a document-order DOM walk that emits
 * ``extract_links``    — (url, pos, href, anchor) for every <a href=...>;
 * ``extract_metadata`` — (url, title, h1, has_doctype, n_links);
 * ``link_hostgraph``   — (src_host, dst_host, n_links) with relative hrefs
-  resolved to the page host and absolute ``https://`` hrefs to their
-  authority;
+  resolved to the page host and absolute ``http(s)://`` / protocol-relative
+  ``//host`` hrefs to their own authority;
 * ``pagerank_hosts``   — integer-arithmetic PageRank over the distinct
   cross-host edges (the iterative production shape, like
   textops.run_dedup_clusters).
@@ -306,9 +306,13 @@ def _src_host_col():
 
 
 def _dst_host_col():
+    # absolute http(s):// and protocol-relative //host hrefs carry their own
+    # authority (all three put the host at split index 2); anything else
+    # resolves to the page host.  Kept in lockstep with _RESOLVED_CTE and
+    # frontier_df — real crawls emit all three absolute spellings.
     return (
         F.when(
-            F.col("href").startswith("https://"),
+            F.col("href").rlike("^(https?:)?//"),
             F.split(F.col("href"), "/").getItem(2),
         )
         .otherwise(_src_host_col())
@@ -602,7 +606,9 @@ def tables_oracle_sql() -> str:
 _RESOLVED_CTE = """
       resolved as (
         select split_part(url, '/', 3) as src,
-               case when href like 'https://%' then split_part(href, '/', 3)
+               case when href like 'https://%' or href like 'http://%'
+                         or href like '//%'
+                    then split_part(href, '/', 3)
                     else split_part(url, '/', 3) end as dst
         from lnk
       )"""
@@ -630,7 +636,9 @@ def anchor_text_oracle_sql() -> str:
         + _links_cte()
         + f""",
       res as (
-        select case when href like 'https://%' then split_part(href, '/', 3)
+        select case when href like 'https://%' or href like 'http://%'
+                         or href like '//%'
+                    then split_part(href, '/', 3)
                     else split_part(url, '/', 3) end as dst_host,
                anchor
         from lnk
@@ -766,9 +774,13 @@ def frontier_df(links: DataFrame, crawled_urls: DataFrame) -> DataFrame:
     sf-scale oracle compare)."""
     resolved = links.select(
         F.split("url", "/").getItem(2).alias("src_host"),
-        F.when(
-            F.col("href").rlike("^https?://"), F.col("href")
-        ).otherwise(
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(
+            # protocol-relative: inherit the scheme (https on a real crawl)
+            F.col("href").startswith("//"),
+            F.concat(F.lit("https:"), F.col("href")),
+        )
+        .otherwise(
             F.concat(
                 F.lit("https://"),
                 F.split("url", "/").getItem(2),
@@ -806,6 +818,7 @@ def _frontier_ctes() -> str:
         select split_part(url, '/', 3) as src_host,
                case when href like 'https://%' or href like 'http://%'
                     then href
+                    when href like '//%' then concat('https:', href)
                     else concat('https://', split_part(url, '/', 3), href)
                     end as frontier_url
         from lnk

@@ -206,5 +206,26 @@ def run_stream_extract_text(spark, sf_dir: str) -> DataFrame:
         stream_parse_extract(stream_pages(spark, drop, max_files_per_trigger=2)),
         out, ckpt,
     )
-    q.awaitTermination(600)
-    return spark.read.parquet(out).select("url", "text")
+    try:
+        # awaitTermination returns False on timeout with the query still
+        # running — reading the sink then would return a PARTIAL result and
+        # surface as a baffling hash mismatch; fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s; sink is partial"
+            )
+    except Exception:
+        if q.isActive:
+            q.stop()
+        raise
+    # materialize the sink BEFORE dropping the temp tree (localCheckpoint
+    # cuts the lineage, so the returned DataFrame no longer depends on the
+    # files we are about to delete)
+    rows = spark.read.parquet(out).select("url", "text").localCheckpoint(
+        eager=True
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return rows

@@ -1717,25 +1717,76 @@ def quality_classify_sql(duck: bool, docs: str = "documents") -> str:
 
 VOCAB_SIZE = 256
 
+# candidate-prune fan-in for global top-k windows (Spark side only)
+TOPK_BUCKETS = 64
+
+
+def global_topk_cand(duck: bool, name: str, rel: str, cols: str,
+                     order_sql: str, k: int, bucket_expr: str) -> str:
+    """CTE chain ending in ``{name}``: candidates for a GLOBAL top-k rank
+    over ``rel``.
+
+    Spark's InferWindowGroupLimit prunes rank filters only for PARTITIONED
+    windows — an unpartitioned ``row_number() over (order by ...)`` funnels
+    the whole relation through one task (plan-verified), which at 10^8+
+    distinct web tokens is a single-partition sort.  This helper makes the
+    bound structural: a hash-bucketed local top-k first (that window IS
+    partitioned, so it gets the partial WindowGroupLimit), then the global
+    window sees at most {TOPK_BUCKETS} x k rows.  Correct by pigeonhole:
+    any global top-k row is inside its own bucket's top-k for the same
+    total order, no matter how the bucket function distributes rows.
+
+    The DuckDB oracle keeps the direct spelling (single window) — the
+    bucket function never affects the RESULT, so the dialects stay
+    value-identical while only Spark pays for the scale shape."""
+    if duck:
+        return f"{name} as (select {cols} from {rel})"
+    return f"""
+      {name}_b as (
+        select {cols}, pmod(hash({bucket_expr}), {TOPK_BUCKETS}) as _b
+        from {rel}
+      ),
+      {name}_l as (
+        select {cols},
+               row_number() over (partition by _b order by {order_sql})
+                 as _lrk
+        from {name}_b
+      ),
+      {name} as (select {cols} from {name}_l where _lrk <= {k})"""
+
 
 def vocab_induct_sql(duck: bool, docs: str = "documents") -> str:
     """Vocabulary induction (the tokenizer-building primitive): the top
     {VOCAB_SIZE} corpus tokens by frequency, with each rank's CUMULATIVE
     corpus coverage in permille — the curve a tokenizer team reads to pick
-    a vocab size.  Scale shape: the token count relation is
-    vocabulary-bounded (far below doc count), so the single ranking window
-    runs over a small relation; the only corpus-sized work is one
-    (token) hash aggregation with map-side partials."""
+    a vocab size.
+
+    Scale shape (two-phase top-k, ``global_topk_cand``): a hash-bucketed
+    local top-{VOCAB_SIZE} — whose PARTITIONED window gets Spark's partial
+    WindowGroupLimit — prunes the 10^8+-token distinct relation down to at
+    most {TOPK_BUCKETS} x {VOCAB_SIZE} candidates before the global rank,
+    so the single-partition sort is structurally bounded (plan-audited by
+    tests/test_corpusops.py).  The cumulative-coverage window then runs
+    over the final {VOCAB_SIZE} rows only.  The only corpus-sized work is
+    one (token) hash aggregation with map-side partials."""
     d = _d(duck)
     div = "//" if duck else "div"
+    cand = global_topk_cand(
+        duck, "cand", "counts", "tok, n", "n desc, tok asc",
+        VOCAB_SIZE, "tok",
+    )
     return f"""
       with {tokens_cte(duck, docs)},
       counts as (select tok, count(*) as n from tokens group by tok),
       total as (select sum(n) as t from counts),
+      {cand},
       ranked as (
         select tok, n,
                row_number() over (order by n desc, tok asc) as rk
-        from counts
+        from cand
+      ),
+      top as (
+        select tok, n, rk from ranked where rk <= {VOCAB_SIZE}
       )
       select cast(rk as bigint) as rank,
              tok as token,
@@ -1744,8 +1795,7 @@ def vocab_induct_sql(duck: bool, docs: str = "documents") -> str:
                      order by rk rows between unbounded preceding
                      and current row
                    )) {div} t as bigint) as cum_coverage_permille
-      from ranked cross join total
-      where rk <= {VOCAB_SIZE}
+      from top cross join total
       order by rank
     """
 
@@ -2404,10 +2454,13 @@ def _bm25_rest(duck: bool, tf: str) -> str:
         select count(*) as n_docs, sum(dl) as total_toks from dl
       ),
       df as (select tok, count(distinct doc_id) as df from {tf} group by tok),
+      df4 as (select tok, df from df where length(tok) >= 4),
+      {global_topk_cand(duck, "qcand", "df4", "tok, df",
+                        "df desc, tok", 2 * BM25_NQ, "tok")},
       qranked as (
         select tok, df,
                row_number() over (order by df desc, tok) as qrk
-        from df where length(tok) >= 4
+        from qcand
       ),
       queries as (
         select ((qrk - 1) % {BM25_NQ}) + 1 as query_id, tok, df
@@ -2694,10 +2747,13 @@ def phrase_search_sql(
           on t2.doc_id = t1.doc_id and t2.pos = t1.pos + 1
         group by t1.tok, t2.tok
       ),
+      {global_topk_cand(duck, "pcand", "bigram_df", "w1, w2, df",
+                        "df desc, w1, w2", PHRASE_NQ,
+                        "w1, w2")},
       phrases as (
         select w1, w2, df,
                row_number() over (order by df desc, w1, w2) as query_id
-        from bigram_df
+        from pcand
       ),
       q as (select query_id, w1, w2 from phrases where query_id <= {PHRASE_NQ}),
       m1 as (
@@ -2778,10 +2834,13 @@ def ngram_collocations_sql(duck: bool, docs: str = "documents") -> str:
         join uni u2 on u2.tok = p.w2
         cross join tot t
       ),
+      {global_topk_cand(duck, "ccand", "scored",
+                        "w1, w2, pair_count, lift_ppm",
+                        "lift_ppm desc, w1, w2", COLLOC_TOPK, "w1, w2")},
       ranked as (
         select w1, w2, pair_count, lift_ppm,
                row_number() over (order by lift_ppm desc, w1, w2) as rk
-        from scored
+        from ccand
       )
       select cast(rk as bigint) as rk, w1, w2,
              cast(pair_count as bigint) as pair_count,

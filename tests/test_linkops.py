@@ -299,3 +299,40 @@ def test_host_components_full_recompute(spark, sf_dir):
     # AND the partner-footer giant component is gone
     assert got.cluster_size.max() > 3
     assert got.cluster_rep.nunique() > 10
+
+
+def test_absolute_href_spellings_resolve_to_own_authority(spark):
+    """http://, https://, and protocol-relative //host hrefs all carry
+    their own authority; everything else resolves to the page host.  Real
+    crawls emit all three absolute spellings — hostgraph and frontier must
+    agree on them (they once diverged: https-only vs ^https?://)."""
+    from htmlgraft.linkops import frontier_df, hostgraph_df
+
+    links = spark.createDataFrame(
+        [
+            ("https://src.example.org/a/1", 1, "https://h1.example.com/x", "a"),
+            ("https://src.example.org/a/1", 2, "http://h2.example.com/y", "b"),
+            ("https://src.example.org/a/1", 3, "//h3.example.com/z", "c"),
+            ("https://src.example.org/a/1", 4, "/relative", "d"),
+        ],
+        "url string, pos int, href string, anchor string",
+    )
+    hg = {
+        (r["src_host"], r["dst_host"])
+        for r in hostgraph_df(links).collect()
+    }
+    assert hg == {
+        ("src.example.org", "h1.example.com"),
+        ("src.example.org", "h2.example.com"),
+        ("src.example.org", "h3.example.com"),
+        ("src.example.org", "src.example.org"),
+    }
+
+    crawled = spark.createDataFrame([("https://none/",)], "url string")
+    fr = {r["frontier_url"] for r in frontier_df(links, crawled).collect()}
+    assert fr == {
+        "https://h1.example.com/x",
+        "http://h2.example.com/y",
+        "https://h3.example.com/z",
+        "https://src.example.org/relative",
+    }
