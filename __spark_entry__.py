@@ -567,7 +567,45 @@ def _urlop(builder):
     return lambda spark, sf_dir: urlops.run(spark, sf_dir, builder)
 
 
+# The driver's correctness gate checks a bounded per-round subset of this
+# registry; order the entries so coverage debt drains first: queries never
+# driver-checked in any round (27 as of round 3, per VERDICT.md), the
+# round-2 red-then-fixed ann_recall, and everything NEW this round go to
+# the front, the long-green pipeline queries to the back.
+_GATE_FIRST = [
+    # new in round 4
+    "extract_text_charsets",
+    "warc_extract_text_gz",
+    "dedup_simhash_idf",
+    # never driver-checked through round 3 (+ ann_recall re-check)
+    "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
+    "bpe_encode", "cdc_chunk", "charset_sniff", "corpus_filter",
+    "dataset_card", "dedup_band_audit", "gopher_filter", "hash_embed",
+    "inverted_index", "media_frame_sample", "media_resize",
+    "ngram_collocations", "passage_chunk", "phrase_search", "pii_scrub",
+    "ppl_bucket", "quality_classify", "seq_pack", "shard_pack",
+    "source_mix", "substring_dedup", "text_normalize", "vocab_induct",
+    "ann_recall",
+    # checked only in round 2 (dtype-sensitive ones first)
+    "kmeans_assign", "kmeans_centroids", "ann_brute_topk",
+    "ann_lsh_buckets", "ann_lsh_topk", "ann_multilsh_topk",
+    "ann_ivf_assign", "ann_ivf_topk", "embedding_neardup",
+    "dedup_incremental", "dedup_pipeline", "dedup_recall",
+    "winnow_fingerprint", "lm_score", "repetition_stats",
+    "keyword_extract", "stratified_sample", "decontaminate",
+    "latest_snapshot", "recrawl_delta", "domain_stats",
+    "crawl_schedule", "host_components", "anchor_text",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_unordered()
+    ordered = {k: base[k] for k in _GATE_FIRST if k in base}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parse+extract pipeline (SURVEY.md §2A/§2C via mapInPandas, §2B relational)
         "extract_text": _q_extract_text,
@@ -608,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
         "dedup_minhash_lsh": textops.run_minhash_lsh,
         "dedup_simhash": _textop(textops.simhash_sql),
+        "dedup_simhash_idf": _textop(textops.simhash_idf_sql),
         "dedup_simhash_neardup": textops.run_simhash_neardup,
         "dedup_clusters": textops.run_dedup_clusters,
         "dedup_incremental": textops.run_dedup_incremental,
@@ -710,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
             "dedup_simhash": textops.simhash_sql(duck=True),
+            "dedup_simhash_idf": textops.simhash_idf_sql(duck=True),
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),
             "dedup_clusters": textops.dedup_clusters_sql(duck=True),
             "dedup_pipeline": textops.dedup_pipeline_sql(duck=True),
