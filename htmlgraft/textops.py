@@ -293,19 +293,101 @@ def simhash_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def _simhash_idf_ctes(duck: bool, src: str = "documents") -> str:
+    """CTE chain ending in ``shidf``(doc_id, simhash): IDF-WEIGHTED SimHash
+    (the weighted-vote variant of Charikar's scheme, per Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07 — public paper):
+    each token's per-bit vote counts its weight instead of ±1, so the
+    ubiquitous template tokens that bias every document's bits the same
+    way (the measured cause of the hot (band, byte) buckets the band audit
+    reports) stop dominating the votes.
+
+    Weight = bit length of N/df (an integer-only IDF surrogate,
+    floor(log2(N/df)) + 1, via length(bin(...)) in both dialects):
+    stopwords present in every doc get 1, rare tokens get up to bits(N) —
+    monotone in idf with the classic log scale, hash-stable across engines
+    (no float math, per the module contract).
+
+    Corpus caveat, measured: the driver's synthetic documents table has a
+    31-token vocabulary with df ~= 0.8N for EVERY token — no Zipf tail, so
+    idf is near-constant there and the band-audit deltas are small
+    (max_bucket 142 -> 141 at sf0.01).  The de-biasing effect the scheme
+    exists for is pinned instead by tests/test_corpusops.py on a
+    constructed template+rare-token corpus, where the unweighted scheme
+    collapses most docs into one bucket and this one does not.
+
+    Scale shape: one token explode, one vocabulary-sized df aggregation
+    (map-side combined), a tok-keyed join back (the weight relation is
+    vocabulary-bounded — broadcastable when it fits), then ONE hash
+    aggregation per doc computing all 32 weighted bit-votes as conditional
+    sums (map-side combined; no 32x row blowup, no array regroup)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    iv = "//" if duck else "div"
+    expl = "unnest" if duck else "explode"
+    th = h32("t.tok", duck)
+    v_cols = ",\n               ".join(
+        f"sum(case when {d['bit'].format('h', i)} = 1 then w else -w end)"
+        f" as v{i}"
+        for i in range(32)
+    )
+    pack = " + ".join(
+        f"case when v{i} > 0 then {d['shl1'].format(i)}"
+        " else cast(0 as bigint) end"
+        for i in range(32)
+    )
+    return f"""itoks as (
+        select doc_id, {expl}({ws}) as tok from {src}
+      ),
+      idfreq as (
+        select tok, count(distinct doc_id) as df from itoks group by tok
+      ),
+      intot as (select count(*) as n from {src}),
+      itw as (
+        select tok,
+               cast(length(bin(n {iv} df)) as bigint) as w
+        from idfreq cross join intot
+      ),
+      ijoined as (
+        select t.doc_id, {th} as h, tw.w as w
+        from itoks t join itw tw on tw.tok = t.tok
+      ),
+      ivotes as (
+        select doc_id,
+               {v_cols}
+        from ijoined group by doc_id
+      ),
+      shidf as (
+        select doc_id, cast({pack} as bigint) as simhash from ivotes
+      )"""
+
+
+def simhash_idf_sql(duck: bool, docs: str = "documents") -> str:
+    """IDF-weighted 32-bit SimHash per document (see ``_simhash_idf_ctes``)
+    — the dataset-side fix for the band-bias the ``dedup_band_audit``
+    metric measures on the unweighted scheme."""
+    return f"""
+      with {_simhash_idf_ctes(duck, docs)}
+      select doc_id, simhash from shidf
+      order by doc_id
+    """
+
+
 # 3 = the distance for which 4-byte banding guarantees candidate recall
 # (<=3 flipped bits cannot touch all 4 bytes)
 SIMHASH_NEARDUP_MAX_HAMMING = 3
 
 
-def _simhash_bytebands_cte(duck: bool, prefix: str = "") -> str:
+def _simhash_bytebands_cte(duck: bool, prefix: str = "",
+                           src: str = "sh") -> str:
     """CTE fragment {prefix}bands -> {prefix}sizes over an in-scope
-    ``sh``(doc_id, simhash) relation: the 4 byte-bands per doc and the
+    ``{src}``(doc_id, simhash) relation: the 4 byte-bands per doc and the
     per-(band, byte) bucket sizes.  Shared by ``simhash_neardup_sql``
     (candidate generation + the overflow-cap decision) and
-    ``dedup_band_audit_sql`` (the skew metric), so the audit measures
-    exactly the banding the operator runs.  ``prefix`` renames the CTEs so
-    the audit can hold this alongside the minhash fragment's ``bands``."""
+    ``dedup_band_audit_sql`` (the skew metric, which also points it at the
+    IDF-weighted relation), so the audit measures exactly the banding the
+    operator runs.  ``prefix`` renames the CTEs so the audit can hold this
+    alongside the minhash fragment's ``bands``."""
     d = _d(duck)
     shr = "({0} >> {1})" if duck else "shiftright({0}, {1})"
     expl = "unnest" if duck else "explode"
@@ -313,7 +395,7 @@ def _simhash_bytebands_cte(duck: bool, prefix: str = "") -> str:
     bands, sizes = prefix + "bands", prefix + "sizes"
     return f"""{bands} as (
         select doc_id, simhash, b.band, {byte_key} as byte_key
-        from sh cross join (
+        from {src} cross join (
           select {expl}({d['range_incl'].format('0', '3')}) as band
         ) b
       ),
@@ -2890,7 +2972,11 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
         overflow re-banding lane, i.e. the distribution the
         SIMHASH_BUCKET_CAP guard in `simhash_neardup_sql` exists to tame,
         built by the exact `_simhash_bytebands_cte` fragment that operator
-        runs (pinned by the pure-Python recompute in tests).
+        runs (pinned by the pure-Python recompute in tests);
+      * ``simhash_idf_byte`` — the SAME byte banding over the IDF-WEIGHTED
+        simhash (`_simhash_idf_ctes`), so the dataset-side de-biasing fix
+        is measured head-to-head against the unweighted scheme it improves
+        (tests pin max_bucket(idf) < max_bucket(unweighted)).
 
     Columns: n_buckets, n_rows (doc×band memberships), max_bucket,
     p99_bucket (exact, via cumulative counts over the bucket-SIZE value
@@ -2916,10 +3002,14 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
       {_hashed_tokens_cte(duck, "ddocs")},
       sh as (select doc_id, {_simhash_expr(duck)} as simhash from hv_docs),
       {_simhash_bytebands_cte(duck, prefix="s")},
+      {_simhash_idf_ctes(duck, "ddocs")},
+      {_simhash_bytebands_cte(duck, prefix="i", src="shidf")},
       allsizes as (
         select 'minhash_band' as scheme, n from mh_sizes
         union all
         select 'simhash_byte' as scheme, n from ssizes
+        union all
+        select 'simhash_idf_byte' as scheme, n from isizes
       ),
       hist as (
         select scheme, n, count(*) as b from allsizes group by scheme, n

@@ -379,3 +379,71 @@ def test_global_topk_cand_is_result_invariant(spark, sf_dir):
     assert "cand_b" not in passthrough
     direct = spark.sql(passthrough).collect()
     assert sorted(map(tuple, pruned)) == sorted(map(tuple, direct))
+
+
+def test_simhash_idf_debiases_template_corpus(spark):
+    """The effect dedup_simhash_idf exists for, on a corpus that HAS an
+    idf signal (the driver's synthetic table does not — 31-token
+    vocabulary, df ~= 0.8N for every token): 200 docs sharing a 20-token
+    template plus 4 doc-specific rare tokens.  Unweighted votes are
+    dominated by the template (most docs collapse into the same byte
+    buckets); idf weighting (rare w = bits(N/1) = 8 vs template w = 1)
+    lets the per-doc content win, spreading the buckets."""
+    from collections import Counter
+
+    from htmlgraft import textops
+
+    template = " ".join(f"tmpl{i}" for i in range(20))
+    rows = [
+        (i, f"{template} r{i}a r{i}b r{i}c r{i}d") for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("tmpl_docs")
+
+    def max_bucket(sql):
+        sims = [r["simhash"] for r in spark.sql(sql).collect()]
+        assert len(sims) == 200
+        c = Counter(
+            (band, (s >> (8 * band)) & 255) for s in sims for band in range(4)
+        )
+        return max(c.values())
+
+    plain = max_bucket(textops.simhash_sql(duck=False, docs="tmpl_docs"))
+    idf = max_bucket(textops.simhash_idf_sql(duck=False, docs="tmpl_docs"))
+    # template dominance packs the majority of docs into one bucket
+    # (measured 123/200 when this test was calibrated)
+    assert plain >= 100, plain
+    # idf weighting must cut the hottest bucket at least 4x (measured 13)
+    assert idf * 4 <= plain, (idf, plain)
+
+
+def test_simhash_idf_weight_is_bit_length(spark, sf_dir):
+    """w = floor(log2(N/df)) + 1, pinned by recomputing the weights in
+    pure Python from the same parquet."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from htmlgraft import textops
+
+    textops._register_documents(spark, sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    n = len(tbl["doc_id"])
+    df = defaultdict(set)
+    for did, text in zip(tbl["doc_id"], tbl["text"]):
+        for tok in text.split(" "):
+            df[tok].add(did)
+    want = {tok: (n // len(ds)).bit_length() for tok, ds in df.items()}
+    got = {
+        r["tok"]: r["w"]
+        for r in spark.sql(
+            "with itoks as (select doc_id, explode(split(text, ' ')) as tok"
+            " from documents),"
+            " idfreq as (select tok, count(distinct doc_id) as df from itoks"
+            " group by tok),"
+            " intot as (select count(*) as n from documents)"
+            " select tok, cast(length(bin(n div df)) as bigint) as w"
+            " from idfreq cross join intot"
+        ).collect()
+    }
+    assert got == want
