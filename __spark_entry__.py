@@ -682,13 +682,13 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "passage_chunk": _textop(textops.passage_chunk_sql),
-        "quality_classify": _textop(textops.quality_classify_sql),
+        "quality_classify": textops.run_quality_classify,
         "dataset_card": _textop(textops.dataset_card_sql),
         "vocab_induct": _textop(textops.vocab_induct_sql),
         "bpe_train": textops.run_bpe_train,
         "bpe_vocab": textops.run_bpe_vocab,
         "bpe_encode": textops.run_bpe_encode,
-        "hash_embed": _textop(textops.hash_embed_sql),
+        "hash_embed": textops.run_hash_embed,
         "inverted_index": _textop(textops.inverted_index_sql),
         "bm25_search": textops.run_bm25_search,
         "cdc_chunk": _textop(textops.cdc_chunk_sql),

@@ -193,19 +193,20 @@ def _scaling_pair(pages_path: str, n_low: int, adaptive: bool = True) -> dict:
             s.stop()
 
     measure((n_high, n_low, n_high, n_low))
+    eff_initial = round(min(pair[n_low]) / (4 * min(pair[n_high])), 3)
     # Adaptive extension (gate pair only): a reading near the 0.8 gate is
     # exactly where one degraded window flips the verdict (noise inflating
-    # t_4n lowers the ratio; inflating t_n raises it).  Add up to two more
-    # decorrelated session pairs and keep taking mins — every run stays in
-    # the reported lists, so the extension adds evidence, never discards
-    # it.  The 8->32 saturation pair reads ~0.6 by design (documented in
+    # t_4n lowers the ratio; inflating t_n raises it).  When the INITIAL
+    # reading is near-gate (< 0.9), run a FIXED two more decorrelated
+    # session pairs — unconditionally, no early exit, so there is no
+    # optional-stopping rule that could only ever nudge a reading toward
+    # passing (round-3 advice).  Every run stays in the reported lists and
+    # the pre-extension ratio is emitted alongside the final one.  The
+    # 8->32 saturation pair reads ~0.6 by design (documented in
     # BENCH/BASELINE.md) and must NOT trigger it.
-    if adaptive:
-        for _ in range(2):
-            eff = min(pair[n_low]) / (4 * min(pair[n_high]))
-            if eff >= 0.85:
-                break
-            measure((n_high, n_low))
+    if adaptive and eff_initial < 0.9:
+        measure((n_high, n_low))
+        measure((n_high, n_low))
     return {
         "n_cores": n_low,
         "t_n": min(pair[n_low]),
@@ -213,6 +214,7 @@ def _scaling_pair(pages_path: str, n_low: int, adaptive: bool = True) -> dict:
         "t_n_runs": pair[n_low],
         "t_4n_runs": pair[n_high],
         "efficiency": round(min(pair[n_low]) / (4 * min(pair[n_high])), 3),
+        "efficiency_initial": eff_initial,
         "probe_n": probes[n_low],
         "probe_4n": probes[n_high],
         "efficiency_calibrated": round(
@@ -264,9 +266,15 @@ def main() -> None:
         spark.stop()
         spark = _ops_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        # uncounted warm: fresh session -> python workers + JIT
+        # uncounted warm: fresh session -> python workers + JIT.  The link
+        # warm-up wants a SMALL corpus (it pays a full parse); use the
+        # smallest sf sibling of the configured dir if present, else the
+        # dir itself (no hardcoded layout — round-3 advice)
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir
         textops.run(spark, sf_dir, textops.simhash_sql).count()
-        linkops.run_extract_links(spark, "/root/testdata/sf0.001").count()
+        linkops.run_extract_links(spark, warm_dir).count()
         probes["ops"].append(_noise_probe())
         timed(
             "dedup_minhash_lsh",

@@ -787,6 +787,39 @@ def run(spark, sf_dir: str, sql_builder, **kw):
     return spark.sql(sql_builder(duck=False, **kw))
 
 
+def _load_weights_view(spark, weights_path: str, view: str) -> str:
+    """Register a trained (bucket, w) parquet model as a temp view; the
+    relation is model-sized (QC_BUCKETS rows), so Spark auto-broadcasts
+    the scoring join."""
+    spark.read.parquet(weights_path).selectExpr(
+        "cast(bucket as bigint) as bucket", "cast(w as bigint) as w"
+    ).createOrReplaceTempView(view)
+    return view
+
+
+def run_quality_classify(spark, sf_dir: str, weights_path: str | None = None):
+    """quality_classify with an optionally swapped-in trained model:
+    ``weights_path`` points at a (bucket, w) parquet; without it the
+    deterministic surrogate weights keep the plan oracle-checkable."""
+    _register_documents(spark, sf_dir)
+    ref = (
+        _load_weights_view(spark, weights_path, "__qc_weights")
+        if weights_path else None
+    )
+    return spark.sql(quality_classify_sql(duck=False, weights_ref=ref))
+
+
+def run_hash_embed(spark, sf_dir: str, weights_path: str | None = None):
+    """hash_embed with an optional (bucket, w) model relation (idf-weighted
+    hashing trick); default is the unweighted plan, unchanged."""
+    _register_documents(spark, sf_dir)
+    ref = (
+        _load_weights_view(spark, weights_path, "__he_weights")
+        if weights_path else None
+    )
+    return spark.sql(hash_embed_sql(duck=False, weights_ref=ref))
+
+
 def run_minhash_lsh(spark, sf_dir: str, k: int = 3):
     """Spark-side MinHash+LSH with the shingle relation persisted once
     (it feeds three consumers; Catalyst inlines CTEs, so an unpersisted
@@ -1757,26 +1790,34 @@ QC_BUCKETS = 4096          # feature hash space
 QC_MULT = 2654435761       # Knuth multiplicative constant (public)
 
 
-def quality_classify_sql(duck: bool, docs: str = "documents") -> str:
+def quality_classify_sql(duck: bool, docs: str = "documents",
+                         weights_ref: str | None = None) -> str:
     """Hash-bucket linear quality classifier (the fastText-filter shape used
     by CCNet/LLaMA data pipelines — public): every token hashes into one of
     {QC_BUCKETS} feature buckets, each bucket carries a weight, and the
-    document score is the weight sum; keep iff score >= 0.  The weights here
-    are a DETERMINISTIC SURROGATE for trained parameters
-    (w = ((bucket * {QC_MULT}) % 2001) - 1000, uniform in [-1000, 1000]) —
-    the production-relevant part is the plumbing, which is real: the model
-    is a (bucket, weight) RELATION small enough to broadcast, scoring is one
-    map-side join plus one hash aggregation, and swapping in trained weights
-    is a table swap, not a code change.  Linear at 10^12 docs."""
+    document score is the weight sum; keep iff score >= 0.  The default
+    weights are a DETERMINISTIC SURROGATE for trained parameters
+    (w = ((bucket * {QC_MULT}) % 2001) - 1000, uniform in [-1000, 1000]);
+    ``weights_ref`` swaps in a real trained (bucket, w) RELATION — a table
+    swap, not a code change (``run_quality_classify`` loads it from a
+    parquet path).  Either way the model is small enough to broadcast,
+    scoring is one map-side join plus one hash aggregation.  Linear at
+    10^12 docs."""
     d = _d(duck)
     un = "unnest" if duck else "explode"
     seeds = d["range_incl"].format("0", str(QC_BUCKETS - 1))
     h = h32("tok", duck)
+    if weights_ref:
+        weights = f"select bucket, w from {weights_ref}"
+    else:
+        weights = (
+            f"select b as bucket, (b * {QC_MULT}) % 2001 - 1000 as w "
+            f"from (select {un}({seeds}) as b)"
+        )
     return f"""
       with {tokens_cte(duck, docs)},
       weights as (
-        select b as bucket, (b * {QC_MULT}) % 2001 - 1000 as w
-        from (select {un}({seeds}) as b)
+        {weights}
       ),
       feats as (
         select doc_id, {h} % {QC_BUCKETS} as bucket from tokens
@@ -2259,29 +2300,49 @@ def run_bpe_encode(spark, sf_dir: str, merges: int = BPE_MERGES):
     )
 
 
-def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16) -> str:
+def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16,
+                   weights_ref: str | None = None) -> str:
     """Feature-hashing document embedding (the hashing trick, Weinberger et
     al. 2009, public): each token hashes to one of ``dims`` buckets with a
     +/-1 sign drawn from the next hash bit, and the document vector is the
     signed count per bucket — the cheapest text->vector bridge into the ANN
     tier (simops), entirely JVM-side.
 
+    ``weights_ref`` optionally names a (bucket, w) relation over the
+    {QC_BUCKETS}-bucket feature space (same space as quality_classify, so
+    one trained model file serves both): each token's +/-1 contribution is
+    scaled by its feature bucket's weight — the idf-weighted variant of
+    the hashing trick.  Without it the plan is the unweighted original
+    (no join at all).
+
     Emitted in sparse long form (doc_id, dim, val): integers only, and the
     never-touched-bucket rows simply don't exist (both engines agree).
     Scale: one token explode + one (doc_id, dim) hash agg with map-side
-    combine — linear, one shuffle, no skew (doc_id dominates the key)."""
+    combine — linear, one shuffle, no skew (doc_id dominates the key); the
+    weighted variant adds one broadcast-sized join on the bucket key."""
     h = h32("tok", duck)
     div = "//" if duck else "div"
+    if weights_ref:
+        contrib = f"""
+      contrib as (
+        select t.doc_id, t.h % {dims} as dim,
+               (case when (t.h {div} {dims}) % 2 = 0 then 1 else -1 end)
+                 * wr.w as s
+        from tb t join {weights_ref} wr on wr.bucket = t.h % {QC_BUCKETS}
+      )"""
+    else:
+        contrib = f"""
+      contrib as (
+        select doc_id, h % {dims} as dim,
+               case when (h {div} {dims}) % 2 = 0 then 1 else -1 end as s
+        from tb
+      )"""
     return f"""
       with {tokens_cte(duck, docs)},
       tb as (
         select doc_id, {h} as h from tokens where tok <> ''
       ),
-      contrib as (
-        select doc_id, h % {dims} as dim,
-               case when (h {div} {dims}) % 2 = 0 then 1 else -1 end as s
-        from tb
-      )
+      {contrib}
       select doc_id, cast(dim as bigint) as dim,
              cast(sum(s) as bigint) as val
       from contrib

@@ -3,9 +3,12 @@
 The scaling number is round-gating evidence (BASELINE.json north rule:
 efficiency >= 0.8 at two cluster sizes), so its measurement protocol is
 pinned like an operator: interleaved decorrelated sessions, min per level,
-and the near-gate adaptive extension added in round 3 session 7 — a raw
-reading < 0.85 buys up to two more session pairs, every run kept in the
-reported lists, and the saturation pair (8->32, ~0.6 by design) never
+and the near-gate adaptive extension (round 3 session 7, made
+stopping-rule-free in round 4 per the judge's advice) — an INITIAL raw
+reading < 0.9 buys exactly two more session pairs, unconditionally (no
+early exit that could only ever nudge a reading toward passing); every run
+is kept in the reported lists, the pre-extension ratio is emitted as
+efficiency_initial, and the saturation pair (8->32, ~0.6 by design) never
 triggers it.  All with fakes — no Spark session is started.
 """
 
@@ -56,22 +59,24 @@ def test_clean_reading_runs_two_interleaved_pairs(harness):
     calls = harness({16: [[5.0] * 3] * 2, 4: [[18.0] * 2] * 2})
     r = bench._scaling_pair("/fake", 4)
     assert calls == [16, 4, 16, 4]  # interleaved, no extension (eff 0.9)
-    assert r["efficiency"] == 0.9
+    assert r["efficiency"] == r["efficiency_initial"] == 0.9
     assert len(r["t_n_runs"]) == 4 and len(r["t_4n_runs"]) == 6
 
 
-def test_near_gate_reading_extends_and_recovers(harness):
-    # first windows degraded on the 4N side -> eff 15.5/(4*5.0) = 0.775;
-    # the extension's cleaner window (4.0) lifts it to 0.969 and stops
+def test_near_gate_reading_extends_without_early_exit(harness):
+    # first windows degraded on the 4N side -> initial 15.5/(4*5.0) = 0.775;
+    # BOTH fixed extension pairs run even though the first one's cleaner
+    # window (4.0) already lifts the ratio past the gate — no stopping rule
     calls = harness({
-        16: [[5.0] * 3, [5.0] * 3, [4.0] * 3],
-        4: [[15.5] * 2, [15.5] * 2, [15.9] * 2],
+        16: [[5.0] * 3, [5.0] * 3, [4.0] * 3, [4.2] * 3],
+        4: [[15.5] * 2, [15.5] * 2, [15.9] * 2, [15.8] * 2],
     })
     r = bench._scaling_pair("/fake", 4)
-    assert calls == [16, 4, 16, 4, 16, 4]  # exactly one extension pair
+    assert calls == [16, 4, 16, 4, 16, 4, 16, 4]  # two pairs, always
+    assert r["efficiency_initial"] == 0.775
     assert r["efficiency"] == 0.969
     # every run is kept — the extension adds evidence, never discards
-    assert len(r["t_n_runs"]) == 6 and len(r["t_4n_runs"]) == 9
+    assert len(r["t_n_runs"]) == 8 and len(r["t_4n_runs"]) == 12
     assert r["t_n"] == 15.5 and r["t_4n"] == 4.0
 
 
@@ -81,7 +86,7 @@ def test_extension_is_bounded_at_two_pairs(harness):
     calls = harness({16: sess16, 4: sess4})
     r = bench._scaling_pair("/fake", 4)
     assert calls == [16, 4, 16, 4, 16, 4, 16, 4]  # two extensions, then stop
-    assert r["efficiency"] == 0.5
+    assert r["efficiency"] == r["efficiency_initial"] == 0.5
 
 
 def test_saturation_pair_never_extends(harness):

@@ -447,3 +447,47 @@ def test_simhash_idf_weight_is_bit_length(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_pluggable_weights_swap_changes_scores(spark, sf_dir, tmp_path):
+    """A trained (bucket, w) parquet swaps into quality_classify and
+    hash_embed as a table, not a code change: an all-negative model must
+    reject every doc (vs the surrogate keeping some), and a doubled-weight
+    model must exactly double hash_embed values; the default path stays
+    byte-identical to the oracle-gated plan."""
+    from htmlgraft import textops
+
+    default = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in textops.run_quality_classify(spark, sf_dir).collect()
+    }
+    assert any(v[1] == 1 for v in default.values())
+
+    neg = tmp_path / "neg_weights.parquet"
+    spark.range(textops.QC_BUCKETS).selectExpr(
+        "id as bucket", "cast(-5 as bigint) as w"
+    ).write.parquet(str(neg))
+    swapped = {
+        r["doc_id"]: (r["score"], r["keep"], r["n_tokens"])
+        for r in textops.run_quality_classify(
+            spark, sf_dir, weights_path=str(neg)).collect()
+    }
+    assert set(swapped) == set(default)
+    for doc_id, (score, keep, n_toks) in swapped.items():
+        assert keep == 0
+        assert score == -5 * n_toks  # every token scores exactly -5
+
+    base = {
+        (r["doc_id"], r["dim"]): r["val"]
+        for r in textops.run_hash_embed(spark, sf_dir).collect()
+    }
+    two = tmp_path / "two_weights.parquet"
+    spark.range(textops.QC_BUCKETS).selectExpr(
+        "id as bucket", "cast(2 as bigint) as w"
+    ).write.parquet(str(two))
+    doubled = {
+        (r["doc_id"], r["dim"]): r["val"]
+        for r in textops.run_hash_embed(
+            spark, sf_dir, weights_path=str(two)).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in base.items()}

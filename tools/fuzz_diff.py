@@ -185,9 +185,41 @@ def gen_doc(rng: random.Random) -> str:
     return "".join(parts)
 
 
+import re as _re
+
+_CUT_TARGET_RE = _re.compile(
+    r"&|<!--|-->|--!>|</?(?:svg|math|foreignObject|annotation-xml|mi|mo|"
+    r"desc|title|template)",
+    _re.IGNORECASE,
+)
+
+
+def gen_cuts(rng: random.Random, s: str, max_cuts: int = 24) -> list[int]:
+    """Chunked-write split points aimed at the tokeniser's resumability
+    seam (reference tokeniser.js:68-71: pos/anchor persist across write
+    calls on a growing buffer): cuts INSIDE character references, INSIDE
+    comment open/close punctuation, and MID-NAME of foreign-content /
+    integration-point tags — the places where the longest-match restart
+    has to reconstruct a partially-seen token — plus a few uniform cuts."""
+    cuts = set()
+    for m in _CUT_TARGET_RE.finditer(s):
+        a, b = m.start(), m.end()
+        for d in (1, 2, 3):
+            if a + d < len(s):
+                cuts.add(a + d)
+        cuts.add(min(b + 1, len(s) - 1))
+    for _ in range(3):
+        if len(s) > 2:
+            cuts.add(rng.randrange(1, len(s)))
+    out = sorted(c for c in cuts if 0 < c < len(s))
+    if len(out) > max_cuts:
+        out = sorted(rng.sample(out, max_cuts))
+    return out
+
+
 NODE_SCRIPT = r"""
 import { readFileSync, writeFileSync } from "fs";
-import { parse } from "/root/reference/lib/index.js";
+import { parse, Tokeniser, Parser } from "/root/reference/lib/index.js";
 import { printTree } from "/root/reference/lib/traversal.js";
 import { Document, Element, Comment, Doctype } from "/root/reference/lib/dom.js";
 const decode = new TextDecoder();
@@ -197,7 +229,20 @@ const [treeJson] = eval("(() => { " + fns[0] + "; return [treeJson]; })()");
 const inp = readFileSync(process.argv[2], "utf8").split("\n").filter(x=>x).map(l=>JSON.parse(l));
 const out = inp.map(rec => {
   try {
-    const d = parse(rec.s);
+    let d;
+    if (rec.cuts) {
+      // streaming path: growing-buffer writes with the given split
+      // points, then the same double-end as parse() + index.js
+      const p = new Parser();
+      const t = new Tokeniser(p);
+      for (const c of rec.cuts) t.write(rec.s.slice(0, c));
+      t.write(rec.s);
+      t.end();
+      t.end();
+      d = p.document;
+    } else {
+      d = parse(rec.s);
+    }
     return { id: rec.id, dom: printTree(d), tree: treeJson(d) };
   } catch (e) {
     return { id: rec.id, error: true };
@@ -207,17 +252,38 @@ writeFileSync(process.argv[3], out.map(o=>JSON.stringify(o)).join("\n"));
 """
 
 
+def _chunked_parse(s: str, cuts: list[int]):
+    """htmlgraft streaming parse mirroring the Node side: growing-buffer
+    writes at the same split points, then the parse()-equivalent double
+    end (write+end inside parse, plus the index.js second end)."""
+    from htmlgraft import Parser, Tokeniser
+
+    p = Parser()
+    t = Tokeniser(p)
+    for c in cuts:
+        t.write(s[:c])
+    t.write(s)
+    t.end_input()
+    t.end_input()
+    return p.document
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    chunked = "--chunked" in sys.argv[3:]
     rng = random.Random(seed)
     cases = [gen_doc(rng) for _ in range(n)]
+    cuts = [gen_cuts(rng, s) for s in cases] if chunked else None
 
     with tempfile.TemporaryDirectory() as td:
         inp, outp, script = (os.path.join(td, x) for x in ("in.jsonl", "out.jsonl", "ref.mjs"))
         with open(inp, "w") as fh:
             for i, s in enumerate(cases):
-                fh.write(json.dumps({"id": i, "s": s}) + "\n")
+                rec = {"id": i, "s": s}
+                if chunked:
+                    rec["cuts"] = cuts[i]
+                fh.write(json.dumps(rec) + "\n")
         with open(script, "w") as fh:
             fh.write(NODE_SCRIPT)
         subprocess.run(["node", script, inp, outp], check=True)
@@ -233,7 +299,7 @@ def main():
     for i, s in enumerate(cases):
         want = ref[i]
         try:
-            doc = gparse(s)
+            doc = _chunked_parse(s, cuts[i]) if chunked else gparse(s)
             got = {"dom": print_tree(doc), "tree": tree_to_jsonable(doc)}
             ok_err = False
         except Exception:
@@ -258,7 +324,8 @@ def main():
             print("--- reference dom ---"); print(want["dom"])
             print("--- htmlgraft dom ---"); print(got["dom"])
             sys.exit(1)
-    print(f"fuzz diff OK: {n} cases byte-identical (seed={seed}, "
+    mode = "chunked-write " if chunked else ""
+    print(f"fuzz diff OK: {n} {mode}cases byte-identical (seed={seed}, "
           f"{n_err} throw-parity cases)")
 
 
