@@ -249,6 +249,7 @@ def run_warc_extract_text_gz(spark, sf_dir: str) -> DataFrame:
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .encoding import decode_html
     from .job import parse_document
 
     for pdf in batches:
@@ -257,8 +258,10 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for headers, content in iter_warc_records(bytes(blob)):
                 if headers.get("warc-type") != "response":
                     continue
+                # same WHATWG prescan as the batch parse path (job.py) —
+                # real crawl payloads are ~5-10% non-UTF-8
                 _, text, _, _, _ = parse_document(
-                    content.decode("utf-8", "replace"), include_dom=False
+                    decode_html(content), include_dom=False
                 )
                 urls.append(headers["warc-target-uri"])
                 texts.append(text)
@@ -282,12 +285,16 @@ def _stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 WARC_PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
-        StructField("html", StringType()),
+        StructField("html", BinaryType()),
     ]
 )
 
 
 def _pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # payload bytes pass through UNTOUCHED: the parse stage's WHATWG
+    # prescan (htmlgraft/encoding.py) owns the decode — a utf-8
+    # decode/re-encode here would bake mojibake into non-UTF-8 pages
+    # before the charset sniff could ever see the original bytes
     for pdf in batches:
         urls, htmls = [], []
         for blob in pdf["content"].tolist():
@@ -295,7 +302,7 @@ def _pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 if headers.get("warc-type") != "response":
                     continue
                 urls.append(headers["warc-target-uri"])
-                htmls.append(content.decode("utf-8", "replace"))
+                htmls.append(content)
         yield pd.DataFrame({"url": urls, "html": htmls})
 
 
@@ -309,10 +316,7 @@ def read_warc_pages(spark, path: str) -> DataFrame:
     sequential record chain); downstream the salted url-hash repartition
     rebalances record counts across the cluster."""
     files = spark.read.format("binaryFile").load(path).select("content")
-    pages = files.mapInPandas(_pages_batch, WARC_PAGES_SCHEMA)
-    from pyspark.sql import functions as F
-
-    return pages.withColumn("html", F.encode("html", "UTF-8"))
+    return files.mapInPandas(_pages_batch, WARC_PAGES_SCHEMA)
 
 
 def wet_record_bytes(url: str, text: str) -> bytes:

@@ -287,3 +287,30 @@ def test_write_wet_files_round_trip(spark, sf_dir, tmp_path):
                 assert h["content-type"] == "text/plain"
                 got.add((h["warc-target-uri"], c.decode("utf-8")))
         assert got == want
+
+
+def test_non_utf8_warc_payload_survives(spark, tmp_path):
+    """A windows-1252 page inside a WARC must reach the extractor with its
+    original bytes (no utf-8 re-encode laundering): the é (0xE9) and the
+    0x97 em dash must decode via the charset prescan, not as U+FFFD."""
+    from htmlgraft.job import parse_extract, read_pages
+
+    body = ("<html><head><meta charset=windows-1252><title>t</title></head>"
+            "<body><div id=main><p>caf\xe9 — fin</p></div>"
+            "<footer><a href=\"/x\">t</a></footer></body></html>")
+    raw = body.encode("cp1252")
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://cp.example/1\r\n"
+        f"Content-Length: {len(raw)}\r\n\r\n"
+    ).encode() + raw + b"\r\n\r\n"
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(rec)
+
+    rows = parse_extract(
+        read_pages(spark, f"warc:{d}"), include_dom=False
+    ).select("url", "text").collect()
+    (row,) = rows
+    assert "café — fin" in row["text"]
+    assert "�" not in row["text"]
