@@ -13,11 +13,24 @@ def _run(spark, rows):
 
 
 def test_invalid_utf8_replaced(spark):
-    # lone 0xFF is invalid UTF-8 -> U+FFFD via errors='replace'; parse must
-    # succeed and the replacement char survives into the extracted text
-    res = _run(spark, [("u1", "en", bytearray(b"<div><p>a\xffb</p></div>"))])
+    # DECLARED utf-8 with a lone 0xFF (invalid) -> U+FFFD via
+    # errors='replace'; parse must succeed and the replacement char
+    # survives into the extracted text
+    res = _run(spark, [(
+        "u1", "en",
+        bytearray(b'<meta charset="utf-8"><div><p>a\xffb</p></div>'),
+    )])
     assert res["u1"]["status"] == "ok"
     assert "a�b" in res["u1"]["text"]
+
+
+def test_undeclared_bytes_decode_as_cp1252(spark):
+    # NO BOM, no meta: the WHATWG prescan default is windows-1252, so a
+    # lone 0xFF is 'ÿ', not U+FFFD (the pre-round-4 blind-utf8 behavior)
+    res = _run(spark, [("u1", "en", bytearray(b"<div><p>a\xffb</p></div>"))])
+    assert res["u1"]["status"] == "ok"
+    assert "aÿb" in res["u1"]["text"]
+    assert "�" not in res["u1"]["text"]
 
 
 def test_empty_and_whitespace(spark):

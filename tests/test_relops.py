@@ -43,7 +43,10 @@ def test_parse_error_rows(spark):
         # the reference throws on <math><font>x (undefined-rule quirk)
         ("https://bad.example/2", "en", bytearray(b"<math><font>x")),
         # U+0080 hits the undefined eqClass entry -> lexer error
-        ("https://bad.example/3", "en", bytearray("prepost".encode())),
+        ("https://bad.example/3", "en",
+         # undeclared bytes now decode as windows-1252 (round-4
+         # prescan), so the U+0080 must arrive via DECLARED utf-8
+         bytearray(('<meta charset="utf-8">pre\u0080post').encode())),
     ]
     pages = spark.createDataFrame(rows, "url string, lang string, html binary")
     res = {r["url"]: r for r in parse_extract(pages, num_parts=2).collect()}
