@@ -55,32 +55,53 @@ _DEFAULT = "cp1252"  # windows-1252, the WHATWG fallback
 _SCAN_BYTES = 1024
 
 
-def sniff_charset(raw: bytes) -> tuple[str, int, str]:
+def _codec_for_label(label: str) -> str | None:
+    """WHATWG label -> Python codec (shared by the transport and meta
+    branches); None when the label is unrecognized by either table."""
+    codec = _LABELS.get(label)
+    if codec is None:
+        try:
+            codec = codecs.lookup(label).name
+        except LookupError:
+            codec = None
+    return codec
+
+
+def sniff_charset(raw: bytes,
+                  transport: str | None = None) -> tuple[str, int, str]:
     """(python_codec, bom_len, source) for a raw page; source is one of
-    'bom' | 'meta' | 'default' — the same three verdicts charset_sniff_sql
-    emits, so the two implementations stay cross-checkable."""
+    'bom' | 'transport' | 'meta' | 'default'.  Priority per the WHATWG
+    encoding-determination order: a BOM always wins, then the
+    TRANSPORT-layer label (the HTTP Content-Type charset parameter a WARC
+    response record carries), then the in-page meta prescan, then the
+    windows-1252 default.  The bom/meta/default verdicts match
+    charset_sniff_sql, so the two implementations stay cross-checkable."""
     if raw[:3] == b"\xef\xbb\xbf":
         return "utf-8", 3, "bom"
     if raw[:2] == b"\xfe\xff":
         return "utf-16-be", 2, "bom"
     if raw[:2] == b"\xff\xfe":
         return "utf-16-le", 2, "bom"
+    if transport:
+        label = transport.strip().lower()
+        # the utf-16-label-means-utf-8 quirk is a PRESCAN rule only; a
+        # transport-layer utf-16 declaration is honored as utf-16
+        codec = {
+            "utf-16": "utf-16-le", "utf-16le": "utf-16-le",
+            "utf-16be": "utf-16-be",
+        }.get(label) or _codec_for_label(label)
+        if codec is not None:
+            return codec, 0, "transport"
     m = _META_CHARSET.search(raw[:_SCAN_BYTES])
     if m:
-        label = m.group(1).decode("ascii").lower()
-        codec = _LABELS.get(label)
-        if codec is None:
-            try:
-                codec = codecs.lookup(label).name
-            except LookupError:
-                codec = None
+        codec = _codec_for_label(m.group(1).decode("ascii").lower())
         if codec is not None:
             return codec, 0, "meta"
     return _DEFAULT, 0, "default"
 
 
-def decode_html(raw: bytes) -> str:
+def decode_html(raw: bytes, transport: str | None = None) -> str:
     """Decode page bytes per the prescan verdict (errors -> U+FFFD, the
     parser's own FFFD rules then apply downstream as usual)."""
-    codec, bom_len, _ = sniff_charset(raw)
+    codec, bom_len, _ = sniff_charset(raw, transport)
     return raw[bom_len:].decode(codec, "replace")

@@ -154,15 +154,23 @@ def make_parse_batch(
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
             parts = pdf["part_id"].tolist() if "part_id" in pdf else [0] * len(urls)
             htmls = pdf["html"].tolist()
-            for url, lang, part_id, raw in zip(urls, langs, parts, htmls):
+            # optional transport-layer charset hints (WARC sources carry
+            # the HTTP Content-Type charset through a 'charset' column)
+            hints = (
+                pdf["charset"].tolist() if "charset" in pdf
+                else [None] * len(urls)
+            )
+            for url, lang, part_id, raw, hint in zip(
+                    urls, langs, parts, htmls, hints):
                 raw_bytes = bytes(raw)
                 extra = ([], None, None, 0)
                 t0 = time.perf_counter()
                 try:
-                    # WHATWG prescan (BOM -> meta charset -> windows-1252
-                    # default): real crawls are ~5-10% non-UTF-8 and a blind
-                    # utf-8 decode mojibakes them silently (encoding.py)
-                    html = decode_html(raw_bytes)
+                    # WHATWG prescan (BOM -> transport -> meta charset ->
+                    # windows-1252 default): real crawls are ~5-10%
+                    # non-UTF-8 and a blind utf-8 decode mojibakes them
+                    # silently (encoding.py)
+                    html = decode_html(raw_bytes, transport=hint)
                     parsed = parse_document(html, include_dom, include_links)
                     dom, text, n_tokens, n_nodes, status = parsed[:5]
                     if include_links:
@@ -261,7 +269,7 @@ def parse_extract(
     spark = pages.sparkSession
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cols = [c for c in ("url", "lang", "html") if c in pages.columns]
+    cols = [c for c in ("url", "lang", "html", "charset") if c in pages.columns]
     df = pages.select(*cols)
     if done_urls is not None:
         if broadcast_done is None:

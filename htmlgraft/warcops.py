@@ -33,6 +33,7 @@ Scale notes (Common Crawl is ~100 TB/crawl of exactly this format):
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -248,6 +249,42 @@ def run_warc_extract_text_gz(spark, sf_dir: str) -> DataFrame:
     return files.mapInPandas(_extract_batch, WARC_TEXT_SCHEMA)
 
 
+def split_http_response(content: bytes) -> tuple[dict | None, bytes]:
+    """(http_headers | None, body) for a WARC response payload.
+
+    Real Common Crawl response records carry the FULL HTTP message
+    (``Content-Type: application/http; msgtype=response``): status line +
+    header block + CRLFCRLF + entity body.  A pipeline that feeds the raw
+    payload to the HTML parser glues ``HTTP/1.1 200 OK ...`` onto every
+    page.  Detection is by the status-line prefix; non-HTTP payloads
+    (like this module's bare-HTML synthesis) pass through untouched."""
+    if not content.startswith(b"HTTP/"):
+        return None, content
+    sep = content.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, content
+    headers: dict[str, str] = {}
+    lines = content[:sep].decode("latin-1").split("\r\n")
+    for ln in lines[1:]:
+        name, s, value = ln.partition(":")
+        if s:
+            headers.setdefault(name.strip().lower(), value.strip())
+    headers["::status-line"] = lines[0]
+    return headers, content[sep + 4:]
+
+
+_CT_CHARSET = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
+
+
+def http_charset(http_headers: dict | None) -> str | None:
+    """Transport-layer charset label from an HTTP Content-Type header —
+    the WHATWG decode hint that outranks the in-page meta prescan."""
+    if not http_headers:
+        return None
+    m = _CT_CHARSET.search(http_headers.get("content-type", ""))
+    return m.group(1) if m else None
+
+
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .encoding import decode_html
     from .job import parse_document
@@ -258,10 +295,13 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for headers, content in iter_warc_records(bytes(blob)):
                 if headers.get("warc-type") != "response":
                     continue
-                # same WHATWG prescan as the batch parse path (job.py) —
-                # real crawl payloads are ~5-10% non-UTF-8
+                # strip the HTTP message framing (real CC payloads), then
+                # the same WHATWG prescan as the batch parse path — with
+                # the HTTP Content-Type charset as the transport hint
+                http, body = split_http_response(content)
                 _, text, _, _, _ = parse_document(
-                    decode_html(content), include_dom=False
+                    decode_html(body, transport=http_charset(http)),
+                    include_dom=False,
                 )
                 urls.append(headers["warc-target-uri"])
                 texts.append(text)
@@ -286,24 +326,29 @@ WARC_PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
         StructField("html", BinaryType()),
+        StructField("charset", StringType()),
     ]
 )
 
 
 def _pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # payload bytes pass through UNTOUCHED: the parse stage's WHATWG
-    # prescan (htmlgraft/encoding.py) owns the decode — a utf-8
-    # decode/re-encode here would bake mojibake into non-UTF-8 pages
-    # before the charset sniff could ever see the original bytes
+    # body bytes pass through UNTOUCHED: the parse stage's WHATWG prescan
+    # (htmlgraft/encoding.py) owns the decode — a utf-8 decode/re-encode
+    # here would bake mojibake into non-UTF-8 pages before the charset
+    # sniff could ever see the original bytes.  HTTP message framing is
+    # stripped here (it is container plumbing, not page content) and its
+    # Content-Type charset rides along as the transport-layer decode hint.
     for pdf in batches:
-        urls, htmls = [], []
+        urls, htmls, charsets = [], [], []
         for blob in pdf["content"].tolist():
             for headers, content in iter_warc_records(bytes(blob)):
                 if headers.get("warc-type") != "response":
                     continue
+                http, body = split_http_response(content)
                 urls.append(headers["warc-target-uri"])
-                htmls.append(content)
-        yield pd.DataFrame({"url": urls, "html": htmls})
+                htmls.append(body)
+                charsets.append(http_charset(http))
+        yield pd.DataFrame({"url": urls, "html": htmls, "charset": charsets})
 
 
 def read_warc_pages(spark, path: str) -> DataFrame:

@@ -88,3 +88,30 @@ def test_charset_corpus_families_decode_identically(spark, sf_dir):
         assert "Ã©" not in r["text"], r["url"]  # the utf-8-as-cp1252 mojibake
         by_fam_ok[doc_id % 4] += 1
     assert all(v > 0 for v in by_fam_ok.values())
+
+
+def test_transport_charset_beats_meta():
+    raw = b'<meta charset="utf-8"><p>caf\xe9'
+    codec, _, src = sniff_charset(raw, transport="windows-1252")
+    assert (codec, src) == ("cp1252", "transport")
+    assert "café" in decode_html(raw, transport="windows-1252")
+
+
+def test_bom_beats_transport():
+    raw = "﻿<p>café".encode("utf-8")
+    assert sniff_charset(raw, transport="windows-1252")[2] == "bom"
+    assert "café" in decode_html(raw, transport="windows-1252")
+
+
+def test_transport_utf16_is_honored_not_quirked():
+    # the utf-16-means-utf-8 rule is a PRESCAN quirk; a transport-layer
+    # utf-16le declaration decodes as utf-16le
+    raw = "<p>hi".encode("utf-16-le")
+    assert sniff_charset(raw, transport="utf-16le")[0] == "utf-16-le"
+    assert "hi" in decode_html(raw, transport="utf-16le")
+
+
+def test_unknown_transport_falls_through_to_meta():
+    raw = b'<meta charset="iso-8859-7"><p>x'
+    codec, _, src = sniff_charset(raw, transport="martian-9")
+    assert (codec, src) == ("iso8859-7", "meta")

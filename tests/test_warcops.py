@@ -314,3 +314,72 @@ def test_non_utf8_warc_payload_survives(spark, tmp_path):
     (row,) = rows
     assert "café — fin" in row["text"]
     assert "�" not in row["text"]
+
+
+# --- HTTP response payloads (real Common Crawl record shape) ------------------
+
+def _http_rec(uri: str, body: bytes, ct: str = "text/html") -> bytes:
+    http = (
+        f"HTTP/1.1 200 OK\r\nServer: test\r\nContent-Type: {ct}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    return _rec(uri, http)
+
+
+def test_split_http_response():
+    from htmlgraft.warcops import http_charset, split_http_response
+
+    h, body = split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+        b' charset="Windows-1252"\r\n\r\n<p>x'
+    )
+    assert body == b"<p>x"
+    assert h["::status-line"] == "HTTP/1.1 200 OK"
+    assert http_charset(h) == "Windows-1252"
+    # non-HTTP payloads pass through untouched
+    h2, b2 = split_http_response(b"<html>HTTP/ inside text</html>"[:])
+    assert h2 is None and b2.startswith(b"<html>")
+
+
+def test_http_wrapped_warc_end_to_end(spark, tmp_path):
+    """A real-shaped CC response record (full HTTP message, cp1252 body,
+    NO meta tag — the charset comes only from the HTTP Content-Type):
+    the status line and headers must never reach the parser, and the
+    transport charset must drive the decode."""
+    from htmlgraft.job import parse_extract, read_pages
+
+    body = ("<html><head><title>t</title></head><body><div id=main>"
+            "<p>caf\xe9 — fin</p></div>"
+            "<footer><a href=\"/x\">t</a></footer></body></html>"
+            ).encode("cp1252")
+    blob = _http_rec("http://h.example/1", body,
+                     ct="text/html; charset=windows-1252")
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(blob)
+
+    (row,) = parse_extract(
+        read_pages(spark, f"warc:{d}"), include_dom=False
+    ).select("url", "text").collect()
+    assert "café — fin" in row["text"]
+    assert "HTTP/1.1" not in row["text"]
+    assert "Content-Type" not in row["text"]
+    assert "�" not in row["text"]
+
+
+def test_http_wrapped_warc_extract_batch(spark, sf_dir):
+    """run_warc_extract_text's record walk applies the same HTTP split:
+    hand-built gz file with an HTTP-wrapped record."""
+    import pandas as pd
+
+    from htmlgraft.warcops import (
+        WARC_TEXT_SCHEMA, _extract_batch, gzip_member,
+    )
+
+    body = (b"<html><body><div id=main><p>alpha beta</p></div>"
+            b"<footer><a href=/x>t</a></footer></body></html>")
+    blob = gzip_member(_http_rec("http://h.example/2", body))
+    out = pd.concat(_extract_batch(iter([pd.DataFrame({"warc": [blob]})])))
+    assert list(out["url"]) == ["http://h.example/2"]
+    assert "alpha beta" in out["text"].iloc[0]
+    assert "HTTP/1.1" not in out["text"].iloc[0]
