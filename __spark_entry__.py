@@ -577,6 +577,7 @@ _GATE_FIRST = [
     "extract_text_charsets",
     "warc_extract_text_gz",
     "dedup_simhash_idf",
+    "bpe_roundtrip",
     # never driver-checked through round 3 (+ ann_recall re-check)
     "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
     "bpe_encode", "cdc_chunk", "charset_sniff", "corpus_filter",
@@ -688,6 +689,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": textops.run_bpe_train,
         "bpe_vocab": textops.run_bpe_vocab,
         "bpe_encode": textops.run_bpe_encode,
+        "bpe_roundtrip": textops.run_bpe_roundtrip,
         "hash_embed": textops.run_hash_embed,
         "inverted_index": _textop(textops.inverted_index_sql),
         "bm25_search": textops.run_bm25_search,
@@ -792,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
             "bpe_train": textops.bpe_train_sql(duck=True),
             "bpe_vocab": textops.bpe_vocab_sql(duck=True),
             "bpe_encode": textops.bpe_encode_sql(duck=True),
+            "bpe_roundtrip": textops.bpe_roundtrip_sql(duck=True),
             "hash_embed": textops.hash_embed_sql(duck=True),
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),

@@ -287,8 +287,8 @@ _TO_CP1252 = (
 
 
 def charset_pages_sql(documents_ref: str) -> str:
-    """Spark SQL: the charset-coverage corpus — same page template, four
-    byte-level families by doc_id % 4 that exercise every prescan branch
+    """Spark SQL: the charset-coverage corpus — same page template, six
+    byte-level families by doc_id % 6 that exercise every prescan branch
     (htmlgraft/encoding.py):
 
     0: UTF-8 bytes with BOM and a LYING ``<meta charset=windows-1252>`` —
@@ -296,7 +296,10 @@ def charset_pages_sql(documents_ref: str) -> str:
     1: windows-1252 bytes declared by ``<meta charset=windows-1252>`` —
        the meta branch with a genuinely non-UTF-8 payload;
     2: windows-1252 bytes with NO meta and no BOM — the spec-default branch;
-    3: plain UTF-8 with the standard utf-8 meta — the control family.
+    3: plain UTF-8 with the standard utf-8 meta — the control family;
+    4: UTF-16LE bytes behind an FF FE BOM (the meta tag inside is
+       NUL-interleaved, so only the BOM can identify it);
+    5: UTF-16BE bytes behind an FE FF BOM.
 
     The expected extracted text is identical across families (the decoded
     string is family-invariant by construction), so the oracle stays
@@ -318,7 +321,7 @@ def charset_pages_sql(documents_ref: str) -> str:
       ),
       built as (
         select doc_id, text, lang, source, host, r, ts_seconds,
-               case cast(doc_id % 4 as int)
+               case cast(doc_id % 6 as int)
                  when 0 then {h_lie}
                  when 1 then {h_1252}
                  when 2 then {h_none}
@@ -328,10 +331,13 @@ def charset_pages_sql(documents_ref: str) -> str:
       )
       select {URL_EXPR} as url,
              timestamp_seconds(ts_seconds) as warc_ts,
-             case cast(doc_id % 4 as int)
+             case cast(doc_id % 6 as int)
                when 0 then concat(unhex('EFBBBF'), encode(hs, 'UTF-8'))
-               when 3 then encode(hs, 'UTF-8')
-               else {_TO_CP1252.format(src="hs")}
+               when 1 then {_TO_CP1252.format(src="hs")}
+               when 2 then {_TO_CP1252.format(src="hs")}
+               when 4 then concat(unhex('FFFE'), encode(hs, 'UTF-16LE'))
+               when 5 then concat(unhex('FEFF'), encode(hs, 'UTF-16BE'))
+               else encode(hs, 'UTF-8')
              end as html,
              text, lang, doc_id, host, r, ts_seconds
       from built

@@ -2300,6 +2300,75 @@ def run_bpe_encode(spark, sf_dir: str, merges: int = BPE_MERGES):
     )
 
 
+def _bpe_decode_select(dict_ref: str, docs: str) -> str:
+    """Spark decode body: positional tokens -> trained subword repr ->
+    DETOKENIZE (drop the intra-word subword separators) -> order-faithful
+    reconstruction digest per doc."""
+    d = _d(False)
+    ws = d["split"].format("text")
+    tok = d["elem"].format("ws", "i")
+    return f"""
+      decw as (select doc_id, {ws} as ws from {docs}),
+      dtok as (
+        select doc_id, i as pos, {tok} as tok
+        from (select doc_id, ws,
+                     explode({d['range_incl'].format('1', 'size(ws)')}) as i
+              from decw)
+      ),
+      dec as (
+        select p.doc_id, p.pos, replace(v.repr, ' ', '') as detok
+        from dtok p join {dict_ref} v on v.word = p.tok
+        where p.tok <> ''
+      )
+      select doc_id,
+             cast(count(*) as bigint) as n_tokens,
+             md5(array_join(transform(
+                   array_sort(collect_list(struct(pos, detok))),
+                   s -> s.detok), ' ')) as decoded_md5
+      from dec
+      group by doc_id
+      order by doc_id"""
+
+
+def bpe_roundtrip_sql(
+    duck: bool, docs: str = "documents", merges: int = BPE_MERGES
+) -> str:
+    """Tokenizer LOSSLESSNESS gate — decode(encode(text)) == text.
+
+    The Spark side runs the full lifecycle: train the merges, encode every
+    token to its post-merge subword repr, then DECODE by stripping the
+    subword separators and reassembling the position-ordered stream; the
+    digest is over the reconstruction.  The DuckDB oracle never touches
+    BPE at all: it digests the whitespace-normalized SOURCE text directly.
+    Any corruption anywhere in the train -> dict -> encode -> decode chain
+    (a merge that glues across word boundaries, a lossy replace, an
+    unordered stream) produces a different reconstruction and fails the
+    hash — the strongest kind of oracle independence this suite has.
+
+    Scale: same shapes as bpe_encode (vocabulary-bounded dict join, one
+    per-doc hash agg with a document-local sorted digest)."""
+    if duck:
+        toks = "list_filter(string_split(text, ' '), w -> w <> '')"
+        return f"""
+          select doc_id,
+                 cast(len({toks}) as bigint) as n_tokens,
+                 md5(array_to_string({toks}, ' ')) as decoded_md5
+          from {docs}
+          order by doc_id
+        """
+    return f"""
+      with {_bpe_rounds(duck, docs, merges)},
+      {_bpe_decode_select(f"dict{merges}", docs)}
+    """
+
+
+def run_bpe_roundtrip(spark, sf_dir: str, merges: int = BPE_MERGES):
+    """Iterative-runner twin of ``bpe_roundtrip_sql`` (persisted dict,
+    1-row argmax collects per round)."""
+    _, last = _run_bpe_rounds(spark, sf_dir, merges)
+    return spark.sql(f"with {_bpe_decode_select(last, 'documents')}")
+
+
 def hash_embed_sql(duck: bool, docs: str = "documents", dims: int = 16,
                    weights_ref: str | None = None) -> str:
     """Feature-hashing document embedding (the hashing trick, Weinberger et

@@ -70,23 +70,25 @@ def test_charset_corpus_families_decode_identically(spark, sf_dir):
     # the families genuinely differ at the byte level
     fams = {
         r["fam"]: bytes(r["html"])[:64]
-        for r in pages.selectExpr("doc_id % 4 as fam", "html").collect()
+        for r in pages.selectExpr("doc_id % 6 as fam", "html").collect()
     }
-    assert fams[0][:3] == b"\xef\xbb\xbf"  # BOM family
+    assert fams[0][:3] == b"\xef\xbb\xbf"  # utf-8 BOM family
     assert b"windows-1252" in fams[1]
     assert b"<head><title>" in fams[2] or b"<head><" in fams[2]  # no meta
     assert b'charset="utf-8"' in fams[3]
+    assert fams[4][:2] == b"\xff\xfe" and fams[4][3:4] == b"\x00"  # utf-16le
+    assert fams[5][:2] == b"\xfe\xff" and fams[5][2:3] == b"\x00"  # utf-16be
 
     res = parse_extract(pages, include_dom=False).select(
         "url", "text").collect()
     assert len(res) > 0
-    by_fam_ok = {0: 0, 1: 0, 2: 0, 3: 0}
+    by_fam_ok = {f: 0 for f in range(6)}
     for r in res:
         doc_id = int(r["url"].rsplit("/", 1)[1])
         assert r["text"].count(CHARSET_MARKER.strip()) >= 1, r["url"]
         assert "�" not in r["text"], r["url"]
         assert "Ã©" not in r["text"], r["url"]  # the utf-8-as-cp1252 mojibake
-        by_fam_ok[doc_id % 4] += 1
+        by_fam_ok[doc_id % 6] += 1
     assert all(v > 0 for v in by_fam_ok.values())
 
 
