@@ -1133,13 +1133,23 @@ def ppl_bucket_sql(
     labels.  Our integer surrogate ``lm_score`` is a typicality (higher =
     more in-distribution), so head = the top third of scores.
 
-    Scale shape (the dataset_card percentile pattern): thresholds come from
-    a histogram over the SCORE VALUE DOMAIN — group docs by lm_score
-    (bounded by distinct score values, ~10^5), run the cumulative window
-    over that tiny relation ordered by score descending, then map each
-    bucket boundary back onto docs with one hash join.  The window never
-    sees 10^12 rows; ties share a score value and therefore a bucket, so
-    the labeling is deterministic in both engines.
+    Bucketing key = the LENGTH-NORMALIZED score ``lm_score div
+    n_bigrams`` (the average bigram logit, i.e. per-token typicality), for two reasons that are one
+    reason at scale: (a) semantics — CCNet buckets by per-token
+    perplexity, not total log-prob, so a long document is not inherently
+    "tail"; (b) the raw lm_score is a SUM over bigrams, whose distinct-
+    value domain grows with the corpus (~one value per doc at 10^12 docs
+    — a round-4 audit caught the cumulative window running over it),
+    while the average logit lives in the STRUCTURALLY bounded domain
+    [0, {LM_SCALE}] — at most ~10^6 histogram rows no matter the
+    corpus size.
+
+    Scale shape (the dataset_card percentile pattern): thresholds come
+    from a histogram over that bounded VALUE DOMAIN, the cumulative
+    window runs over the tiny histogram relation ordered descending, and
+    each bucket boundary maps back onto docs with one hash join.  The
+    window never sees 10^12 rows; ties share a normalized value and
+    therefore a bucket, so the labeling is deterministic in both engines.
 
     ``scores_ref`` names a pre-materialized doc_scores relation: it feeds
     both the histogram and the per-doc labeling join, and Catalyst's CTE
@@ -1152,10 +1162,15 @@ def ppl_bucket_sql(
             "with doc_scores as (select doc_id, n_bigrams, lm_score, "
             f"min_logit from {scores_ref}),"
         )
+    iv = "//" if duck else "div"
+    norm = f"lm_score {iv} n_bigrams"
     return f"""
       {pre}
+      normed as (
+        select doc_id, lm_score, {norm} as avg_logit from doc_scores
+      ),
       hist as (
-        select lm_score as v, count(*) as c from doc_scores group by lm_score
+        select avg_logit as v, count(*) as c from normed group by avg_logit
       ),
       cum as (
         select v,
@@ -1173,7 +1188,7 @@ def ppl_bucket_sql(
         from cum
       )
       select d.doc_id, d.lm_score, b.bucket
-      from doc_scores d join buckets b on b.v = d.lm_score
+      from normed d join buckets b on b.v = d.avg_logit
       order by d.doc_id
     """
 

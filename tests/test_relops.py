@@ -377,24 +377,26 @@ def test_shard_pack_greedy_recompute(spark, sf_dir):
 
 def test_ppl_bucket_thirds(spark, sf_dir):
     """head/middle/tail assignment recomputed from the lm_score relation:
-    a doc is 'head' iff the cumulative doc count down the sorted (desc)
-    score domain is <= 1/3 of the corpus at its score value."""
+    the bucketing key is the LENGTH-NORMALIZED average bigram logit
+    (bounded value domain — the raw sum's domain grows with the corpus),
+    and a doc is 'head' iff the cumulative doc count down the sorted
+    (desc) normalized domain is <= 1/3 of the corpus at its value."""
     from htmlgraft import textops
 
-    scores = {
-        r["doc_id"]: r["lm_score"]
+    norm = {
+        r["doc_id"]: r["lm_score"] // r["n_bigrams"]
         for r in textops.run(spark, sf_dir, textops.lm_score_sql).collect()
     }
     got = {
         r["doc_id"]: r["bucket"]
         for r in textops.run(spark, sf_dir, textops.ppl_bucket_sql).collect()
     }
-    assert set(got) == set(scores)
+    assert set(got) == set(norm)
     from collections import Counter
 
-    by_val = Counter(scores.values())
+    by_val = Counter(norm.values())
     cum, label = 0, {}
-    total = len(scores)
+    total = len(norm)
     for v in sorted(by_val, reverse=True):
         cum += by_val[v]
         label[v] = (
@@ -402,9 +404,11 @@ def test_ppl_bucket_thirds(spark, sf_dir):
             else "middle" if 3 * cum <= 2 * total
             else "tail"
         )
-    for d, s in scores.items():
+    for d, s in norm.items():
         assert got[d] == label[s], (d, s)
     assert {"head", "middle", "tail"} == set(got.values())
+    # the normalized domain is structurally bounded: avg logit in [0, S]
+    assert all(0 <= v <= textops.LM_SCALE for v in norm.values())
 
 
 def test_extract_spans_reassemble(spark, sf_dir):
