@@ -578,6 +578,8 @@ _GATE_FIRST = [
     "warc_extract_text_gz",
     "dedup_simhash_idf",
     "bpe_roundtrip",
+    "robots_parse",
+    "dataset_split",
     # never driver-checked through round 3 (+ ann_recall re-check)
     "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
     "bpe_encode", "cdc_chunk", "charset_sniff", "corpus_filter",
@@ -658,10 +660,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
+        "robots_parse": _urlop(urlops.robots_parse_sql),
         "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
         "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
         "domain_stats": _urlop(urlops.domain_stats_sql),
         "filter_funnel": _textop(textops.filter_funnel_sql),
+        "dataset_split": _textop(textops.dataset_split_sql),
         "lang_id": _textop(textops.lang_id_sql),
         "quality_score": _textop(textops.quality_sql),
         "token_count": _textop(textops.token_count_sql),
@@ -760,7 +764,9 @@ def oracle_sql() -> dict[str, str]:
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),
+            "robots_parse": urlops.robots_parse_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
+            "dataset_split": textops.dataset_split_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),
             "token_count": textops.token_count_sql(duck=True),
             "fingerprint": textops.fingerprint_sql(duck=True),

@@ -1193,6 +1193,40 @@ def ppl_bucket_sql(
     """
 
 
+SPLIT_TRAIN_PERMILLE = 900
+SPLIT_VAL_PERMILLE = 950
+
+
+def dataset_split_sql(duck: bool, docs: str = "documents") -> str:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be REPRODUCIBLE and leak-proof: the split is a pure
+    function of the document key (hash residue mod 1000), so re-running
+    the pipeline, adding documents, or changing partitioning can never
+    move an existing document between splits (contrast a random split or
+    a row_number cut, both of which reshuffle under insertion).  Bands:
+    residue < 900 -> train, < 950 -> val, else test (90/5/5).
+
+    Used together with ``decontaminate``: held-out splits are what the
+    13-gram overlap check protects.
+
+    Scale: a map-only projection — no shuffle, no state; the split of
+    10^12 docs costs exactly one scan."""
+    s = _d(duck)["str"]
+    h = h32(f"cast(doc_id as {s})", duck)
+    return f"""
+      with d as (
+        select doc_id, {h} % 1000 as residue from {docs}
+      )
+      select doc_id,
+             cast(residue as bigint) as residue,
+             case when residue < {SPLIT_TRAIN_PERMILLE} then 'train'
+                  when residue < {SPLIT_VAL_PERMILLE} then 'val'
+                  else 'test' end as split
+      from d
+      order by doc_id
+    """
+
+
 def _octets(expr: str, duck: bool) -> str:
     """UTF-8 byte length: DuckDB's octet_length only accepts BLOB."""
     return f"octet_length(encode({expr}))" if duck else f"octet_length({expr})"

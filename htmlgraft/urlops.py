@@ -436,3 +436,123 @@ def run(spark, sf_dir: str, sql_builder, **kw):
         "documents"
     )
     return spark.sql(sql_builder(duck=False, **kw))
+
+
+def robots_parse_sql(duck: bool, docs: str = "documents") -> str:
+    """robots.txt PARSER (RFC 9309 grammar, public spec) — the missing
+    half of ``robots_filter``, which consumes a rules RELATION: this
+    operator produces that relation from raw robots.txt TEXT.
+
+    Per-host robots.txt documents are synthesized deterministically (four
+    shape families by host id covering the grammar's corners: inline and
+    whole-line comments, case-variant directive names, LWS around the
+    colon, an EMPTY Disallow value, Crawl-delay, and a group declared by
+    two CONSECUTIVE User-agent lines — RFC 9309 §2.1: consecutive
+    user-agent lines share one group).  Parsing is pure dual-dialect SQL:
+
+    * line split + positional explode (document-local positions);
+    * comment strip (first '#'), blank/colon-less line skip;
+    * directive = lowercase(trimmed head before the first ':'), value =
+      trimmed tail;
+    * GROUP assembly: a user-agent line opens a new group only when the
+      previous parsed line was NOT a user-agent line (lag + running sum —
+      both windows partitioned by host, bounded by one robots.txt's line
+      count);
+    * every rule row joins to EVERY agent of its group.
+
+    Output: (host, agent, line_no, directive, value), strings/ints only.
+
+    Scale: robots.txt documents are per-host and tiny; all windows are
+    host-partitioned and line-bounded.  At 10^12 pages the robots
+    relation is |hosts|-sized — the same broadcast-side table
+    robots_filter already assumes."""
+    d = _d(duck)
+    s = d["str"]
+    nl = "chr(10)"
+    hid = f"cast(hid as {s})"
+    fam = "((hid + 211) % 4)"
+    txt = f"""concat(
+        '# robots for ', host, {nl},
+        'User-Agent: *', {nl},
+        case {fam}
+          when 0 then concat('Disallow: /private/', {nl},
+                             'Allow: /private/ok', {nl})
+          when 1 then concat('disallow:', {nl})
+          when 2 then concat('Disallow: /tmp/ # inline comment', {nl})
+          else concat('Crawl-Delay: 5', {nl}, 'Disallow: /q', {nl})
+        end,
+        {nl},
+        'User-agent: graftbot', {nl},
+        'User-agent: otherbot', {nl},
+        'Disallow: /', {nl})"""
+    # line explode with document-local positions (the positional-token
+    # pattern used throughout textops)
+    ls = f"string_split(txt, {nl})" if duck else f"split(txt, {nl})"
+    n = "len(ls)" if duck else "size(ls)"
+    line_i = d["elem"].format("ls", "i")
+    strpos = d["strpos"]
+    nocomment = d["elem"].format(
+        ("string_split(line, '#')" if duck else "split(line, '#')"), "1"
+    )
+    return f"""
+      with hostids as (
+        select distinct
+               case when doc_id % 5 = 0 then -1 else doc_id % 211 end as hid
+        from {docs}
+      ),
+      hosts as (
+        select hid,
+               case when hid = -1 then 'popular.example.com'
+                    else concat('site-', {hid}, '.example.org') end as host
+        from hostids
+      ),
+      robots as (select hid, host, {txt} as txt from hosts),
+      rl as (
+        select host, ls, {("unnest" if duck else "explode")}(
+                 {d['range_incl'].format('1', n)}) as i
+        from (select host, {ls} as ls from robots)
+      ),
+      lines as (select host, i as ln, {line_i} as line from rl),
+      noc as (
+        select host, ln, trim({nocomment}) as body from lines
+      ),
+      parsed as (
+        select host, ln,
+               lower(trim(substr(body, 1, {strpos.format('body', "':'")} - 1)))
+                 as directive,
+               trim(substr(body, {strpos.format('body', "':'")} + 1)) as value
+        from noc
+        where {strpos.format('body', "':'")} > 0
+      ),
+      flagged as (
+        select host, ln, directive, value,
+               case when directive = 'user-agent' then 1 else 0 end as is_ua,
+               coalesce(lag(case when directive = 'user-agent' then 1
+                            else 0 end) over (
+                 partition by host order by ln), 0) as prev_ua
+        from parsed
+      ),
+      grouped as (
+        select host, ln, directive, value,
+               sum(case when is_ua = 1 and prev_ua = 0 then 1 else 0 end)
+                 over (partition by host order by ln
+                       rows between unbounded preceding and current row)
+                 as grp,
+               is_ua
+        from flagged
+      ),
+      agents as (
+        select host, grp, value as agent from grouped where is_ua = 1
+      ),
+      rules as (
+        select host, grp, ln, directive, value
+        from grouped
+        where is_ua = 0
+          and directive in ('disallow', 'allow', 'crawl-delay')
+      )
+      select r.host, a.agent,
+             cast(r.ln as bigint) as line_no,
+             r.directive, r.value
+      from rules r join agents a on a.host = r.host and a.grp = r.grp
+      order by r.host, a.agent, line_no
+    """

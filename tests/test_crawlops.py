@@ -226,3 +226,77 @@ def test_crawl_schedule_politeness(q):
         assert keys == sorted(keys), host
     # the schedule covers the frontier exactly
     assert set(df.frontier_url) == set(frontier.frontier_url)
+
+
+def test_robots_parse_semantics(spark, sf_dir):
+    """RFC 9309 grammar corners recomputed by hand: consecutive
+    User-agent lines share ONE group (every rule of the tail group
+    appears under BOTH graftbot and otherbot), inline comments are
+    stripped, the empty Disallow survives with value '', and directive
+    names are case-folded."""
+    from htmlgraft import urlops
+
+    rows = urlops.run(spark, sf_dir, urlops.robots_parse_sql).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+
+    hosts = sorted(by_host)
+    assert "popular.example.com" in hosts
+    for host, rs in by_host.items():
+        agents = {r["agent"] for r in rs}
+        # the tail group's two consecutive UA lines both carry its rule
+        tail = [r for r in rs if r["directive"] == "disallow"
+                and r["value"] == "/"]
+        assert {t["agent"] for t in tail} == {"graftbot", "otherbot"}, host
+        # directive names are folded to lowercase
+        assert all(r["directive"] == r["directive"].lower() for r in rs)
+        # the wildcard group's rules are attributed to '*' only
+        star = [r for r in rs if r["agent"] == "*"]
+        assert star and all(r["agent"] == "*" for r in star)
+
+    # family 2 hosts: inline comment stripped from the value
+    fam2 = [
+        r for rs in by_host.values() for r in rs
+        if r["value"] == "/tmp/"
+    ]
+    assert fam2, "inline-comment family missing"
+    assert all("#" not in r["value"] for r in fam2)
+    # family 1 hosts: the EMPTY Disallow (means allow-all) survives as ''
+    fam1 = [
+        r for rs in by_host.values() for r in rs
+        if r["agent"] == "*" and r["directive"] == "disallow"
+        and r["value"] == ""
+    ]
+    assert fam1, "empty-disallow family missing"
+    # family 3: crawl-delay parsed as its own directive
+    delays = [r for rs in by_host.values() for r in rs
+              if r["directive"] == "crawl-delay"]
+    assert delays and all(r["value"] == "5" for r in delays)
+
+
+def test_dataset_split_is_deterministic_and_pure(spark, sf_dir):
+    """The split must be a pure function of doc_id: two runs agree row for
+    row, bands are 90/5/5 by residue, and REMOVING documents never moves a
+    surviving doc between splits (the leak-proofness property)."""
+    from htmlgraft import textops
+
+    a = {r["doc_id"]: (r["residue"], r["split"])
+         for r in textops.run(spark, sf_dir, textops.dataset_split_sql).collect()}
+    b = {r["doc_id"]: (r["residue"], r["split"])
+         for r in textops.run(spark, sf_dir, textops.dataset_split_sql).collect()}
+    assert a == b
+    for doc_id, (residue, split) in a.items():
+        want = ("train" if residue < 900 else "val" if residue < 950
+                else "test")
+        assert split == want, doc_id
+    assert {s for _, s in a.values()} == {"train", "val", "test"}
+
+    # subset invariance: run over half the corpus, assignments unchanged
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where("doc_id % 2 = 0").createOrReplaceTempView("half_docs")
+    half = {r["doc_id"]: (r["residue"], r["split"])
+            for r in spark.sql(
+                textops.dataset_split_sql(duck=False, docs="half_docs")
+            ).collect()}
+    assert half == {k: v for k, v in a.items() if k % 2 == 0}
