@@ -580,6 +580,7 @@ _GATE_FIRST = [
     "bpe_roundtrip",
     "robots_parse",
     "dataset_split",
+    "stream_host_sessions",
     # never driver-checked through round 3 (+ ann_recall re-check)
     "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
     "bpe_encode", "cdc_chunk", "charset_sniff", "corpus_filter",
@@ -626,6 +627,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ingest (Structured Streaming file source, exactly-once
         # sink) — same parse UDF, value-checked against the batch oracle
         "stream_extract_text": streaming.run_stream_extract_text,
+        # custom stateful streaming (applyInPandasWithState) under the
+        # same value gate: final per-host state vs relational rollup
+        "stream_host_sessions": streaming.run_stream_host_sessions,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_extract_text_gz": warcops.run_warc_extract_text_gz,
@@ -739,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
             "warc_extract_text": _expected("select url, text from expected"),
             "warc_extract_text_gz": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
+            "stream_host_sessions": streaming.stream_host_sessions_oracle_sql(),
             "corpus_build": _corpus_build_oracle(),
             "line_scrub": _line_scrub_oracle(),
             "layout_cluster": _layout_cluster_oracle(),

@@ -140,18 +140,31 @@ def _host_session_fn(key, pdfs, state):
     if last is not None and (last_ts is None or last > last_ts):
         last_ts = last
     state.update((n_pages, n_bytes, first_ts, last_ts))
-    state.setTimeoutDuration(HOST_IDLE_TIMEOUT_MS)
+    try:
+        state.setTimeoutDuration(HOST_IDLE_TIMEOUT_MS)
+    except Exception:
+        # NoTimeout mode (bounded availableNow runs): arming a timer is
+        # illegal there, and there is nothing to arm — sessions close with
+        # the query instead of by idleness
+        pass
     yield pd.DataFrame(
         [[host, n_pages, n_bytes, first_ts, last_ts, False]], columns=cols
     )
 
 
-def host_sessions(pages: DataFrame) -> DataFrame:
+def host_sessions(pages: DataFrame, timeout: bool = True) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-host crawl statistics with idle-timeout session close.  State is
     keyed by host — bounded by the crawl frontier, and each key holds three
     scalars, so a 10^12-page crawl carries state proportional to distinct
-    hosts only."""
+    hosts only.
+
+    ``timeout=False`` disables the idle-close (NoTimeout): needed under an
+    ``availableNow`` trigger that must TERMINATE — with processing-time
+    timeouts armed, the engine keeps scheduling empty batches so the idle
+    timers can eventually fire, and the query never finishes (measured:
+    35+ zero-row batches at sf0.001).  A continuous production stream
+    keeps the default; the bounded-backfill/gate path disables it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = pages.select(
@@ -164,7 +177,10 @@ def host_sessions(pages: DataFrame) -> DataFrame:
         outputStructType=HOST_OUT_SCHEMA,
         stateStructType=HOST_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -177,6 +193,95 @@ def streaming_dedup(pages: DataFrame, horizon: str = "2 hours") -> DataFrame:
     state belongs to the batch resume table, job.run_job)."""
     return pages.withWatermark("warc_ts", horizon).dropDuplicatesWithinWatermark(
         ["url"]
+    )
+
+
+def _run_stream_query(spark, sf_dir: str, build, final_select) -> DataFrame:
+    """Shared gated-stream harness: stage the corpus to a drop dir, run
+    ``build(stream_pages(...))`` through the exactly-once sink to
+    completion (fail LOUDLY on timeout — a partial sink surfaces as a
+    baffling hash mismatch), then ``final_select(sink_df)``, lineage-cut
+    so the temp tree can be removed."""
+    import shutil
+    import tempfile
+
+    from .corpus import pages_df
+
+    base = tempfile.mkdtemp(prefix="graft_stream_q_")
+    drop, out, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+    pages_df(spark, sf_dir).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).repartition(4).write.parquet(drop)
+    q = start_results_sink(
+        build(stream_pages(spark, drop, max_files_per_trigger=2)), out, ckpt
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s; sink is partial"
+            )
+    except Exception:
+        if q.isActive:
+            q.stop()
+        raise
+    rows = final_select(spark.read.parquet(out)).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return rows
+
+
+def run_stream_host_sessions(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the CUSTOM STATEFUL streaming operator
+    (``host_sessions``, applyInPandasWithState) under the full value
+    oracle.  The per-batch snapshots are batching-dependent, but the
+    accumulated state is monotone — n_pages/n_bytes only grow, first_seen
+    only shrinks, last_seen only grows — so the per-host extremes over the
+    sink equal the FINAL state, which must match the relational per-host
+    rollup (the oracle recomputes page bytes from the independent DuckDB
+    html spelling, cross-pinning the byte accounting yet again).
+
+    Scale: state is |hosts|-bounded (three scalars per host); the final
+    rollup is one hash agg over snapshot rows."""
+
+    def final(df):
+        return (
+            df.groupBy("host")
+            .agg(
+                F.max("n_pages").cast("bigint").alias("n_pages"),
+                F.max("n_bytes").cast("bigint").alias("n_bytes"),
+                F.min(F.unix_timestamp("first_seen")).cast("bigint")
+                .alias("first_s"),
+                F.max(F.unix_timestamp("last_seen")).cast("bigint")
+                .alias("last_s"),
+            )
+            .orderBy("host")
+        )
+
+    return _run_stream_query(
+        spark, sf_dir, lambda pages: host_sessions(pages, timeout=False),
+        final,
+    )
+
+
+def stream_host_sessions_oracle_sql() -> str:
+    """Relational restatement of the final stateful-session state: per-host
+    doc count, SUMMED page bytes recomputed from corpus.html_expr_duck()
+    (the independent DuckDB page spelling), and capture-time extremes."""
+    from .corpus import html_expr_duck, pages_oracle_cte
+
+    return (
+        pages_oracle_cte()
+        + f"""
+      select host,
+             cast(count(*) as bigint) as n_pages,
+             cast(sum(octet_length(encode({html_expr_duck()})))
+                  as bigint) as n_bytes,
+             cast(min(ts_seconds) as bigint) as first_s,
+             cast(max(ts_seconds) as bigint) as last_s
+      from derived
+      group by host
+      order by host
+    """
     )
 
 
@@ -193,39 +298,7 @@ def run_stream_extract_text(spark, sf_dir: str) -> DataFrame:
     Scale: the stream is a stateless map — no shuffle, no state store;
     throughput scales with executors exactly like the batch job, and
     ``availableNow`` makes the identical query an incremental backfill."""
-    import tempfile
-
-    from .corpus import pages_df
-
-    base = tempfile.mkdtemp(prefix="graft_stream_q_")
-    drop, out, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
-    pages_df(spark, sf_dir).select(
-        "url", "warc_ts", "html", "text", "lang"
-    ).repartition(4).write.parquet(drop)
-    q = start_results_sink(
-        stream_parse_extract(stream_pages(spark, drop, max_files_per_trigger=2)),
-        out, ckpt,
+    return _run_stream_query(
+        spark, sf_dir, stream_parse_extract,
+        lambda df: df.select("url", "text"),
     )
-    try:
-        # awaitTermination returns False on timeout with the query still
-        # running — reading the sink then would return a PARTIAL result and
-        # surface as a baffling hash mismatch; fail loudly instead.
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming query did not finish within 600s; sink is partial"
-            )
-    except Exception:
-        if q.isActive:
-            q.stop()
-        raise
-    # materialize the sink BEFORE dropping the temp tree (localCheckpoint
-    # cuts the lineage, so the returned DataFrame no longer depends on the
-    # files we are about to delete)
-    rows = spark.read.parquet(out).select("url", "text").localCheckpoint(
-        eager=True
-    )
-    import shutil
-
-    shutil.rmtree(base, ignore_errors=True)
-    return rows

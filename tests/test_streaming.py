@@ -109,18 +109,27 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
 
 def test_host_sessions_stateful(spark, sf_dir, drop_dir):
     """applyInPandasWithState: running per-host stats accumulate across
-    micro-batches; final snapshots must equal the batch rollup."""
+    micro-batches; final snapshots must equal the batch rollup.
+
+    Runs the NoTimeout variant: with processing-time timeouts armed,
+    availableNow never terminates (the engine keeps scheduling empty
+    batches so the idle timers can fire) — this test previously masked
+    that by ignoring awaitTermination's return and reading the memory
+    sink after a dead 120 s wait."""
     from htmlgraft.streaming import host_sessions
 
     q = (
-        host_sessions(stream_pages(spark, drop_dir, max_files_per_trigger=1))
+        host_sessions(
+            stream_pages(spark, drop_dir, max_files_per_trigger=1),
+            timeout=False,
+        )
         .writeStream.format("memory")
         .queryName("graft_hosts")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "bounded stateful stream must terminate"
     snaps = spark.table("graft_hosts")
     # last snapshot per host (largest n_pages; counts are monotone)
     final = {
@@ -153,3 +162,52 @@ def test_host_sessions_stateful(spark, sf_dir, drop_dir):
     for host, mn in batch_min.items():
         assert final_first[host] == mn, host
     assert snaps.where(F.col("first_seen").isNull()).count() == 0
+
+
+def test_host_session_fn_timeout_close_branch():
+    """The idle-timeout close path (hasTimedOut -> emit closed=True, drop
+    state) cannot fire inside a bounded test run (30-min timer), so it is
+    pinned directly against the update function with a fake GroupState."""
+    import pandas as pd
+
+    from htmlgraft.streaming import _host_session_fn
+
+    class FakeState:
+        def __init__(self, value, timed_out):
+            self._v, self.hasTimedOut, self.removed = value, timed_out, False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            raise RuntimeError("NoTimeout mode: arming a timer is illegal")
+
+    ts1, ts2 = pd.Timestamp("2026-01-01"), pd.Timestamp("2026-01-02")
+    st = FakeState((7, 4096, ts1, ts2), timed_out=True)
+    (out,) = _host_session_fn(("h.example",), iter([]), st)
+    assert st.removed
+    assert out.iloc[0].tolist() == ["h.example", 7, 4096, ts1, ts2, True]
+
+    # accumulation branch must survive setTimeoutDuration raising (the
+    # NoTimeout gate/backfill mode)
+    st2 = FakeState(None, timed_out=False)
+    pdf = pd.DataFrame({
+        "host": ["h.example"] * 2,
+        "warc_ts": [ts2, ts1],
+        "n_bytes": [10, 20],
+    })
+    (out2,) = _host_session_fn(("h.example",), iter([pdf]), st2)
+    assert st2.updated == (2, 30, ts1, ts2)
+    assert out2.iloc[0].tolist() == ["h.example", 2, 30, ts1, ts2, False]
