@@ -4,7 +4,9 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 The DECODE step is REAL header parsing from public format specs — no
 libraries needed: PNG IHDR (width/height as u32 big-endian at offset 16 of
 the signature+IHDR layout), GIF87a/89a logical-screen descriptor (u16
-little-endian at offset 6), JPEG SOFn segment walk (marker scan from SOI,
+little-endian at offset 6), TIFF IFD walk (both byte orders, SHORT/LONG
+scalar entries — the same machinery an Exif APP1 payload needs), JPEG
+SOFn segment walk (marker scan from SOI,
 skipping variable-length segments until a start-of-frame carries the
 dimensions), WAV RIFF chunk walk (fmt chunk for channels/sample-rate, data
 chunk for frame count), MP4/ISO-BMFF box walk (moov -> mvhd duration,
@@ -16,7 +18,8 @@ need codec libraries absent in this container) remains out of scope, and
 genuinely unknown formats raise ``NotImplementedError``.
 
 The source table synthesizes blobs with REAL format headers entirely in
-Spark SQL expressions (binary concat + unhex arithmetic, zero Python), with
+Spark SQL expressions (binary concat + unhex arithmetic, zero Python; the
+image family cycles png/gif/jpeg with every other jpeg slot a TIFF), with
 dimensions derived deterministically from doc_id; the DuckDB oracle
 recomputes the same dimensions relationally, so a header mis-parse (wrong
 offset, wrong endianness) shows up as a value mismatch — the UDF is pinned
@@ -94,6 +97,15 @@ _JPEG_HEADER = (
     "concat(X'FFD8', X'FFC0', X'0011', X'08', "
     f"{_be(_H, 2)}, {_be(_W, 2)}, X'03', X'011100021101031101')"
 )
+# classic little-endian TIFF, 38 bytes: 'II' 42, IFD at 8; 2 entries
+# (ImageWidth 256 / ImageLength 257, both type LONG count 1, values
+# inline little-endian), next-IFD offset 0
+_TIFF_HEADER = (
+    "concat(X'49492A00', X'08000000', X'0200', "
+    f"X'00010400', X'01000000', {_le(_W, 4)}, "
+    f"X'01010400', X'01000000', {_le(_H, 4)}, "
+    "X'00000000')"
+)
 _WAV_HEADER = (
     "concat(X'52494646', "  # 'RIFF'
     f"{_le('36 + octet_length(payload)', 4)}, "
@@ -167,7 +179,9 @@ def media_df(spark, sf_dir: str) -> DataFrame:
                case cast(doc_id % 9 as int)
                     when 0 then concat({_PNG_HEADER}, payload)
                     when 3 then concat({_GIF_HEADER}, payload)
-                    when 6 then concat({_JPEG_HEADER}, payload)
+                    when 6 then case when doc_id % 18 = 6
+                         then concat({_TIFF_HEADER}, payload)
+                         else concat({_JPEG_HEADER}, payload) end
                     else case cast(doc_id % 3 as int)
                          when 1 then concat({_WAV_HEADER}, payload)
                          else case cast(doc_id % 6 as int)
@@ -222,6 +236,53 @@ def parse_jpeg(blob: bytes):
             return w, h, 1, i + 2 + seglen
         i += 2 + seglen
     return None
+
+
+def _tiff_ifd(blob: bytes):
+    """(struct_fmt, {tag: (type, value, entry_off)}, ifd_end) for IFD0 of a
+    TIFF stream, honoring BOTH byte orders ('II' little / 'MM' big — TIFF 6
+    spec); SHORT/LONG scalar values are read left-justified in the 4-byte
+    value field per spec.  This walker doubles as the EXIF IFD machinery
+    (an Exif APP1 payload is a TIFF stream)."""
+    if blob[:4] == b"II*\x00":
+        fmt = "<"
+    elif blob[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        return None
+    if len(blob) < 8:
+        return None
+    off = struct.unpack(fmt + "I", blob[4:8])[0]
+    if off + 2 > len(blob):
+        return None
+    n = struct.unpack(fmt + "H", blob[off:off + 2])[0]
+    end = off + 2 + 12 * n + 4
+    if end > len(blob):
+        return None
+    entries = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ = struct.unpack(fmt + "HH", blob[e:e + 4])
+        if typ == 3:    # SHORT
+            val = struct.unpack(fmt + "H", blob[e + 8:e + 10])[0]
+        elif typ == 4:  # LONG
+            val = struct.unpack(fmt + "I", blob[e + 8:e + 12])[0]
+        else:
+            continue
+        entries[tag] = (typ, val, e)
+    return fmt, entries, end
+
+
+def parse_tiff(blob: bytes):
+    """TIFF: IFD0 walk for ImageWidth (256) / ImageLength (257); payload
+    (for fingerprinting) starts after IFD0's next-IFD pointer."""
+    got = _tiff_ifd(blob)
+    if got is None:
+        return None
+    _, entries, end = got
+    if 256 not in entries or 257 not in entries:
+        return None
+    return entries[256][1], entries[257][1], 1, end
 
 
 def parse_wav(blob: bytes):
@@ -390,7 +451,7 @@ def decode_header(media_type: str, blob: bytes):
     MP4 ISO-BMFF boxes, WebM EBML); unknown media types or unparseable
     blobs raise ``NotImplementedError``."""
     if media_type == "image":
-        parsers = (parse_png, parse_gif, parse_jpeg)
+        parsers = (parse_png, parse_gif, parse_jpeg, parse_tiff)
     elif media_type == "audio":
         parsers = (parse_wav,)
     elif media_type == "video":
@@ -500,6 +561,19 @@ def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):
                                 + struct.pack(">HH", new_h, new_w)
                                 + blob[i + 9:])
             i += 2 + seglen
+    tiff = _tiff_ifd(blob)
+    if tiff is not None and 256 in tiff[1] and 257 in tiff[1]:
+        # patch the IFD entry values at their walked offsets, honoring each
+        # entry's own type (SHORT vs LONG) and the stream's byte order
+        fmt, entries, _ = tiff
+        out = bytearray(blob)
+        for tag, dim in ((256, new_w), (257, new_h)):
+            typ, _, e = entries[tag]
+            if typ == 3:
+                out[e + 8:e + 10] = struct.pack(fmt + "H", dim)
+            else:
+                out[e + 8:e + 12] = struct.pack(fmt + "I", dim)
+        return "tiff", bytes(out)
     raise NotImplementedError("unrecognized image container")
 
 
@@ -537,7 +611,8 @@ def _resize_batch(
         acc = 0
         for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
             raw = bytes(blob)
-            got = parse_png(raw) or parse_gif(raw) or parse_jpeg(raw)
+            got = (parse_png(raw) or parse_gif(raw) or parse_jpeg(raw)
+                   or parse_tiff(raw))
             if got is None:
                 continue  # not an image container (documented skip)
             w, h, _, _ = got
@@ -546,7 +621,7 @@ def _resize_batch(
             # re-parse the REWRITTEN blob: its payload offset and dims
             # must reflect the rewrite (a corrupt rewrite fails here)
             parser = {"png": parse_png, "gif": parse_gif,
-                      "jpeg": parse_jpeg}[fmt]
+                      "jpeg": parse_jpeg, "tiff": parse_tiff}[fmt]
             w2, h2, _, payload_off = parser(resized)
             assert (w2, h2) == (new_w, new_h)
             out["doc_id"].append(int(doc_id))
@@ -610,7 +685,8 @@ def media_resize_oracle_sql(docs: str = "documents") -> str:
       )
       select doc_id,
              case doc_id % 9 when 0 then 'png' when 3 then 'gif'
-                  else 'jpeg' end as fmt,
+                  else (case when doc_id % 18 = 6 then 'tiff'
+                        else 'jpeg' end) end as fmt,
              cast(w as bigint) as width,
              cast(h as bigint) as height,
              cast(greatest(1, (w * scale) // 1000) as bigint) as new_width,
@@ -733,7 +809,9 @@ def media_features_oracle_sql(docs: str = "documents") -> str:
       )
       select doc_id, media_type,
              cast(n + case doc_id % 9
-                      when 0 then 33 when 3 then 13 when 6 then 21
+                      when 0 then 33 when 3 then 13
+                      when 6 then (case when doc_id % 18 = 6 then 38
+                                   else 21 end)
                       else case doc_id % 3 when 1 then 44
                            else case doc_id % 6 when 2 then 232 else 34 end
                            end end

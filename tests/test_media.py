@@ -252,3 +252,66 @@ def test_resize_batch_end_to_end():
     assert (out.loc[3, "new_width"], out.loc[3, "new_height"]) == (256, 512)
     want = hashlib.md5(payload).hexdigest()
     assert (out["payload_md5"] == want).all()
+
+
+# --- TIFF (both byte orders) + the shared EXIF IFD machinery ------------------
+
+def _tiff(le: bool, w: int, h: int, typ: int = 4) -> bytes:
+    import struct
+
+    fmt = "<" if le else ">"
+    hd = (b"II*\x00" if le else b"MM\x00*") + struct.pack(fmt + "I", 8)
+    def entry(tag, val):
+        v = (struct.pack(fmt + "H", val) + b"\x00\x00" if typ == 3
+             else struct.pack(fmt + "I", val))
+        return struct.pack(fmt + "HHI", tag, typ, 1) + v
+    return (hd + struct.pack(fmt + "H", 2) + entry(256, w) + entry(257, h)
+            + struct.pack(fmt + "I", 0) + b"PAYLOAD")
+
+
+def test_parse_tiff_both_byte_orders_and_types():
+    from htmlgraft import media
+
+    for le in (True, False):
+        for typ in (3, 4):
+            w, h, fr, off = media.parse_tiff(_tiff(le, 640, 480, typ))
+            assert (w, h, fr) == (640, 480, 1), (le, typ)
+            assert _tiff(le, 640, 480, typ)[off:] == b"PAYLOAD"
+    assert media.parse_tiff(b"not a tiff") is None
+    assert media.parse_tiff(b"II*\x00\x08\x00") is None  # truncated
+
+
+def test_rewrite_tiff_dims_both_orders():
+    from htmlgraft import media
+
+    for le in (True, False):
+        for typ in (3, 4):
+            blob = _tiff(le, 2000, 1000, typ)
+            fmt, out = media._rewrite_image_header(blob, 512, 256)
+            assert fmt == "tiff"
+            assert media.parse_tiff(out)[:2] == (512, 256)
+            # payload untouched
+            assert out.endswith(b"PAYLOAD") and len(out) == len(blob)
+
+
+def test_media_tiff_family_end_to_end(spark, sf_dir):
+    """doc_id % 18 == 6 images are TIFF: features and resize must parse
+    and rewrite them through the real IFD walk."""
+    from htmlgraft import media
+
+    feats = {
+        r["doc_id"]: r
+        for r in media.media_features(spark, sf_dir).collect()
+    }
+    tiff_ids = [d for d in feats if d % 18 == 6]
+    assert tiff_ids
+    for d in tiff_ids:
+        r = feats[d]
+        assert r["width"] == 16 + (d * 7) % 2033
+        assert r["height"] == 16 + (d * 13) % 1021
+    rs = {
+        r["doc_id"]: r for r in media.media_resize(spark, sf_dir).collect()
+    }
+    for d in tiff_ids:
+        assert rs[d]["fmt"] == "tiff"
+        assert rs[d]["new_width"] <= 512 and rs[d]["new_height"] <= 512
