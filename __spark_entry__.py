@@ -50,11 +50,12 @@ def _q_extract_text(spark, sf_dir):
 
 def _q_extract_text_charsets(spark, sf_dir):
     """The decode gate: the SAME parse+extract over the charset corpus —
-    four byte-level families (UTF-8+BOM with a lying meta, meta-declared
-    windows-1252, undeclared windows-1252, plain UTF-8) that must all
-    decode to the same expected text.  Covers htmlgraft/encoding.py's
-    prescan branches end to end; a blind utf-8 decode mojibakes the
-    non-ASCII marker in 2 of 4 families and fails the hash."""
+    six byte-level families (UTF-8+BOM with a lying meta, meta-declared
+    windows-1252, undeclared windows-1252, plain UTF-8, UTF-16LE+BOM,
+    UTF-16BE+BOM) that must all decode to the same expected text.  Covers
+    every htmlgraft/encoding.py prescan branch end to end; a blind utf-8
+    decode mojibakes the non-ASCII marker in 4 of 6 families and fails
+    the hash."""
     from htmlgraft.corpus import pages_charset_df
     from htmlgraft.job import parse_extract
 
