@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "warc_extract_text_http",
     "extract_text_charsets",
     "warc_extract_text_gz",
     "dedup_simhash_idf",
@@ -634,6 +635,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_extract_text_gz": warcops.run_warc_extract_text_gz,
+        "warc_extract_text_http": warcops.run_warc_extract_text_http,
         "warc_stats": warcops.run_warc_stats,
         "warc_cdx": warcops.run_warc_cdx,
         # structured extraction from the parsed DOM (links, metadata, graph)
@@ -743,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "warc_extract_text": _expected("select url, text from expected"),
             "warc_extract_text_gz": _expected("select url, text from expected"),
+            "warc_extract_text_http": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "stream_host_sessions": streaming.stream_host_sessions_oracle_sql(),
             "corpus_build": _corpus_build_oracle(),

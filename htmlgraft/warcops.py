@@ -238,6 +238,80 @@ def warc_gz_files_df(spark, sf_dir: str) -> DataFrame:
     return recs.groupBy("file_id").applyInPandas(_gz, GZ_FILES_SCHEMA)
 
 
+def _http_message(html: bytes, variant: int) -> bytes:
+    """One stored HTTP/1.1 response around an HTML body, in the four
+    framings real crawl WARCs actually contain: 0 = identity with
+    Content-Length, 1 = chunked transfer coding, 2 = gzip Content-Encoding,
+    3 = gzip Content-Encoding UNDER chunked transfer coding (the order the
+    sender applies: CE first, TE outermost)."""
+    headers = ["HTTP/1.1 200 OK", "Content-Type: text/html; charset=utf-8"]
+    body = html
+    if variant in (2, 3):
+        body = gzip_member(body)
+        headers.append("Content-Encoding: gzip")
+    if variant in (1, 3):
+        body = encode_chunked(body)
+        headers.append("Transfer-Encoding: chunked")
+    else:
+        headers.append(f"Content-Length: {len(body)}")
+    return "\r\n".join(headers).encode() + b"\r\n\r\n" + body
+
+
+def warc_http_files_df(spark, sf_dir: str) -> DataFrame:
+    """(file_id, warc): WARC files whose records carry FULL stored HTTP
+    responses (``application/http; msgtype=response`` shape) rotating
+    through the four real-world body framings by ``doc_id % 4`` — identity,
+    chunked, gzip Content-Encoding, chunked-over-gzip.  The extraction
+    oracle is the same expected text as ``extract_text``: every layer of
+    transport framing must be invisible to the value hash.  Framing needs
+    gzip, so like ``warc_gz_files_df`` the records are assembled in a
+    grouped Arrow map over the SQL-built page rows (mtime=0 gzip keeps the
+    blobs deterministic)."""
+    pages_df(spark, sf_dir).createOrReplaceTempView("__warc_pages")
+    rows = spark.sql(
+        f"""
+      select cast(doc_id div {RECS_PER_FILE} as bigint) as file_id,
+             doc_id, url,
+             date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'") as ts,
+             html
+      from __warc_pages
+    """
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, url, ts, html in zip(
+            pdf["doc_id"], pdf["url"], pdf["ts"], pdf["html"]
+        ):
+            payload = _http_message(bytes(html), int(doc_id) % 4)
+            recs.append(
+                (
+                    f"WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: {url}\r\nWARC-Date: {ts}\r\n"
+                    f"Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode() + payload + b"\r\n\r\n"
+            )
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])],
+             "warc": [b"".join(recs)]}
+        )
+
+    return rows.groupBy("file_id").applyInPandas(_build, GZ_FILES_SCHEMA)
+
+
+def run_warc_extract_text_http(spark, sf_dir: str) -> DataFrame:
+    """Driver query: HTTP-framed WARC records (identity / chunked / gzip
+    Content-Encoding / chunked-over-gzip, rotating per record) -> de-frame
+    -> HTML parse -> main text.  Same oracle as extract_text — a single
+    chunk-size line or DEFLATE byte leaking through breaks the hash."""
+    files = warc_http_files_df(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "file_id"
+    )
+    return files.mapInPandas(_extract_batch, WARC_TEXT_SCHEMA)
+
+
 def run_warc_extract_text_gz(spark, sf_dir: str) -> DataFrame:
     """Driver query: gzipped WARC files -> member gunzip -> record walk ->
     HTML parse -> main text.  Same oracle as extract_text — compression
@@ -249,15 +323,26 @@ def run_warc_extract_text_gz(spark, sf_dir: str) -> DataFrame:
     return files.mapInPandas(_extract_batch, WARC_TEXT_SCHEMA)
 
 
-def split_http_response(content: bytes) -> tuple[dict | None, bytes]:
-    """(http_headers | None, body) for a WARC response payload.
+def split_http_response(
+    content: bytes, decode_body: bool = True
+) -> tuple[dict | None, bytes]:
+    """(http_headers | None, entity_body) for a WARC response payload.
 
     Real Common Crawl response records carry the FULL HTTP message
     (``Content-Type: application/http; msgtype=response``): status line +
     header block + CRLFCRLF + entity body.  A pipeline that feeds the raw
     payload to the HTML parser glues ``HTTP/1.1 200 OK ...`` onto every
     page.  Detection is by the status-line prefix; non-HTTP payloads
-    (like this module's bare-HTML synthesis) pass through untouched."""
+    (like this module's bare-HTML synthesis) pass through untouched.
+
+    With ``decode_body`` (the default) the body is also DE-FRAMED: crawlers
+    store responses as fetched, so real records arrive with
+    ``Transfer-Encoding: chunked`` hop framing and/or a gzip/deflate
+    ``Content-Encoding`` still applied — feeding those bytes to the parser
+    yields hex chunk-size lines or DEFLATE garbage instead of HTML.  A
+    record whose framing is malformed keeps its raw body (one truncated
+    response on a 100 TB crawl must not kill the task; the strict decoder
+    is ``decode_http_body`` for callers that want the error)."""
     if not content.startswith(b"HTTP/"):
         return None, content
     sep = content.find(b"\r\n\r\n")
@@ -270,7 +355,90 @@ def split_http_response(content: bytes) -> tuple[dict | None, bytes]:
         if s:
             headers.setdefault(name.strip().lower(), value.strip())
     headers["::status-line"] = lines[0]
-    return headers, content[sep + 4:]
+    body = content[sep + 4:]
+    if decode_body:
+        try:
+            body = decode_http_body(headers, body)
+        except Exception:
+            pass  # malformed framing: keep raw bytes, stay per-record robust
+    return headers, body
+
+
+def dechunk_http(body: bytes) -> bytes:
+    """Decode RFC 9112 §7.1 chunked transfer coding: ``<hex-size>[;ext]CRLF
+    <size bytes>CRLF`` repeated, terminated by a zero-size chunk (optional
+    trailer fields after it are ignored — the WARC Content-Length already
+    bounds the record).  Raises ValueError on malformed framing."""
+    out, pos, n = [], 0, len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad size {size_tok!r}") from None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > n:
+            raise ValueError("chunked body: chunk overruns payload")
+        out.append(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 2] != b"\r\n":
+            raise ValueError("chunked body: missing chunk-data CRLF")
+        pos += 2
+
+
+def _decode_coding(token: str, body: bytes) -> bytes:
+    import zlib
+
+    if token in ("gzip", "x-gzip"):
+        return zlib.decompress(body, wbits=31)
+    if token == "deflate":
+        # per RFC this is zlib-wrapped, but a long tail of real servers
+        # send raw DEFLATE under the same label — try both (what every
+        # browser and warcio do)
+        try:
+            return zlib.decompress(body, wbits=15)
+        except zlib.error:
+            return zlib.decompress(body, wbits=-15)
+    if token in ("identity", "chunked", ""):
+        # chunked is handled positionally (always the outermost layer)
+        return body
+    raise ValueError(f"unsupported content coding {token!r}")
+
+
+def decode_http_body(http_headers: dict, body: bytes) -> bytes:
+    """Entity bytes from a stored HTTP response body: undo
+    ``Transfer-Encoding: chunked`` (outermost, applied last by the sender),
+    then each ``Content-Encoding`` token right-to-left (the reverse of
+    application order).  Strict: malformed framing raises — callers that
+    must survive arbitrary crawl garbage go through ``split_http_response``
+    which falls back to the raw bytes."""
+    te = http_headers.get("transfer-encoding", "")
+    if "chunked" in te.lower():
+        body = dechunk_http(body)
+    codings = [
+        t.strip().lower()
+        for t in http_headers.get("content-encoding", "").split(",")
+        if t.strip()
+    ]
+    for token in reversed(codings):
+        body = _decode_coding(token, body)
+    return body
+
+
+def encode_chunked(body: bytes, chunk_size: int = 700) -> bytes:
+    """Deterministic chunked-transfer encoder (synthesis + tests): fixed
+    chunk size, lowercase hex, zero-chunk terminator, no trailers."""
+    parts = []
+    for i in range(0, len(body), chunk_size):
+        piece = body[i:i + chunk_size]
+        parts.append(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+    parts.append(b"0\r\n\r\n")
+    return b"".join(parts)
 
 
 _CT_CHARSET = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)

@@ -383,3 +383,106 @@ def test_http_wrapped_warc_extract_batch(spark, sf_dir):
     assert list(out["url"]) == ["http://h.example/2"]
     assert "alpha beta" in out["text"].iloc[0]
     assert "HTTP/1.1" not in out["text"].iloc[0]
+
+
+# --- HTTP body de-framing (chunked transfer coding, Content-Encoding) ---------
+
+def test_dechunk_http_basic_and_corners():
+    from htmlgraft.warcops import dechunk_http, encode_chunked
+
+    assert dechunk_http(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    # chunk extensions, uppercase hex, trailer fields after the zero chunk
+    assert dechunk_http(
+        b"A;ext=1\r\n0123456789\r\nB\r\nabcdefghijk\r\n0\r\nX-Trail: v\r\n\r\n"
+    ) == b"0123456789abcdefghijk"
+    # encoder round-trip incl. empty body and a body > one chunk
+    for body in (b"", b"x", b"y" * 1701):
+        assert dechunk_http(encode_chunked(body)) == body
+    for bad in (b"5\r\nhel", b"zz\r\nhello\r\n0\r\n\r\n",
+                b"5\r\nhelloXX0\r\n\r\n", b"hello"):
+        with pytest.raises(ValueError):
+            dechunk_http(bad)
+
+
+def test_decode_http_body_codings():
+    import zlib
+
+    from htmlgraft.warcops import decode_http_body, encode_chunked, gzip_member
+
+    body = b"<html><body>payload \xe2\x80\x94 ok</body></html>"
+    # gzip / x-gzip
+    for label in ("gzip", "x-gzip", "GZIP"):
+        assert decode_http_body(
+            {"content-encoding": label}, gzip_member(body)) == body
+    # deflate: zlib-wrapped (RFC) and raw (the real-web misbehavior)
+    assert decode_http_body(
+        {"content-encoding": "deflate"}, zlib.compress(body)) == body
+    raw = zlib.compressobj(wbits=-15)
+    assert decode_http_body(
+        {"content-encoding": "deflate"},
+        raw.compress(body) + raw.flush()) == body
+    # chunked over gzip (sender applies CE first, TE outermost)
+    assert decode_http_body(
+        {"transfer-encoding": "chunked", "content-encoding": "gzip"},
+        encode_chunked(gzip_member(body), chunk_size=7)) == body
+    # identity / empty tokens are no-ops; unknown coding raises (strict API)
+    assert decode_http_body({"content-encoding": "identity"}, body) == body
+    assert decode_http_body({}, body) == body
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_http_body({"content-encoding": "br"}, body)
+
+
+def test_split_http_response_deframes_and_falls_back():
+    from htmlgraft.warcops import encode_chunked, gzip_member, split_http_response
+
+    body = b"<p>de-framed</p>"
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+           b"Transfer-Encoding: chunked\r\n\r\n" + encode_chunked(gzip_member(body)))
+    h, got = split_http_response(msg)
+    assert got == body and h["content-encoding"] == "gzip"
+    # malformed framing: keep the raw body rather than kill the record loop
+    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-chunked"
+    h2, got2 = split_http_response(bad)
+    assert got2 == b"not-chunked"
+    # decode_body=False returns the framed bytes untouched
+    _, framed = split_http_response(msg, decode_body=False)
+    assert framed.startswith(b"25\r\n" if len(gzip_member(body)) == 0x25
+                             else framed[:framed.find(b"\r\n") + 2])
+    assert framed != body
+
+
+def test_http_framed_warc_matches_extract_oracle(spark, sf_dir):
+    """warc_http_files_df rotates all four real framings per record; the
+    full run must reproduce exactly the plain-pages extraction rows."""
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract
+    from htmlgraft.warcops import run_warc_extract_text_http
+
+    got = {
+        (r["url"], r["text"])
+        for r in run_warc_extract_text_http(spark, sf_dir).collect()
+    }
+    want = {
+        (r["url"], r["text"])
+        for r in parse_extract(pages_df(spark, sf_dir), include_dom=False)
+        .select("url", "text").collect()
+    }
+    assert got == want
+
+
+def test_http_framed_warc_from_disk(spark, sf_dir, tmp_path):
+    """On-disk .warc with HTTP-framed records through read_pages('warc:')."""
+    from htmlgraft.job import parse_extract, read_pages
+    from htmlgraft.warcops import warc_http_files_df
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    r = warc_http_files_df(spark, sf_dir).collect()[0]
+    (d / "seg.warc").write_bytes(bytes(r["warc"]))
+    rows = parse_extract(
+        read_pages(spark, f"warc:{d}"), include_dom=False
+    ).select("url", "text").collect()
+    assert len(rows) == RECS_PER_FILE
+    for row in rows:
+        assert "HTTP/1.1" not in row["text"]
+        assert "Content-Encoding" not in row["text"]
