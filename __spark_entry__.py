@@ -575,6 +575,8 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "wet_roundtrip",
+    "semdedup",
     "warc_extract_text_http",
     "extract_text_charsets",
     "warc_extract_text_gz",
@@ -638,6 +640,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_text_http": warcops.run_warc_extract_text_http,
         "warc_stats": warcops.run_warc_stats,
         "warc_cdx": warcops.run_warc_cdx,
+        "wet_roundtrip": warcops.run_wet_roundtrip,
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
@@ -713,6 +716,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _simop(simops.lsh_buckets_sql),
         "ann_lsh_topk": _simop(simops.ann_lsh_topk_sql),
         "embedding_neardup": _simop(simops.embedding_neardup_sql),
+        "semdedup": _simop(simops.semdedup_sql),
         "ann_ivf_assign": _simop(simops.ivf_assign_sql),
         "kmeans_assign": clusterops.run_kmeans_assign,
         "kmeans_centroids": clusterops.run_kmeans_centroids,
@@ -746,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
             "warc_extract_text": _expected("select url, text from expected"),
             "warc_extract_text_gz": _expected("select url, text from expected"),
             "warc_extract_text_http": _expected("select url, text from expected"),
+            "wet_roundtrip": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "stream_host_sessions": streaming.stream_host_sessions_oracle_sql(),
             "corpus_build": _corpus_build_oracle(),
@@ -823,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_lsh_buckets": simops.lsh_buckets_sql(duck=True),
             "ann_lsh_topk": simops.ann_lsh_topk_sql(duck=True),
             "embedding_neardup": simops.embedding_neardup_sql(duck=True),
+            "semdedup": simops.semdedup_sql(duck=True),
             "ann_ivf_assign": simops.ivf_assign_sql(duck=True),
             "kmeans_assign": clusterops.kmeans_assign_sql(duck=True),
             "kmeans_centroids": clusterops.kmeans_centroids_sql(duck=True),

@@ -170,6 +170,55 @@ def embedding_neardup_sql(duck: bool, emb: str = "embeddings") -> str:
     """
 
 
+SEM_TH = 350000  # quantized-dot near-dup threshold (same as embedding_neardup)
+
+
+def semdedup_sql(duck: bool, emb: str = "embeddings") -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    cluster the embeddings with a coarse quantizer, then inside each
+    cluster drop every vector that has a high-cosine neighbor with a
+    smaller vec_id (min-id keeper — the pair-graph relaxation of the
+    paper's keep-one-per-group).  The quantizer is the same deterministic
+    sampled-centroid assignment as ``ann_ivf_*`` (first N_LIST vectors; no
+    float k-means, so oracle parity is exact) and similarity is the
+    quantized integer dot.
+
+    Scale: this is the whole point of the algorithm — pairwise work is
+    confined to single clusters (O(sum cluster_size^2), the SemDeDup cost
+    model; n_list grows ~n so cluster width stays bounded) and the pair
+    join is keyed on list_id, never all-pairs across the corpus.  The
+    assignment cross join is n x N_LIST with the centroid side broadcast
+    (constant-size), exactly the kmeans_assign shape."""
+    q = _quant(duck)
+    l2 = _l2(duck, "v.qe", "c.qe")
+    dot = _dot(duck, "a.qe", "b.qe")
+    return f"""
+      with v as (select vec_id, {q} as qe from {emb}),
+      cents as (select vec_id as list_id, qe from v where vec_id < {N_LIST}),
+      assign as (
+        select vec_id, qe, list_id from (
+          select v.vec_id, v.qe, c.list_id,
+                 row_number() over (
+                   partition by v.vec_id order by {l2} asc, c.list_id asc
+                 ) as rk
+          from v cross join cents c
+        ) a where rk = 1
+      ),
+      pairs as (
+        select a.vec_id as a_id, b.vec_id as b_id
+        from assign a join assign b
+          on a.list_id = b.list_id and a.vec_id < b.vec_id
+        where {dot} >= {SEM_TH}
+      ),
+      dropped as (select distinct b_id as vec_id from pairs)
+      select s.vec_id, s.list_id,
+             cast(case when d.vec_id is null then 1 else 0 end as bigint)
+               as is_kept
+      from assign s left join dropped d on d.vec_id = s.vec_id
+      order by s.vec_id
+    """
+
+
 # --- IVF (inverted-file) variant ---------------------------------------------
 
 N_LIST = 16   # coarse centroids (sampled: the first N_LIST vec_ids)

@@ -595,6 +595,58 @@ def write_wet_files(results_df: DataFrame, out_dir: str,
     )
 
 
+def _wet_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Content-Length governs the slice (the walker already did it), so the
+    # text may legally contain anything including CRLFCRLF; WET bodies are
+    # UTF-8 by spec — decode with replace so one corrupt record on a real
+    # crawl degrades to U+FFFD instead of killing the task.
+    for pdf in batches:
+        urls, texts = [], []
+        for blob in pdf["content"].tolist():
+            for headers, content in iter_warc_records(bytes(blob)):
+                if headers.get("warc-type") != "conversion":
+                    continue
+                urls.append(headers["warc-target-uri"])
+                texts.append(content.decode("utf-8", errors="replace"))
+        yield pd.DataFrame({"url": urls, "text": texts})
+
+
+def read_wet_text(spark, path: str) -> DataFrame:
+    """(url, text) from a directory of ``.wet`` / ``.wet.gz`` files — the
+    READ side of ``write_wet_files``, and the format a consumer downstream
+    of Common Crawl's own extraction actually ingests.  Same binaryFile →
+    record-walk shape as ``read_warc_pages`` (gzip members detected by
+    magic, 'conversion' records only); one file per task, parallelism is
+    file-count-bound, downstream repartitions rebalance."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_wet_batch, WARC_TEXT_SCHEMA)
+
+
+def run_wet_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Driver query: parse+extract → ``.wet.gz`` sink (per-record gzip
+    members) → WET source → (url, text).  Same oracle as ``extract_text``,
+    so the gate pins sink and source as exact mutual inverses: a one-byte
+    Content-Length error, a CRLF slip, or a gzip member boundary leak all
+    break the value hash.  The sink runs eagerly into a scratch dir; the
+    read-back is localCheckpoint-materialized so the scratch tree can be
+    removed before returning (re-collects replay the checkpoint, not the
+    files)."""
+    import shutil
+    import tempfile
+
+    from .job import parse_extract
+
+    out = tempfile.mkdtemp(prefix="wet_roundtrip_")
+    try:
+        results = parse_extract(
+            pages_df(spark, sf_dir), include_dom=False
+        ).select("url", "text")
+        write_wet_files(results, out, compress=True).collect()
+        return read_wet_text(spark, out).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_warc_extract_text(spark, sf_dir: str) -> DataFrame:
     """Driver query: WARC files -> record walk -> HTML parse -> main text.
     Value-checked against the SAME oracle as extract_text — the container

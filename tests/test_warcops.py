@@ -486,3 +486,46 @@ def test_http_framed_warc_from_disk(spark, sf_dir, tmp_path):
     for row in rows:
         assert "HTTP/1.1" not in row["text"]
         assert "Content-Encoding" not in row["text"]
+
+
+# --- WET import (read side of the sink) ---------------------------------------
+
+def test_read_wet_text_round_trip(spark, tmp_path):
+    """Spark WET source: non-ASCII text, text containing CRLFCRLF (a
+    delimiter scanner would cut here), non-conversion records skipped,
+    plain and member-gzipped files mixed in one directory."""
+    from htmlgraft.warcops import gzip_member, read_wet_text, wet_record_bytes
+
+    rows = [
+        ("http://w.example/1", "plain text"),
+        ("http://w.example/2", "dash — café 中文"),
+        ("http://w.example/3", "tricky\r\n\r\nWARC/1.0 embedded"),
+    ]
+    d = tmp_path / "wet"
+    d.mkdir()
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: http://skip.example/\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    (d / "a.wet").write_bytes(
+        wet_record_bytes(*rows[0]) + req + wet_record_bytes(*rows[1]))
+    (d / "b.wet.gz").write_bytes(gzip_member(wet_record_bytes(*rows[2])))
+    got = {(r["url"], r["text"])
+           for r in read_wet_text(spark, str(d)).collect()}
+    assert got == set(rows)
+
+
+def test_wet_roundtrip_matches_extract_and_survives_cleanup(spark, sf_dir):
+    """run_wet_roundtrip removes its scratch dir before returning; the
+    result must equal the plain extraction rows AND stay collectible
+    twice (localCheckpoint replay, not file re-read)."""
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.job import parse_extract
+    from htmlgraft.warcops import run_wet_roundtrip
+
+    df = run_wet_roundtrip(spark, sf_dir)
+    got = {(r["url"], r["text"]) for r in df.collect()}
+    want = {(r["url"], r["text"])
+            for r in parse_extract(pages_df(spark, sf_dir), include_dom=False)
+            .select("url", "text").collect()}
+    assert got == want
+    assert {(r["url"], r["text"]) for r in df.collect()} == want
