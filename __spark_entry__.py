@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "wat_export",
     "wet_roundtrip",
     "semdedup",
     "warc_extract_text_http",
@@ -644,6 +645,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
+        "wat_export": linkops.run_wat_export,
         "extract_tables": linkops.run_extract_tables,
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
@@ -819,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_links": linkops.links_oracle_sql(),
             "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),
+            "wat_export": linkops.wat_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),

@@ -299,6 +299,47 @@ def metadata_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
     return df.mapInPandas(_meta_batch, META_SCHEMA)
 
 
+WAT_ROWS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("pos", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+def _wat_rows_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ONE parse per page for the whole WAT record: analyze_links already
+    # collects links AND title in a single walk, so the export costs one
+    # traversal, not the links+metadata pair.
+    for pdf in batches:
+        out = {k: [] for k in ("url", "title", "pos", "href", "anchor")}
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            try:
+                links, title, _, _ = analyze_links(_parse_doc(raw))
+            except Exception:
+                continue  # parse error -> no WAT record (documented, like links)
+            for k, (href, anchor) in enumerate(links, start=1):
+                out["url"].append(url)
+                out["title"].append(title or "")
+                out["pos"].append(k)
+                out["href"].append(href)
+                out["anchor"].append(anchor)
+        yield pd.DataFrame(out)
+
+
+def wat_rows_df(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    spark = pages.sparkSession
+    from .job import with_partitioning
+
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = with_partitioning(pages.select("url", "html"), num_parts)
+    return df.mapInPandas(_wat_rows_batch, WAT_ROWS_SCHEMA)
+
+
 # --- host resolution (shared Spark-side fragments) ---------------------------
 
 def _src_host_col():
@@ -424,6 +465,18 @@ def run_extract_metadata(spark, sf_dir: str) -> DataFrame:
         F.col("has_doctype").cast("bigint").alias("has_doctype"),
         F.col("n_links").cast("bigint").alias("n_links"),
     )
+
+
+def run_wat_export(spark, sf_dir: str) -> DataFrame:
+    """Driver query: WAT metadata-record export — one JSON Envelope record
+    per page from a SINGLE parse walk (links + title together), md5-pinned
+    against the record the oracle assembles from the relational link/title
+    restatement.  Pages that fail to parse emit no record (same contract
+    as extract_links); linkless pages would too — the corpus template
+    always carries 8 links, and real WAT emits Head-only records there
+    (documented relaxation)."""
+    wat_rows_df(pages_df(spark, sf_dir)).createOrReplaceTempView("__wat_rows")
+    return spark.sql(wat_spark_sql())
 
 
 def run_extract_tables(spark, sf_dir: str) -> DataFrame:
@@ -572,6 +625,126 @@ def metadata_oracle_sql() -> str:
              cast(8 as bigint) as n_links
       from expected
     """
+
+
+# --- WAT metadata-record export (Common Crawl's third format) -----------------
+#
+# WAT ships one JSON 'metadata' record per response: an Envelope carrying the
+# WARC header fields and the parsed HTML-Metadata (head title, outgoing links).
+# The record string is assembled from ONE template rendered for both engines
+# (chr(92)/chr(34) spell backslash/quote identically — Spark string literals
+# are C-escaped, DuckDB's are not, so literals would diverge); the md5 gate
+# then pins the JSON escaping, the link ordering, and the Content-Length
+# header math on top of the already-pinned link/title extraction.
+
+
+def _json_esc(col: str) -> str:
+    """Minimal JSON string escaping: backslash, then quote.  Control chars
+    cannot reach this point — anchor/title text is whitespace-collapsed by
+    ``_subtree_text`` and hrefs/urls are single-line attribute values."""
+    return (
+        f"replace(replace({col}, chr(92), concat(chr(92), chr(92))), "
+        f"chr(34), concat(chr(92), chr(34)))"
+    )
+
+
+def _wat_link_elem(duck: bool, pos: str, href: str, anchor: str) -> str:
+    s = "varchar" if duck else "string"
+    return (
+        f"concat('{{\"pos\":', cast({pos} as {s}), ',\"url\":\"', "
+        f"{_json_esc(href)}, '\",\"text\":\"', {_json_esc(anchor)}, '\"}}')"
+    )
+
+
+def _wat_payload(url: str, title: str, links_json: str) -> str:
+    return (
+        f"concat('{{\"Envelope\":{{\"WARC-Header-Metadata\":{{"
+        f"\"WARC-Target-URI\":\"', {_json_esc(url)}, "
+        f"'\",\"WARC-Type\":\"response\"}},\"Payload-Metadata\":{{"
+        f"\"HTTP-Response-Metadata\":{{\"HTML-Metadata\":{{"
+        f"\"Head\":{{\"Title\":\"', {_json_esc(title)}, "
+        f"'\"}},\"Links\":[', {links_json}, ']}}}}}}}}}}')"
+    )
+
+
+def _wat_record(duck: bool, url: str, payload: str) -> str:
+    s = "varchar" if duck else "string"
+    return (
+        f"concat('WARC/1.0', chr(13), chr(10), "
+        f"'WARC-Type: metadata', chr(13), chr(10), "
+        f"'WARC-Target-URI: ', {url}, chr(13), chr(10), "
+        f"'Content-Type: application/json', chr(13), chr(10), "
+        f"'Content-Length: ', cast(length({payload}) as {s}), "
+        f"chr(13), chr(10), chr(13), chr(10), {payload}, "
+        f"chr(13), chr(10), chr(13), chr(10))"
+    )
+
+
+def wat_payloads_cte(rows: str = "__wat_rows") -> str:
+    """The Spark-side with-clause up to ``payloads(url, n_links, payload)``
+    — split out so tests can select the raw JSON and json.loads it."""
+    elem = _wat_link_elem(False, "s.pos", "s.href", "s.anchor")
+    return f"""
+      with agg as (
+        select url, any_value(title) as title,
+               cast(count(*) as bigint) as n_links,
+               array_join(transform(
+                 array_sort(collect_list(struct(pos, href, anchor))),
+                 s -> {elem}), ',') as links_json
+        from {rows}
+        group by url
+      ),
+      payloads as (
+        select url, n_links,
+               {_wat_payload("url", "title", "links_json")} as payload
+        from agg
+      )
+    """
+
+
+def wat_spark_sql(rows: str = "__wat_rows") -> str:
+    """Spark side: one hash shuffle on url; link order inside the record is
+    pinned by array_sort over (pos, ...) structs (document order, the same
+    order string_agg(... order by pos) gives the oracle)."""
+    return (
+        wat_payloads_cte(rows)
+        + f"""
+      select url, n_links,
+             cast(length(payload) as bigint) as payload_chars,
+             md5({_wat_record(False, "url", "payload")}) as wat_md5
+      from payloads
+    """
+    )
+
+
+def wat_oracle_sql() -> str:
+    elem = _wat_link_elem(True, "pos", "href", "anchor")
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + f""",
+      agg as (
+        select url, cast(count(*) as bigint) as n_links,
+               string_agg({elem}, ',' order by pos) as links_json
+        from lnk
+        group by url
+      ),
+      payloads as (
+        select e.url, a.n_links,
+               {_wat_payload(
+                   "e.url",
+                   "concat('Doc ', cast(e.doc_id as varchar), ' — ', e.source)",
+                   "a.links_json",
+               )} as payload
+        from expected e join agg a on a.url = e.url
+      )
+      select url, n_links,
+             cast(length(payload) as bigint) as payload_chars,
+             md5({_wat_record(True, "url", "payload")}) as wat_md5
+      from payloads
+    """
+    )
 
 
 # The corpus meta table (corpus.py _html_expr) relies on implicit closes:

@@ -336,3 +336,59 @@ def test_absolute_href_spellings_resolve_to_own_authority(spark):
         "https://h3.example.com/z",
         "https://src.example.org/relative",
     }
+
+
+# --- WAT export: JSON escaping and record framing ------------------------------
+
+def test_wat_payload_is_valid_json_under_adversarial_strings(spark):
+    """The dual-dialect JSON template must emit parseable JSON with the
+    exact structure, even when titles/hrefs/anchors carry quotes and
+    backslashes (the synthetic corpus never does, so the md5 gate alone
+    would not exercise the escape)."""
+    import json
+
+    from htmlgraft import linkops
+
+    title = 'Ti"tle with \\ backslash'
+    rows = [
+        ("http://x/1", title, 1, 'http://a/?q="v"', 'anc"hor'),
+        ("http://x/1", title, 2, "/pl\\ain", "text \\ two"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, title string, pos long, href string, anchor string"
+    ).createOrReplaceTempView("__wat_esc")
+    out = spark.sql(
+        linkops.wat_payloads_cte("__wat_esc")
+        + " select url, n_links, payload from payloads"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_links"] == 2
+    env = json.loads(out[0]["payload"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://x/1"
+    meta = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert meta["Head"]["Title"] == title
+    assert meta["Links"] == [
+        {"pos": 1, "url": 'http://a/?q="v"', "text": 'anc"hor'},
+        {"pos": 2, "url": "/pl\\ain", "text": "text \\ two"},
+    ]
+
+
+def test_wat_record_header_math(spark):
+    """Content-Length in the WARC record header equals the payload length
+    the oracle computes (char-length on both sides, same as wet_export)."""
+    from htmlgraft import linkops
+
+    spark.createDataFrame(
+        [("http://x/1", "t — café", 1, "/a", "A")],
+        "url string, title string, pos long, href string, anchor string",
+    ).createOrReplaceTempView("__wat_one")
+    row = spark.sql(
+        linkops.wat_payloads_cte("__wat_one")
+        + " select payload, "
+        + linkops._wat_record(False, "url", "payload")
+        + " as rec from payloads"
+    ).collect()[0]
+    rec, payload = row["rec"], row["payload"]
+    head, _, rest = rec.partition("\r\n\r\n")
+    assert f"Content-Length: {len(payload)}" in head
+    assert rest == payload + "\r\n\r\n"
+    assert head.startswith("WARC/1.0\r\nWARC-Type: metadata\r\n")
