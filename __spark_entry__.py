@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "wat_roundtrip",
     "wat_export",
     "wet_roundtrip",
     "semdedup",
@@ -642,6 +643,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_stats": warcops.run_warc_stats,
         "warc_cdx": warcops.run_warc_cdx,
         "wet_roundtrip": warcops.run_wet_roundtrip,
+        "wat_roundtrip": warcops.run_wat_roundtrip,
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
@@ -822,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_tables": linkops.tables_oracle_sql(),
             "extract_metadata": linkops.metadata_oracle_sql(),
             "wat_export": linkops.wat_oracle_sql(),
+            "wat_roundtrip": linkops.wat_roundtrip_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),

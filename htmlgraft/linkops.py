@@ -747,6 +747,25 @@ def wat_oracle_sql() -> str:
     )
 
 
+def wat_roundtrip_oracle_sql() -> str:
+    """Oracle for the on-disk WAT round trip: the reader re-materializes
+    exactly the relational facts the envelope was assembled from, so the
+    oracle is links ⋈ title — no JSON on the DuckDB side at all (the JSON
+    layer must be invisible end to end)."""
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + """
+      select l.url,
+             concat('Doc ', cast(e.doc_id as varchar), ' — ', e.source)
+               as title,
+             l.pos, l.href, l.anchor
+      from lnk l join expected e on e.url = l.url
+    """
+    )
+
+
 # The corpus meta table (corpus.py _html_expr) relies on implicit closes:
 #   <table class=meta><tr><th>id<td>{doc_id}<tr><th>lang<td>{lang}
 #   <tr><th>link<td><a href="/more">more like this</a></table>

@@ -556,18 +556,17 @@ WET_WRITE_SCHEMA = StructType(
 )
 
 
-def write_wet_files(results_df: DataFrame, out_dir: str,
-                    compress: bool = True) -> DataFrame:
-    """Write a (url, text, ...) DataFrame out as ``.wet`` / ``.wet.gz``
-    files, one file per partition, each record its own gzip member when
-    compressed (the exact framing `iter_warc_spans` random-accesses).
-    Executor-local file writes — on a real cluster `out_dir` is a mounted
-    distributed store; partition count (and so file size) is whatever the
-    upstream plan set, matching how CC shards WET output.  Returns a
-    (path, n_records, n_bytes) manifest DataFrame (one row per file)."""
+def _write_record_files(results_df: DataFrame, out_dir: str, suffix: str,
+                        compress: bool, cols: tuple, record_fn) -> DataFrame:
+    """Shared sink machinery for the record-per-row container formats
+    (WET text, WAT metadata): one file per partition, each record its own
+    gzip member when compressed (the exact framing ``iter_warc_spans``
+    random-accesses).  Executor-local file writes — on a real cluster
+    ``out_dir`` is a mounted distributed store; partition count (and so
+    file size) is whatever the upstream plan set, matching how CC shards
+    its derived outputs.  Returns a (path, n_records, n_bytes) manifest
+    DataFrame (one row per non-empty file)."""
     import os
-
-    suffix = ".wet.gz" if compress else ".wet"
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -577,8 +576,8 @@ def write_wet_files(results_df: DataFrame, out_dir: str,
         n_recs = n_bytes = 0
         with open(path, "wb") as fh:
             for pdf in batches:
-                for url, text in zip(pdf["url"], pdf["text"]):
-                    rec = wet_record_bytes(url, text)
+                for vals in zip(*(pdf[c] for c in cols)):
+                    rec = record_fn(*vals)
                     fh.write(gzip_member(rec) if compress else rec)
                     n_recs += 1
             n_bytes = fh.tell()
@@ -590,9 +589,122 @@ def write_wet_files(results_df: DataFrame, out_dir: str,
         )
 
     os.makedirs(out_dir, exist_ok=True)
-    return results_df.select("url", "text").mapInPandas(
-        _write, WET_WRITE_SCHEMA
+    return results_df.select(*cols).mapInPandas(_write, WET_WRITE_SCHEMA)
+
+
+def write_wet_files(results_df: DataFrame, out_dir: str,
+                    compress: bool = True) -> DataFrame:
+    """Write a (url, text, ...) DataFrame out as ``.wet`` / ``.wet.gz``
+    files; see ``_write_record_files`` for the sharding/manifest contract."""
+    suffix = ".wet.gz" if compress else ".wet"
+    return _write_record_files(
+        results_df, out_dir, suffix, compress, ("url", "text"),
+        wet_record_bytes,
     )
+
+
+def wat_record_bytes(url: str, payload: str) -> bytes:
+    """One ISO 28500 'metadata' record around a WAT JSON payload.  Unlike
+    the SQL md5 surrogate (char-length on both engines), the on-disk
+    Content-Length is the UTF-8 BYTE length — the walker slices by it."""
+    body = payload.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8")
+    return hdr + body + b"\r\n\r\n"
+
+
+def write_wat_files(payloads_df: DataFrame, out_dir: str,
+                    compress: bool = True) -> DataFrame:
+    """Write a (url, payload) DataFrame of WAT JSON envelopes out as
+    ``.wat`` / ``.wat.gz`` files; same contract as ``write_wet_files``."""
+    suffix = ".wat.gz" if compress else ".wat"
+    return _write_record_files(
+        payloads_df, out_dir, suffix, compress, ("url", "payload"),
+        wat_record_bytes,
+    )
+
+
+WAT_LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("pos", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+def _wat_links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json
+
+    for pdf in batches:
+        out = {k: [] for k in ("url", "title", "pos", "href", "anchor")}
+        for blob in pdf["content"].tolist():
+            for headers, content in iter_warc_records(bytes(blob)):
+                if headers.get("warc-type") != "metadata":
+                    continue
+                try:
+                    env = json.loads(
+                        content.decode("utf-8", errors="replace")
+                    )["Envelope"]
+                    url = env["WARC-Header-Metadata"]["WARC-Target-URI"]
+                    meta = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+                        "HTML-Metadata"
+                    ]
+                except Exception:
+                    continue  # malformed envelope: skip record, keep the task
+                title = meta.get("Head", {}).get("Title", "")
+                for ln in meta.get("Links", []):
+                    out["url"].append(url)
+                    out["title"].append(title)
+                    out["pos"].append(int(ln["pos"]))
+                    out["href"].append(ln["url"])
+                    out["anchor"].append(ln["text"])
+        yield pd.DataFrame(out)
+
+
+def read_wat_links(spark, path: str) -> DataFrame:
+    """(url, title, pos, href, anchor) from a directory of ``.wat`` /
+    ``.wat.gz`` files — the read side of ``write_wat_files`` (a REAL JSON
+    parse of each metadata record's envelope, gzip members by magic).
+    Same binaryFile one-file-one-task shape as the WARC/WET readers."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_wat_links_batch, WAT_LINKS_SCHEMA)
+
+
+def run_wat_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Driver query: parse → WAT JSON envelopes → ``.wat.gz`` sink
+    (per-record gzip members) → WAT source → (url, title, pos, href,
+    anchor).  The oracle is the relational link/title restatement (same
+    facts links/metadata are gated on), so the gate pins the WHOLE trip:
+    JSON escaping, document-order link arrays, byte-length Content-Length
+    framing, gzip member boundaries, and the reader's envelope parse must
+    all be exact mutual inverses.  Sink runs eagerly into a scratch dir;
+    the read-back is localCheckpoint-materialized so the scratch tree can
+    be removed before returning."""
+    import shutil
+    import tempfile
+
+    from .linkops import pages_df, wat_payloads_cte, wat_rows_df
+
+    out = tempfile.mkdtemp(prefix="wat_roundtrip_")
+    try:
+        wat_rows_df(pages_df(spark, sf_dir)).createOrReplaceTempView(
+            "__wat_rows"
+        )
+        payloads = spark.sql(
+            wat_payloads_cte() + " select url, payload from payloads"
+        )
+        write_wat_files(payloads, out, compress=True).collect()
+        return read_wat_links(spark, out).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _wet_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

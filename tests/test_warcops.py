@@ -529,3 +529,103 @@ def test_wet_roundtrip_matches_extract_and_survives_cleanup(spark, sf_dir):
             .select("url", "text").collect()}
     assert got == want
     assert {(r["url"], r["text"]) for r in df.collect()} == want
+
+
+# --- WAT sink + source (metadata-record JSON envelopes) -----------------------
+
+def _wat_envelope(url, title, links):
+    import json
+
+    return json.dumps({
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url, "WARC-Type": "response"},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Head": {"Title": title},
+                "Links": [
+                    {"pos": p, "url": h, "text": a} for p, h, a in links
+                ],
+            }}},
+        }
+    }, ensure_ascii=False, separators=(",", ":"))
+
+
+def test_write_wat_files_and_read_back(spark, tmp_path):
+    """WAT sink → source round trip on adversarial strings: quotes,
+    backslashes, non-ASCII (Content-Length is the UTF-8 BYTE length, not
+    the char length), and CRLFCRLF inside the payload (a delimiter
+    scanner would cut there).  Both compressed and plain variants."""
+    from htmlgraft.warcops import (
+        iter_warc_records, read_wat_links, write_wat_files,
+    )
+
+    rows = [
+        ("http://w.example/1", 'say "hi" \\ there',
+         [(1, "/a", "plain"), (2, "https://x.example/", 'an "chor"')]),
+        ("http://w.example/2", "dash — café 中文",
+         [(5, "/b\\c", "back\\slash")]),
+        ("http://w.example/3", "tricky\r\n\r\nWARC/1.0 embedded",
+         [(9, "/d", "crlf\r\n\r\nanchor")]),
+    ]
+    want = {(u, t, p, h, a) for u, t, links in rows for p, h, a in links}
+    pay = spark.createDataFrame(
+        [(u, _wat_envelope(u, t, links)) for u, t, links in rows],
+        "url string, payload string",
+    )
+    for compress, suffix in ((True, ".wat.gz"), (False, ".wat")):
+        out = tmp_path / ("gz" if compress else "plain")
+        manifest = write_wat_files(
+            pay.repartition(2), str(out), compress=compress
+        ).collect()
+        assert sum(m["n_records"] for m in manifest) == len(rows)
+        for m in manifest:
+            assert m["path"].endswith(suffix)
+            blob = open(m["path"], "rb").read()
+            for h, c in iter_warc_records(blob):
+                assert h["warc-type"] == "metadata"
+                assert h["content-type"] == "application/json"
+                assert int(h["content-length"]) == len(c)  # byte math
+        got = {(r["url"], r["title"], r["pos"], r["href"], r["anchor"])
+               for r in read_wat_links(spark, str(out)).collect()}
+        assert got == want
+
+
+def test_read_wat_links_skips_malformed_and_foreign_records(spark, tmp_path):
+    """One invalid-JSON metadata record and one request record in the same
+    file must be skipped without killing the task; the good record's links
+    still come through."""
+    from htmlgraft.warcops import read_wat_links, wat_record_bytes
+
+    good = wat_record_bytes(
+        "http://w.example/ok",
+        _wat_envelope("http://w.example/ok", "t", [(1, "/x", "a")]),
+    )
+    bad = wat_record_bytes("http://w.example/bad", '{"Envelope": nope')
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: http://skip.example/\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "a.wat").write_bytes(bad + req + good)
+    got = [(r["url"], r["title"], r["pos"], r["href"], r["anchor"])
+           for r in read_wat_links(spark, str(d)).collect()]
+    assert got == [("http://w.example/ok", "t", 1, "/x", "a")]
+
+
+def test_wat_roundtrip_matches_links_and_survives_cleanup(spark, sf_dir):
+    """run_wat_roundtrip removes its scratch dir before returning; the
+    recovered rows must equal links ⋈ title from the direct parse, and
+    stay collectible twice (localCheckpoint replay, not file re-read)."""
+    from htmlgraft.linkops import links_df, metadata_df, pages_df
+    from htmlgraft.warcops import run_wat_roundtrip
+
+    df = run_wat_roundtrip(spark, sf_dir)
+    got = {(r["url"], r["title"], r["pos"], r["href"], r["anchor"])
+           for r in df.collect()}
+    pages = pages_df(spark, sf_dir)
+    titles = {r["url"]: r["title"] for r in metadata_df(pages).collect()}
+    want = {(r["url"], titles[r["url"]], r["pos"], r["href"], r["anchor"])
+            for r in links_df(pages).collect()}
+    assert got == want
+    assert {(r["url"], r["title"], r["pos"], r["href"], r["anchor"])
+            for r in df.collect()} == want
