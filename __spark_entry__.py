@@ -575,6 +575,8 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "url_surt",
+    "warc_cdxj",
     "wat_roundtrip",
     "wat_export",
     "wet_roundtrip",
@@ -672,6 +674,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _textop(textops.host_cap_sql),
         # text analysis
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
+        "url_surt": _urlop(urlops.url_surt_sql),
+        "warc_cdxj": warcops.run_warc_cdxj,
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
         "robots_parse": _urlop(urlops.robots_parse_sql),
@@ -780,6 +784,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_recall": textops.dedup_recall_sql(duck=True),
             "host_cap": textops.host_cap_sql(duck=True),
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
+            "url_surt": urlops.url_surt_sql(duck=True),
+            "warc_cdxj": warcops.warc_cdxj_oracle_sql(),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),
             "robots_parse": urlops.robots_parse_sql(duck=True),

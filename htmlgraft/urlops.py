@@ -141,6 +141,58 @@ def url_canon_dedup_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def _surt_cte(duck: bool) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) — the key scheme web
+    archives and the Common Crawl CDXJ index sort by: scheme dropped,
+    leading ``www.`` stripped, host labels reversed and comma-joined, then
+    ``)`` + path (trailing slash stripped, lowercased) + sorted lowercased
+    query.  Built on the ``c_port`` canonicalization stage so scheme-default
+    port stripping and fragment dropping feed the key for free.  Pure
+    string surgery in both dialects — at index scale the key is computed
+    inside whole-stage codegen, never in Python."""
+    h = "case when host like 'www.%' then substr(host, 5) else host end"
+    split_dot = (f"string_split({h}, '.')" if duck else f"split({h}, '[.]')")
+    rev = (f"array_to_string(list_reverse({split_dot}), ',')" if duck
+           else f"array_join(reverse({split_dot}), ',')")
+    split_amp = ("string_split(query, '&')" if duck else "split(query, '&')")
+    sort_join = (
+        f"array_to_string(list_sort({split_amp}), '&')" if duck
+        else f"array_join(array_sort({split_amp}), '&')"
+    )
+    return f"""
+      surt as (
+        select doc_id, url as url_raw, host,
+               concat({rev}, portsuf, ')',
+                      lower(case when path <> '/'
+                                 and substr(path, length(path), 1) = '/'
+                            then substr(path, 1, length(path) - 1)
+                            else path end),
+                      case when query = '' then ''
+                           else concat('?', lower({sort_join})) end)
+                 as surt_key
+        from c_port)"""
+
+
+def surt_ctes(duck: bool) -> str:
+    """Full chain ``urls(doc_id, url)`` → ``surt(doc_id, url_raw, host,
+    surt_key)`` for callers that bring their own ``urls`` CTE (the CDXJ
+    index builder joins this back on url_raw)."""
+    return _canon_ctes(duck) + "," + _surt_cte(duck)
+
+
+def url_surt_sql(duck: bool, docs: str = "documents") -> str:
+    """Gated query: SURT keys over the messy url corpus — equivalent
+    spellings (case, default port, fragment, unsorted query) must collapse
+    to ONE key while the genuinely different :8080 variant must not."""
+    return f"""
+      with {_messy_urls_cte(duck, docs)},
+      {surt_ctes(duck)}
+      select doc_id, url_raw, surt_key
+      from surt
+      order by doc_id, url_raw
+    """
+
+
 # Simplified robots rule table: (host '*' = every host, path_prefix, allow).
 # Deliberately exercises the two hard semantics: LONGEST-match-wins
 # ('/src1' blocked but '/src13' allowed — a '/src13/...' path matches both

@@ -889,6 +889,77 @@ def warc_cdx_oracle_sql() -> str:
     )
 
 
+def _cdxj_select(duck: bool) -> str:
+    """Shared projection turning cdx rows (+ their SURT keys) into CDXJ
+    lines: ``<surt-key> <ts14> <json>`` — the modern Common Crawl index
+    line format.  The JSON block is plain concat, which is exact here
+    because every field is either numeric, an md5 hex digest, or an
+    RFC 3986 absolute url (quotes and backslashes MUST be pct-encoded in
+    a valid url, so no JSON escaping can ever be needed).  Deviation from
+    CC's production files, documented: digest is the corpus-pinned md5
+    hex (CC ships base32 sha1) and status is the synthesized constant."""
+    s = "varchar" if duck else "string"
+    ts14 = (
+        "strftime(make_timestamp(cast(c.ts_seconds as bigint) * 1000000),"
+        " '%Y%m%d%H%M%S')"
+        if duck else
+        "date_format(to_timestamp(c.ts_seconds), 'yyyyMMddHHmmss')"
+    )
+    fname = (
+        f"concat('crawl-', lpad(cast(c.file_id as {s}), 5, '0'), '.warc.gz')"
+    )
+    line = (
+        f"concat(s.surt_key, ' ', {ts14}, ' ', "
+        f"'{{\"url\":\"', c.url, "
+        f"'\",\"mime\":\"text/html\",\"status\":\"200\",\"digest\":\"', "
+        f"c.digest, "
+        f"'\",\"length\":\"', cast(c.rec_length as {s}), "
+        f"'\",\"offset\":\"', cast(c.rec_offset as {s}), "
+        f"'\",\"filename\":\"', {fname}, '\"}}')"
+    )
+    return f"""
+      select c.url, s.surt_key, {ts14} as ts14, md5({line}) as cdxj_md5
+      from cdx c join surt s on s.url_raw = c.url
+    """
+
+
+def run_warc_cdxj(spark, sf_dir: str) -> DataFrame:
+    """Driver query: CDXJ index lines (SURT key + 14-digit timestamp +
+    JSON envelope) from the WARC record walk — layered ON the warc_cdx
+    relation, so this gate re-pins the walker's offset/length byte math
+    AND adds the SURT transform + line assembly on top.  Production
+    shape: the walk is one map over file blobs; the SURT key is pure
+    whole-stage-codegen string surgery; a real job sorts by (surt_key,
+    ts14) per shard and writes lines out — the sort key is exactly what
+    this query gates."""
+    from .urlops import surt_ctes
+
+    # the cdx relation feeds both the line build and the distinct-url surt
+    # derivation; Catalyst inlines temp views, so persist it once or the
+    # record walk runs twice (the minhash/bm25 pattern)
+    run_warc_cdx(spark, sf_dir).persist().createOrReplaceTempView("__cdx")
+    return spark.sql(f"""
+      with cdx as (select * from __cdx),
+      urls as (select distinct cast(0 as bigint) as doc_id, url from cdx),
+      {surt_ctes(False)}
+      {_cdxj_select(False)}
+    """)
+
+
+def warc_cdxj_oracle_sql() -> str:
+    """DuckDB restatement: the cdx oracle (independent offset arithmetic)
+    nested as a CTE, then the SAME surt/line derivation in the other
+    dialect."""
+    from .urlops import surt_ctes
+
+    return f"""
+      with cdx as ({warc_cdx_oracle_sql()}),
+      urls as (select distinct cast(0 as bigint) as doc_id, url from cdx),
+      {surt_ctes(True)}
+      {_cdxj_select(True)}
+    """
+
+
 def warc_stats_oracle_sql() -> str:
     """Per-record content bytes = octet_length of the page html.  The
     oracle recomputes the ENTIRE page html with corpus.html_expr_duck() —

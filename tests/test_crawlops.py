@@ -300,3 +300,48 @@ def test_dataset_split_is_deterministic_and_pure(spark, sf_dir):
                 textops.dataset_split_sql(duck=False, docs="half_docs")
             ).collect()}
     assert half == {k: v for k, v in a.items() if k % 2 == 0}
+
+
+def test_url_surt_collapses_equivalents(q):
+    """SURT semantics: case/default-port/fragment/query-order variants of
+    the same resource share ONE key; the genuinely different :8080
+    trailing-slash variant does not, and keeps its port in the key."""
+    df = q("url_surt")
+    assert (~df.surt_key.str.contains("#")).all()
+    assert (~df.surt_key.str.contains("www")).all()
+    for doc_id, grp in df.groupby("doc_id"):
+        eq = grp[~grp.url_raw.str.contains(":8080")]
+        assert len(eq) == 2 and eq.surt_key.nunique() == 1, doc_id
+        key = eq.surt_key.iloc[0]
+        assert key.startswith("org,example,"), key
+        assert key.endswith("?a=1&b=2"), key  # sorted, lowercased query
+        other = grp[grp.url_raw.str.contains(":8080")]
+        if doc_id % 3 == 0:
+            assert len(other) == 1
+            k8 = other.surt_key.iloc[0]
+            assert ":8080)" in k8 and k8 != key
+            assert not k8.endswith("/")  # trailing slash stripped
+        else:
+            assert len(other) == 0
+
+
+def test_warc_cdxj_surt_and_ts_recompute(q):
+    """Independent pure-Python recompute of every CDXJ SURT key from the
+    raw url, plus ts14 round-trip against the gated warc_cdx seconds."""
+    import calendar
+    import time
+
+    def py_surt(url):
+        host, _, path = url.removeprefix("https://").partition("/")
+        host = host[4:] if host.startswith("www.") else host
+        return ",".join(reversed(host.split("."))) + ")/" + path.lower()
+
+    df = q("warc_cdxj")
+    assert (df.surt_key == df.url.map(py_surt)).all()
+    assert df.ts14.str.fullmatch(r"\d{14}").all()
+    ts = {r.url: r.ts_seconds for r in q("warc_cdx").itertuples()}
+    got = df.ts14.map(
+        lambda s: calendar.timegm(time.strptime(s, "%Y%m%d%H%M%S"))
+    )
+    assert (got == df.url.map(ts)).all()
+    assert df.cdxj_md5.str.fullmatch(r"[0-9a-f]{32}").all()
