@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from htmlgraft import (
-    clusterops, eventops, linkops, media, pdfops, relops, simops, streaming,
-    textops, urlops, warcops,
+    clusterops, domops, eventops, linkops, media, pdfops, relops, simops,
+    streaming, textops, urlops, warcops,
 )
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "dom_select",
     "url_surt",
     "warc_cdxj",
     "wat_roundtrip",
@@ -676,6 +677,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _urlop(urlops.url_canonicalize_sql),
         "url_surt": _urlop(urlops.url_surt_sql),
         "warc_cdxj": warcops.run_warc_cdxj,
+        "dom_select": domops.run_dom_select,
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
         "robots_parse": _urlop(urlops.robots_parse_sql),
@@ -786,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
             "url_canonicalize": urlops.url_canonicalize_sql(duck=True),
             "url_surt": urlops.url_surt_sql(duck=True),
             "warc_cdxj": warcops.warc_cdxj_oracle_sql(),
+            "dom_select": domops.dom_select_oracle_sql(),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),
             "robots_parse": urlops.robots_parse_sql(duck=True),
