@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "stream_dedup",
     "dom_select",
     "url_surt",
     "warc_cdxj",
@@ -639,6 +640,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful streaming (applyInPandasWithState) under the
         # same value gate: final per-host state vs relational rollup
         "stream_host_sessions": streaming.run_stream_host_sessions,
+        "stream_dedup": streaming.run_stream_dedup,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
         "warc_extract_text_gz": warcops.run_warc_extract_text_gz,
@@ -763,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
             "wet_roundtrip": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "stream_host_sessions": streaming.stream_host_sessions_oracle_sql(),
+            "stream_dedup": streaming.stream_dedup_oracle_sql(),
             "corpus_build": _corpus_build_oracle(),
             "line_scrub": _line_scrub_oracle(),
             "layout_cluster": _layout_cluster_oracle(),

@@ -196,8 +196,10 @@ def streaming_dedup(pages: DataFrame, horizon: str = "2 hours") -> DataFrame:
     )
 
 
-def _run_stream_query(spark, sf_dir: str, build, final_select) -> DataFrame:
-    """Shared gated-stream harness: stage the corpus to a drop dir, run
+def _run_stream_query(spark, sf_dir: str, build, final_select,
+                      stage_df: DataFrame | None = None) -> DataFrame:
+    """Shared gated-stream harness: stage the corpus (or ``stage_df``, for
+    gates that need a doctored drop dir) to a drop dir, run
     ``build(stream_pages(...))`` through the exactly-once sink to
     completion (fail LOUDLY on timeout — a partial sink surfaces as a
     baffling hash mismatch), then ``final_select(sink_df)``, lineage-cut
@@ -209,9 +211,11 @@ def _run_stream_query(spark, sf_dir: str, build, final_select) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="graft_stream_q_")
     drop, out, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
-    pages_df(spark, sf_dir).select(
-        "url", "warc_ts", "html", "text", "lang"
-    ).repartition(4).write.parquet(drop)
+    if stage_df is None:
+        stage_df = pages_df(spark, sf_dir).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+    stage_df.repartition(4).write.parquet(drop)
     q = start_results_sink(
         build(stream_pages(spark, drop, max_files_per_trigger=2)), out, ckpt
     )
@@ -228,6 +232,43 @@ def _run_stream_query(spark, sf_dir: str, build, final_select) -> DataFrame:
     rows = final_select(spark.read.parquet(out)).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return rows
+
+
+def run_stream_dedup(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: streaming url dedup
+    (``dropDuplicatesWithinWatermark``) under the full value oracle.  The
+    staged drop dir carries every page TWICE — the original at a BOUNDED
+    event time (corpus spread re-keyed into one hour) and a re-crawl of
+    the same url 30 minutes later.  The whole stream spans < 90 minutes
+    of event time against a 2-hour horizon, so the watermark can never
+    expire dedup state mid-run regardless of micro-batch file order: the
+    gate is batching-deterministic, and the result must be exactly one
+    (url, lang) row per url.  Both copies of a url are identical in the
+    emitted columns, so WHICH copy survives cannot leak into the hash.
+
+    Scale: state is one row per url within (crawl rate × horizon) — the
+    production knob — not per corpus; expiry is the watermark's job."""
+    from .corpus import pages_df
+
+    p = pages_df(spark, sf_dir).select(
+        "url",
+        F.expr("timestamp_seconds(1709251200 + doc_id % 3600)")
+        .alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    dup = p.withColumn("warc_ts", F.expr("warc_ts + interval 30 minutes"))
+    return _run_stream_query(
+        spark, sf_dir,
+        lambda s: streaming_dedup(s).select("url", "lang"),
+        lambda df: df.select("url", "lang"),
+        stage_df=p.unionAll(dup),
+    )
+
+
+def stream_dedup_oracle_sql() -> str:
+    from .corpus import pages_oracle_cte
+
+    return pages_oracle_cte() + " select url, lang from expected"
 
 
 def run_stream_host_sessions(spark, sf_dir: str) -> DataFrame:
