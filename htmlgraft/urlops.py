@@ -21,6 +21,7 @@ oracle independently verifies every canonicalization rule.
 
 from __future__ import annotations
 
+from .corpus import HOST_EXPR, HOST_EXPR_DUCK
 from .textops import _d
 
 
@@ -480,6 +481,83 @@ def domain_stats_sql(duck: bool, docs: str = "documents") -> str:
       from matched where rk = 1
       group by reg_domain, suffix
       order by reg_domain
+    """
+
+
+def sitemap_parse_sql(duck: bool, docs: str = "documents") -> str:
+    """Sitemap PARSER — the third leg of crawl discovery next to
+    robots_parse and crawl_frontier: per-host ``sitemap.xml`` documents
+    (sitemaps.org protocol) are synthesized deterministically, then the
+    Spark side must recover every ``<url>`` entry's loc/lastmod/priority
+    by actually PARSING the XML text (regexp entry split + field
+    extraction inside whole-stage codegen — sitemap XML is rigid
+    machine-generated markup, exactly what a regex grammar is right for).
+    The DuckDB oracle never parses: it restates the expected relation
+    directly from the documents table, so synthesis and parse must be
+    exact mutual inverses.
+
+    Corpus urls/dates contain no ``&<>`` so no XML entity escaping is
+    exercised (documented scope; real sitemaps pct-encode urls anyway).
+
+    Scale: one hash agg per host to build, one map to parse — sitemap
+    files are per-host and |host|-bounded like the robots relation."""
+    ts = "1709251200 + doc_id % 31536000"
+    pr = "doc_id % 9 + 1"
+    if duck:
+        return f"""
+      with d as (
+        select doc_id, source, {HOST_EXPR_DUCK} as host from {docs}
+      )
+      select host,
+             concat('https://', host, '/', source, '/',
+                    cast(doc_id as varchar)) as loc,
+             strftime(make_timestamp(cast({ts} as bigint) * 1000000),
+                      '%Y-%m-%d') as lastmod,
+             cast({pr} as bigint) as priority_decile
+      from d
+    """
+    return f"""
+      with d as (
+        select doc_id, source, {HOST_EXPR} as host from {docs}
+      ),
+      d2 as (
+        select doc_id, host,
+               concat('https://', host, '/', source, '/',
+                      cast(doc_id as string)) as url,
+               date_format(timestamp_seconds({ts}), 'yyyy-MM-dd')
+                 as lastmod,
+               concat('0.', cast({pr} as string)) as pr
+        from d
+      ),
+      sm as (
+        select host,
+               concat('<?xml version="1.0" encoding="UTF-8"?>',
+                      '<urlset xmlns=',
+                      '"http://www.sitemaps.org/schemas/sitemap/0.9">',
+                      array_join(transform(
+                        array_sort(collect_list(
+                          struct(doc_id, url, lastmod, pr))),
+                        s -> concat('<url><loc>', s.url,
+                                    '</loc><lastmod>', s.lastmod,
+                                    '</lastmod><priority>', s.pr,
+                                    '</priority></url>')), ''),
+                      '</urlset>') as xml
+        from d2
+        group by host
+      ),
+      entries as (
+        select host,
+               explode(regexp_extract_all(xml, '<url>(.*?)</url>', 1))
+                 as entry
+        from sm
+      )
+      select host,
+             regexp_extract(entry, '<loc>([^<]*)</loc>', 1) as loc,
+             regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1)
+               as lastmod,
+             cast(regexp_extract(entry, '<priority>0[.]([0-9])</priority>',
+                                 1) as bigint) as priority_decile
+      from entries
     """
 
 

@@ -345,3 +345,21 @@ def test_warc_cdxj_surt_and_ts_recompute(q):
     )
     assert (got == df.url.map(ts)).all()
     assert df.cdxj_md5.str.fullmatch(r"[0-9a-f]{32}").all()
+
+
+def test_sitemap_parse_recovers_entries(q):
+    """Sitemap round trip: every document appears exactly once under its
+    host, lastmod is the capture date, priority decile is doc_id-keyed,
+    and the skewed host really aggregates one fifth of the corpus into
+    one sitemap document."""
+    df = q("sitemap_parse")
+    locs = df["loc"]  # bracket access: .loc is the pandas indexer
+    ids = locs.str.rsplit("/", n=1).str[1].astype(int)
+    assert ids.is_unique
+    assert (df.priority_decile == ids % 9 + 1).all()
+    assert df.lastmod.str.fullmatch(r"\d{4}-\d{2}-\d{2}").all()
+    pop = df[df.host == "popular.example.com"]
+    assert len(pop) == (ids % 5 == 0).sum() and len(pop) > 0
+    # loc host always matches the grouping host (entries never leak
+    # across sitemap documents)
+    assert (locs.str.split("/").str[2] == df.host).all()
