@@ -22,7 +22,7 @@ oracle independently verifies every canonicalization rule.
 from __future__ import annotations
 
 from .corpus import HOST_EXPR, HOST_EXPR_DUCK
-from .textops import _d
+from .textops import _d, h32
 
 
 def _messy_urls_cte(duck: bool, docs: str = "documents") -> str:
@@ -558,6 +558,78 @@ def sitemap_parse_sql(duck: bool, docs: str = "documents") -> str:
              cast(regexp_extract(entry, '<priority>0[.]([0-9])</priority>',
                                  1) as bigint) as priority_decile
       from entries
+    """
+
+
+BLOOM_BITS = 65536   # m = 2048 x 32-bit words (32-bit: DuckDB range-checks
+BLOOM_K = 3          # signed shifts, so 1 << 63 would overflow there)
+
+
+def bloom_frontier_sql(duck: bool, docs: str = "documents") -> str:
+    """Bloom-filter membership for frontier dedup — the sketch that makes
+    "have I crawled this url?" affordable at 10^12 urls: the seen-set
+    compresses to a {BLOOM_BITS}-bit relation (<= 2048 (word, bits) rows,
+    kilobytes — broadcast it), so the frontier probe is a map + broadcast
+    join instead of resume_antijoin's full shuffle against the crawl
+    state.  The price is deterministic false positives (a never-crawled
+    url whose k={BLOOM_K} bits all collide is skipped); false NEGATIVES
+    are impossible — the property the gate pins, since every truly-seen
+    candidate must come out maybe_seen=1 in the value hash.
+
+    All integer/bit arithmetic (md5-derived 32-bit hashes, shifts,
+    bit_or aggregation) is engine-identical, so the exact bit pattern —
+    and therefore the exact false-positive set — is value-checked."""
+    d = _d(duck)
+    s = d["str"]
+    j3 = ("unnest([1, 2, 3]) as j" if duck else
+          "explode(array(1, 2, 3)) as j")
+    div = "//" if duck else "div"
+
+    def bitpos(url: str) -> str:
+        h = h32(f"concat({url}, '#', cast(j as {s}))", duck)
+        return f"({h}) % {BLOOM_BITS}"
+
+    return f"""
+      with d0 as (
+        select doc_id, source, {HOST_EXPR_DUCK if duck else HOST_EXPR} as host
+        from {docs}
+      ),
+      seen as (
+        select concat('https://', host, '/', source, '/',
+                      cast(doc_id as {s})) as url
+        from d0
+      ),
+      cand as (
+        select url, 1 as truly from seen
+        union all
+        select concat(url, '?page=2'), 0 from seen
+      ),
+      spos as (
+        select {bitpos('url')} as bit
+        from (select url, {j3} from seen)
+      ),
+      bloom as (
+        select bit {div} 32 as word,
+               bit_or({d['shl1'].format('bit % 32')}) as bits
+        from spos
+        group by bit {div} 32
+      ),
+      ppos as (
+        select url, truly, {bitpos('url')} as bit
+        from (select url, truly, {j3} from cand)
+      ),
+      hits as (
+        select p.url, p.truly,
+               min(case when b.bits is not null
+                         and {d['bit'].format('b.bits', '(p.bit % 32)')} = 1
+                    then 1 else 0 end) as hit
+        from ppos p left join bloom b on b.word = p.bit {div} 32
+        group by p.url, p.truly
+      )
+      select url,
+             cast(truly as bigint) as truly_seen,
+             cast(hit as bigint) as maybe_seen
+      from hits
     """
 
 

@@ -363,3 +363,18 @@ def test_sitemap_parse_recovers_entries(q):
     # loc host always matches the grouping host (entries never leak
     # across sitemap documents)
     assert (locs.str.split("/").str[2] == df.host).all()
+
+
+def test_bloom_frontier_no_false_negatives(q):
+    """The Bloom contract: every truly-seen url MUST probe maybe_seen=1
+    (false negatives impossible); unseen urls are mostly rejected with a
+    small deterministic false-positive rate bounded well under the
+    m/n regime's expectation."""
+    df = q("bloom_frontier")
+    seen = df[df.truly_seen == 1]
+    unseen = df[df.truly_seen == 0]
+    assert len(seen) == len(unseen) > 0
+    assert (seen.maybe_seen == 1).all()          # no false negatives
+    fp = (unseen.maybe_seen == 1).mean()
+    assert fp < 0.05, fp                          # 65536 bits, k=3, n small
+    assert (unseen.maybe_seen == 0).any()         # filter actually filters
