@@ -633,6 +633,74 @@ def bloom_frontier_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+HLL_B = 8                     # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+# alpha_m * m^2 * 2^32 as a PRE-COMPUTED integer constant (compile-time
+# Python float, never runtime SQL float — the estimate division is pure
+# bigint arithmetic in both engines)
+HLL_ALPHA_NUM = int(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << 32))
+
+
+def hll_card_sql(duck: bool, docs: str = "documents") -> str:
+    """HyperLogLog cardinality registers over the recrawl capture multiset
+    (each url appears 1–3 times; the sketch must estimate DISTINCT urls).
+    The register relation is the whole point at 10^12 rows: 256 integers,
+    mergeable across partitions/shards by register-wise max — a
+    count(distinct) needs a full shuffle on the key, the sketch needs one
+    map plus a 256-group aggregation, and union-ing two crawls' sketches
+    is free.
+
+    Everything emitted is integer and engine-identical: bucket = low
+    {HLL_B} hash bits, rho = leading-zero rank of the remaining 24 bits
+    computed via the BINARY-STRING length (length(bin(x)) /
+    printf('%b') — no float log2), the raw estimate is
+    alpha_m2_scaled div sum(2^(32-r)) in bigint fixed point, and the full
+    register vector is pinned by an order-joined md5.  The small-range
+    (linear-counting) correction needs ln() — float, so it lives in the
+    consumer (pinned in tests by a pure-Python recompute), not the gate."""
+    d = _d(duck)
+    s = d["str"]
+    div = "//" if duck else "div"
+    blen = ("length(printf('%b', suffix))" if duck
+            else "length(bin(suffix))")
+    rng = d["range_incl"].format("0", str(HLL_M - 1))
+    allb = (f"select unnest({rng}) as bucket" if duck
+            else f"select explode({rng}) as bucket")
+    regs_join = (
+        "md5(string_agg(cast(r as varchar), ',' order by bucket))" if duck
+        else "md5(array_join(transform(array_sort(collect_list("
+             "struct(bucket, r))), x -> cast(x.r as string)), ','))"
+    )
+    return f"""
+      with {_captures_cte(duck, docs)},
+      h as (select ({h32('url', duck)}) as hv from caps),
+      br as (
+        select hv % {HLL_M} as bucket, suffix,
+               case when suffix = 0 then 25 else 25 - {blen} end as rho
+        from (select hv, hv {div} {HLL_M} as suffix from h)
+      ),
+      regs as (select bucket, max(rho) as r from br group by bucket),
+      full_regs as (
+        select a.bucket, coalesce(regs.r, 0) as r
+        from ({allb}) a left join regs on regs.bucket = a.bucket
+      ),
+      agg as (
+        select sum({d['shl1'].format('(32 - r)')}) as den,
+               sum(case when r = 0 then 1 else 0 end) as v0,
+               sum(r) as register_sum,
+               {regs_join} as regs_md5
+        from full_regs
+      )
+      select cast((select count(distinct url) from caps) as bigint)
+               as n_exact,
+             cast({HLL_ALPHA_NUM} {div} den as bigint) as n_est_raw,
+             cast(v0 as bigint) as n_zero_registers,
+             cast(register_sum as bigint) as register_sum,
+             regs_md5
+      from agg
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

@@ -378,3 +378,39 @@ def test_bloom_frontier_no_false_negatives(q):
     fp = (unseen.maybe_seen == 1).mean()
     assert fp < 0.05, fp                          # 65536 bits, k=3, n small
     assert (unseen.maybe_seen == 0).any()         # filter actually filters
+
+
+def test_hll_card_registers_and_corrected_estimate(q, spark, sf_dir):
+    """Independent pure-Python recompute of the full register vector
+    (hash, bucket split, leading-zero rank) must reproduce regs_md5; the
+    consumer-side small-range correction (linear counting, the float ln
+    the integer gate deliberately excludes) must land within 25% of the
+    exact cardinality."""
+    import hashlib
+    import math
+
+    row = q("hll_card").iloc[0]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").toPandas()
+    )
+    regs = [0] * 256
+    n_urls = 0
+    for r in docs.itertuples():
+        host = ("popular.example.com" if r.doc_id % 5 == 0
+                else f"site-{r.doc_id % 211}.example.org")
+        url = f"https://{host}/{r.source}/{r.doc_id}"
+        n_urls += 1
+        h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
+        b, suffix = h % 256, h // 256
+        rho = 25 - suffix.bit_length() if suffix else 25
+        regs[b] = max(regs[b], rho)
+    assert row.n_exact == n_urls
+    want_md5 = hashlib.md5(",".join(map(str, regs)).encode()).hexdigest()
+    assert row.regs_md5 == want_md5
+    assert row.register_sum == sum(regs)
+    assert row.n_zero_registers == regs.count(0)
+    est = row.n_est_raw
+    if est <= 2.5 * 256 and row.n_zero_registers > 0:
+        est = 256 * math.log(256 / row.n_zero_registers)
+    assert abs(est - n_urls) / n_urls < 0.25, (est, n_urls)
