@@ -781,6 +781,56 @@ def _register_documents(spark, sf_dir: str) -> None:
     )
 
 
+CMS_D = 4    # hash rows
+CMS_W = 32   # counters per row — DELIBERATELY smaller than the corpus
+             # vocabulary so per-row collisions are real and the
+             # min-over-rows reduction actually earns its keep
+
+
+def cms_freq_sql(duck: bool, docs: str = "documents") -> str:
+    """Count-Min sketch token-frequency estimation — the frequency member
+    of the sketch tier (bloom_frontier = membership, hll_card =
+    cardinality): a {CMS_D}x{CMS_W} integer counter matrix replaces the
+    full (token, count) relation.  At web scale the matrix is the point —
+    counters merge by cell-wise SUM across partitions/shards/crawls
+    (one tiny agg), point queries are d lookups, and the relation
+    broadcast to estimate ANY key's frequency is {CMS_D * CMS_W} rows
+    regardless of vocabulary size.
+
+    Counters are built from the pre-aggregated term frequencies (same
+    cell sums as streaming increments, one shuffle on the token instead
+    of d x corpus rows).  Every estimate carries the CMS contract —
+    n_est >= n_exact, never under — which the value hash pins per token
+    alongside the exact counts (the gate corpus's 31-token vocabulary
+    against {CMS_W}-wide rows forces real collisions, so over-estimates
+    genuinely occur and min-over-rows genuinely shrinks them)."""
+    d = _d(duck)
+    s = d["str"]
+    rng = d["range_incl"].format("1", str(CMS_D))
+    j_exp = (f"select unnest({rng}) as j" if duck
+             else f"select explode({rng}) as j")
+    col = f"({h32(f'concat(tok, chr(35), cast(j as {s}))', duck)}) % {CMS_W}"
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tf as (select tok, count(*) as n from tokens group by tok),
+      js as ({j_exp}),
+      cells as (
+        select j, {col} as col, n
+        from tf cross join js
+      ),
+      cms as (select j, col, sum(n) as c from cells group by j, col),
+      probe as (
+        select tok, n, j, {col} as col
+        from tf cross join js
+      )
+      select p.tok as token,
+             cast(p.n as bigint) as n_exact,
+             cast(min(c.c) as bigint) as n_est
+      from probe p join cms c on c.j = p.j and c.col = p.col
+      group by p.tok, p.n
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     """Execute one textops plan on Spark over the sf_dir documents table."""
     _register_documents(spark, sf_dir)

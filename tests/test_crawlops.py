@@ -414,3 +414,37 @@ def test_hll_card_registers_and_corrected_estimate(q, spark, sf_dir):
     if est <= 2.5 * 256 and row.n_zero_registers > 0:
         est = 256 * math.log(256 / row.n_zero_registers)
     assert abs(est - n_urls) / n_urls < 0.25, (est, n_urls)
+
+
+def test_cms_freq_contract_and_recompute(q, spark, sf_dir):
+    """CMS contract: estimates never under-count; with 31 tokens hashed
+    into 32-wide rows collisions are real, so some estimates strictly
+    over-count and min-over-rows strictly improves on any single row.
+    Full independent pure-Python sketch recompute."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from htmlgraft.textops import CMS_D, CMS_W
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text").toPandas()
+    )
+    tf = Counter(t for txt in docs.text for t in txt.split(" "))
+    cms = defaultdict(int)
+    for tok, n in tf.items():
+        for j in range(1, CMS_D + 1):
+            cms[(j, h32(f"{tok}#{j}") % CMS_W)] += n
+    want = {
+        tok: (n, min(cms[(j, h32(f"{tok}#{j}") % CMS_W)]
+                     for j in range(1, CMS_D + 1)))
+        for tok, n in tf.items()
+    }
+    df = q("cms_freq")
+    got = {r.token: (r.n_exact, r.n_est) for r in df.itertuples()}
+    assert got == want
+    assert (df.n_est >= df.n_exact).all()       # never under-counts
+    assert (df.n_est > df.n_exact).any()        # collisions really occur
