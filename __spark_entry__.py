@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "hits_hosts",
     "cms_freq",
     "hll_card",
     "bloom_frontier",
@@ -660,6 +661,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": linkops.run_extract_tables,
         "link_hostgraph": linkops.run_link_hostgraph,
         "pagerank_hosts": linkops.run_pagerank_hosts,
+        "hits_hosts": linkops.run_hits_hosts,
         "host_components": linkops.run_host_components,
         "crawl_schedule": linkops.run_crawl_schedule,
         "anchor_text": linkops.run_anchor_text,
@@ -851,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
             "wat_roundtrip": linkops.wat_roundtrip_oracle_sql(),
             "link_hostgraph": linkops.hostgraph_oracle_sql(),
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
+            "hits_hosts": linkops.hits_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),
             "crawl_schedule": linkops.crawl_schedule_oracle_sql(),
             "anchor_text": linkops.anchor_text_oracle_sql(),

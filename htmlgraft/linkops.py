@@ -494,6 +494,117 @@ def run_link_hostgraph(spark, sf_dir: str) -> DataFrame:
     return hostgraph_df(links_df(pages_df(spark, sf_dir)))
 
 
+HITS_ITERS = 3
+
+
+def hits_df(links: DataFrame) -> DataFrame:
+    """Integer HITS (hubs & authorities, Kleinberg) over the distinct
+    cross-host edges — PageRank's classic companion: authority = sum of
+    in-neighbor hub scores, hub = sum of out-neighbor authority scores,
+    {HITS_ITERS} power-iteration rounds.
+
+    Deliberately UNNORMALIZED: each round's normalization in textbook
+    HITS is a positive scalar over the whole vector, so raw integer
+    power-iteration sums carry the exact same per-round ranking and
+    ratios while staying bit-identical across engines (a float L2 norm
+    would not).  Values are bounded by degree^(2*ITERS), comfortably
+    inside int64 for any host graph whose max degree^6 < 2^63 — a
+    production run at higher iteration counts re-scales by max() between
+    rounds (still integer); documented, not needed at ITERS=3.
+
+    Same iterative production shape as pagerank_df: edges materialized
+    once, two join+agg per round, lineage-truncated state."""
+    edges = (
+        links.select(_src_host_col().alias("src"), _dst_host_col().alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_in = (
+            edges.join(hub, edges.src == hub.host)
+            .groupBy("dst").agg(F.sum("hub").alias("m"))
+        )
+        auth = (
+            nodes.join(a_in, nodes.host == a_in.dst, "left")
+            .select("host", F.coalesce("m", F.lit(0)).cast("bigint")
+                    .alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_out = (
+            edges.join(auth, edges.dst == auth.host)
+            .groupBy("src").agg(F.sum("auth").alias("m"))
+        )
+        hub = (
+            nodes.join(h_out, nodes.host == h_out.src, "left")
+            .select("host", F.coalesce("m", F.lit(0)).cast("bigint")
+                    .alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hub, "host").join(auth, "host")
+        .select("host", F.col("hub").cast("bigint").alias("hub"),
+                F.col("auth").cast("bigint").alias("auth"))
+    )
+
+
+def hits_oracle_sql() -> str:
+    """The HITS rounds unrolled as nested CTEs (pagerank pattern): every
+    per-round vector is referenced exactly once by the next round (the
+    final select references a{{K}} twice, doubling one level only — not
+    the exponential per-round blowup the single-reference rule avoids)."""
+    rounds = []
+    for k in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+      a{k} as (
+        select n.host, cast(coalesce(s.m, 0) as bigint) as auth
+        from nodes n left join (
+          select e.dst as host, sum(h.hub) as m
+          from edges e join h{k - 1} h on h.host = e.src
+          group by e.dst
+        ) s on s.host = n.host
+      ),
+      h{k} as (
+        select n.host, cast(coalesce(s.m, 0) as bigint) as hub
+        from nodes n left join (
+          select e.src as host, sum(a.auth) as m
+          from edges e join a{k} a on a.host = e.dst
+          group by e.src
+        ) s on s.host = n.host
+      )""")
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + f""",
+      edges as (select distinct src, dst from resolved where src <> dst),
+      nodes as (
+        select distinct host from (
+          select src as host from edges union all select dst from edges
+        )
+      ),
+      h0 as (select host, cast(1 as bigint) as hub from nodes),
+      {",".join(rounds)}
+      select h.host, h.hub, a.auth
+      from h{HITS_ITERS} h join a{HITS_ITERS} a on a.host = h.host
+    """
+    )
+
+
+def run_hits_hosts(spark, sf_dir: str) -> DataFrame:
+    return hits_df(links_df(pages_df(spark, sf_dir)))
+
+
 def run_pagerank_hosts(spark, sf_dir: str) -> DataFrame:
     return pagerank_df(links_df(pages_df(spark, sf_dir)))
 

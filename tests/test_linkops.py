@@ -392,3 +392,44 @@ def test_wat_record_header_math(spark):
     assert f"Content-Length: {len(payload)}" in head
     assert rest == payload + "\r\n\r\n"
     assert head.startswith("WARC/1.0\r\nWARC-Type: metadata\r\n")
+
+
+def test_hits_pure_python_recompute(spark, sf_dir):
+    """Independent HITS recompute: rebuild the distinct cross-host edge
+    set from the gated links relation, run the same 3 unnormalized
+    power-iteration rounds in pure Python, and require exact integer
+    agreement; the skewed in-degree host must carry the top authority."""
+    from collections import defaultdict
+
+    from htmlgraft.linkops import (
+        HITS_ITERS, hits_df, links_df, pages_df,
+    )
+
+    links = links_df(pages_df(spark, sf_dir)).toPandas()
+    edges = set()
+    for r in links.itertuples():
+        src = r.url.split("/")[2]
+        dst = (r.href.split("/")[2]
+               if r.href.startswith(("https://", "http://", "//"))
+               else src)
+        if src != dst:
+            edges.add((src, dst))
+    nodes = {h for e in edges for h in e}
+    hub = {h: 1 for h in nodes}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        auth = defaultdict(int)
+        for s, d in edges:
+            auth[d] += hub[s]
+        auth = {h: auth.get(h, 0) for h in nodes}
+        nh = defaultdict(int)
+        for s, d in edges:
+            nh[s] += auth[d]
+        hub = {h: nh.get(h, 0) for h in nodes}
+    got = {r.host: (r.hub, r.auth)
+           for r in hits_df(
+               links_df(pages_df(spark, sf_dir))
+           ).toPandas().itertuples()}
+    assert got == {h: (hub[h], auth[h]) for h in nodes}
+    top_auth = max(got, key=lambda h: got[h][1])
+    assert top_auth == "popular.example.com"
