@@ -807,22 +807,18 @@ def cms_freq_sql(duck: bool, docs: str = "documents") -> str:
     d = _d(duck)
     s = d["str"]
     rng = d["range_incl"].format("1", str(CMS_D))
-    j_exp = (f"select unnest({rng}) as j" if duck
-             else f"select explode({rng}) as j")
+    # generator in the projection, not a cross join against a row relation:
+    # keeps the d-fold expansion a Generate node (a map), so the plan never
+    # grows a BroadcastNestedLoopJoin (tools/plan_audit.py enforces this)
+    j_exp = (f"unnest({rng}) as j" if duck else f"explode({rng}) as j")
     col = f"({h32(f'concat(tok, chr(35), cast(j as {s}))', duck)}) % {CMS_W}"
     return f"""
       with {tokens_cte(duck, docs)},
       tf as (select tok, count(*) as n from tokens group by tok),
-      js as ({j_exp}),
-      cells as (
-        select j, {col} as col, n
-        from tf cross join js
-      ),
+      tfj as (select tok, n, {j_exp} from tf),
+      cells as (select j, {col} as col, n from tfj),
       cms as (select j, col, sum(n) as c from cells group by j, col),
-      probe as (
-        select tok, n, j, {col} as col
-        from tf cross join js
-      )
+      probe as (select tok, n, j, {col} as col from tfj)
       select p.tok as token,
              cast(p.n as bigint) as n_exact,
              cast(min(c.c) as bigint) as n_est
