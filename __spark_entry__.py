@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "hist_quantiles",
     "hits_hosts",
     "cms_freq",
     "hll_card",
@@ -693,6 +694,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_frontier": _urlop(urlops.bloom_frontier_sql),
         "hll_card": _urlop(urlops.hll_card_sql),
         "cms_freq": _textop(textops.cms_freq_sql),
+        "hist_quantiles": _textop(textops.hist_quantiles_sql),
         "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
         "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
         "domain_stats": _urlop(urlops.domain_stats_sql),
@@ -809,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
             "bloom_frontier": urlops.bloom_frontier_sql(duck=True),
             "hll_card": urlops.hll_card_sql(duck=True),
             "cms_freq": textops.cms_freq_sql(duck=True),
+            "hist_quantiles": textops.hist_quantiles_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
             "dataset_split": textops.dataset_split_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),

@@ -827,6 +827,90 @@ def cms_freq_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+HQ_M = 4              # mantissa bits -> relative error <= 2^-4 = 6.25%
+HQ_SUB = 1 << (HQ_M + 1)   # sub-buckets per bit-length octave
+HQ_QS = (50, 90, 99)  # reported percentiles
+
+
+def hist_quantiles_sql(duck: bool, docs: str = "documents") -> str:
+    """Log-bucketed histogram quantiles (the HdrHistogram scheme) — the
+    QUANTILE member of the sketch tier (bloom_frontier = membership,
+    hll_card = cardinality, cms_freq = frequency).  An exact percentile of
+    doc lengths at 10^12 rows is a global sort; the histogram replaces it
+    with one hash aggregation over a VALUE-DOMAIN-bounded key space
+    (64 bit-lengths x {HQ_SUB} sub-buckets), mergeable across
+    partitions/shards/crawls by cell-wise SUM, with a hard relative-error
+    contract.
+
+    Bucketing: for v >= 1, b = bit_length(v) (binary-STRING length — the
+    hll_card idiom, no float log2), shift = max(b - {HQ_M + 1}, 0), key =
+    b * {HQ_SUB} + (v >> shift).  The key is monotone in v, so the bucket
+    of the r-th order statistic is found exactly by the first bucket whose
+    cumulative count reaches r; the reported estimate is the bucket's
+    LOWER BOUND ((key % {HQ_SUB}) << shift), giving
+    0 <= (true - est) / true <= 2^-{HQ_M} (values below 2^{HQ_M + 1} are
+    exact).  Two metrics (tokens and chars per doc) share the plan, so the
+    cumulative window is hash-partitioned by metric — and its input is the
+    bounded bucket relation, never the corpus.
+
+    Everything is integer: target rank r = ceil(q*n/100) in bigint, the
+    window is a bigint running sum, and the estimate reconstruction is a
+    shift.  Tests pin the error contract against exact quantiles and the
+    cell-wise-sum mergeability on split corpora."""
+    d = _d(duck)
+    iv = "//" if duck else "div"
+    ln = "len" if duck else "size"
+    ws = d["split"].format("text")
+    blen = "length(printf('%b', v))" if duck else "length(bin(v))"
+    qs = ", ".join(str(q) for q in HQ_QS)
+    q_exp = (f"unnest([{qs}]) as q" if duck
+             else f"explode(array({qs})) as q")
+    shift = f"greatest(b - {HQ_M + 1}, 0)"
+    pow2_shift = d["shl1"].format(shift)
+    shift2 = f"greatest((key {iv} {HQ_SUB}) - {HQ_M + 1}, 0)"
+    pow2_shift2 = d["shl1"].format(shift2)
+    return f"""
+      with vals as (
+        select 'tokens' as metric,
+               cast({ln}({ws}) as bigint) as v from {docs}
+        union all
+        select 'chars' as metric, cast(n_chars as bigint) as v from {docs}
+      ),
+      keyed as (
+        select metric,
+               cast(b * {HQ_SUB} + (v {iv} {pow2_shift}) as bigint) as key
+        from (select metric, v, {blen} as b from vals where v >= 1) t
+      ),
+      hist as (
+        select metric, key, count(*) as cnt from keyed group by metric, key
+      ),
+      cum as (
+        select metric, key,
+               sum(cnt) over (partition by metric order by key asc) as c
+        from hist
+      ),
+      tot as (select metric, sum(cnt) as n from hist group by metric),
+      qs as (select {q_exp}),
+      tgt as (
+        select t.metric, qs.q,
+               cast((qs.q * t.n + 99) {iv} 100 as bigint) as r,
+               cast(t.n as bigint) as n
+        from qs cross join tot t
+      ),
+      pick as (
+        select t.metric, t.q, t.n, min(c.key) as key
+        from tgt t join cum c on c.metric = t.metric and c.c >= t.r
+        group by t.metric, t.q, t.n
+      )
+      select metric, cast(q as bigint) as q,
+             cast(key as bigint) as bucket_key,
+             cast((key % {HQ_SUB}) * {pow2_shift2} as bigint) as v_est,
+             n as n_rows
+      from pick
+      order by metric, q
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     """Execute one textops plan on Spark over the sf_dir documents table."""
     _register_documents(spark, sf_dir)

@@ -448,3 +448,77 @@ def test_cms_freq_contract_and_recompute(q, spark, sf_dir):
     assert got == want
     assert (df.n_est >= df.n_exact).all()       # never under-counts
     assert (df.n_est > df.n_exact).any()        # collisions really occur
+
+
+def test_hist_quantiles_contract_and_recompute(q, spark, sf_dir):
+    """Quantile-sketch contract: full independent pure-Python recompute of
+    the bucket keys, the rank selection, and the lower-bound estimates;
+    the estimate never exceeds the exact quantile and the relative error
+    is bounded by 2^-HQ_M (the HdrHistogram guarantee); the histogram
+    merges across shards by cell-wise sum (what makes it a sketch)."""
+    from collections import Counter
+
+    from htmlgraft.textops import HQ_M, HQ_QS, HQ_SUB
+
+    def key(v):
+        b = v.bit_length()
+        return b * HQ_SUB + (v >> max(b - HQ_M - 1, 0))
+
+    def lower_bound(k):
+        b = k // HQ_SUB
+        return (k % HQ_SUB) << max(b - HQ_M - 1, 0)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text", "n_chars").toPandas()
+    )
+    vals = {
+        "tokens": sorted(len(t.split(" ")) for t in docs.text),
+        "chars": sorted(int(c) for c in docs.n_chars),
+    }
+    df = q("hist_quantiles")
+    assert len(df) == 2 * len(HQ_QS)
+    for row in df.itertuples():
+        vs = vals[row.metric]
+        n = len(vs)
+        assert row.n_rows == n
+        r = (row.q * n + 99) // 100
+        exact = vs[r - 1]
+        # the selected bucket is exactly the r-th order statistic's bucket
+        hist = Counter(key(v) for v in vs)
+        cum, picked = 0, None
+        for k in sorted(hist):
+            cum += hist[k]
+            if cum >= r:
+                picked = k
+                break
+        assert row.bucket_key == picked
+        assert row.v_est == lower_bound(picked)
+        # error contract: lower bound, relative error <= 2^-HQ_M
+        assert row.v_est <= exact
+        assert (exact - row.v_est) / exact <= 2 ** -HQ_M, (row, exact)
+    # mergeability: cell-wise sum of per-shard histograms == full histogram
+    vs = vals["tokens"]
+    full = Counter(key(v) for v in vs)
+    merged = Counter(key(v) for v in vs[::2])
+    merged.update(key(v) for v in vs[1::2])
+    assert merged == full
+
+
+def test_hist_quantiles_key_is_monotone():
+    """key(v) monotone in v is what makes rank selection over the
+    histogram exact — pin it over a dense small range plus octave edges."""
+    from htmlgraft.textops import HQ_M, HQ_SUB
+
+    def key(v):
+        b = v.bit_length()
+        return b * HQ_SUB + (v >> max(b - HQ_M - 1, 0))
+
+    vals = list(range(1, 4096)) + [
+        (1 << e) + d for e in range(12, 40) for d in (-1, 0, 1)
+    ]
+    keys = [key(v) for v in sorted(vals)]
+    assert keys == sorted(keys)
+    # values below 2^(HQ_M+1) are exact: distinct keys
+    small = [key(v) for v in range(1, 1 << (HQ_M + 1))]
+    assert len(set(small)) == len(small)
