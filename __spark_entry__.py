@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "feed_parse",
     "hist_quantiles",
     "hits_hosts",
     "cms_freq",
@@ -691,6 +692,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _urlop(urlops.robots_filter_sql),
         "robots_parse": _urlop(urlops.robots_parse_sql),
         "sitemap_parse": _urlop(urlops.sitemap_parse_sql),
+        "feed_parse": _urlop(urlops.feed_parse_sql),
         "bloom_frontier": _urlop(urlops.bloom_frontier_sql),
         "hll_card": _urlop(urlops.hll_card_sql),
         "cms_freq": _textop(textops.cms_freq_sql),
@@ -808,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
             "robots_filter": urlops.robots_filter_sql(duck=True),
             "robots_parse": urlops.robots_parse_sql(duck=True),
             "sitemap_parse": urlops.sitemap_parse_sql(duck=True),
+            "feed_parse": urlops.feed_parse_sql(duck=True),
             "bloom_frontier": urlops.bloom_frontier_sql(duck=True),
             "hll_card": urlops.hll_card_sql(duck=True),
             "cms_freq": textops.cms_freq_sql(duck=True),

@@ -826,3 +826,122 @@ def robots_parse_sql(duck: bool, docs: str = "documents") -> str:
       from rules r join agents a on a.host = r.host and a.grp = r.grp
       order by r.host, a.agent, line_no
     """
+
+
+def feed_parse_sql(duck: bool, docs: str = "documents") -> str:
+    """RSS/Atom feed PARSER — the fourth leg of crawl discovery next to
+    robots_parse, sitemap_parse, and crawl_frontier: real crawlers poll
+    syndication feeds to find fresh urls between full recrawls.  Per-host
+    feed documents are synthesized deterministically in BOTH of the wire
+    formats that matter (host-hash parity picks one per host): RSS 2.0
+    (``<item><title/><link/><pubDate RFC-822/>``) and Atom
+    (``<entry><title/><link href/><updated ISO-8601/>``).  The Spark side
+    must recover every entry's (link, title, published) by actually
+    PARSING the XML — a combined backreference-free entry split
+    ``<(item|entry)>(.*?)</(item|entry)>`` (group 2) plus per-format field
+    regexes, all inside whole-stage codegen like sitemap_parse.
+
+    The DuckDB oracle never parses: it restates the expected relation
+    straight from the documents table — including the RFC-822/ISO-8601
+    timestamp STRINGS (``strftime`` vs ``date_format`` must agree
+    byte-for-byte on day-of-week and month abbreviations, which pins the
+    formatter parity both synthesis paths rely on).  Titles/urls carry no
+    ``&<>`` so XML entity escaping is out of scope (same documented scope
+    as sitemap_parse).
+
+    Scale: one hash agg per host to build, one map + explode to parse —
+    feeds are per-host and |host|-bounded like robots and sitemaps."""
+    s = _d(duck)["str"]
+    ts = "1709251200 + doc_id % 31536000"
+    host = HOST_EXPR_DUCK if duck else HOST_EXPR
+    fsel = f"({h32('host', duck)}) % 2"
+    if duck:
+        return f"""
+      with d as (
+        select doc_id, source, {host} as host from {docs}
+      ),
+      d2 as (
+        select doc_id, host, {fsel} as f,
+               row_number() over (partition by host order by doc_id) as pos,
+               concat('https://', host, '/', source, '/',
+                      cast(doc_id as varchar)) as url,
+               concat('Post ', cast(doc_id as varchar)) as title,
+               strftime(make_timestamp(cast({ts} as bigint) * 1000000),
+                        '%a, %d %b %Y %H:%M:%S GMT') as pub,
+               strftime(make_timestamp(cast({ts} as bigint) * 1000000),
+                        '%Y-%m-%dT%H:%M:%SZ') as upd
+        from d
+      )
+      select host,
+             case when f = 0 then 'rss' else 'atom' end as feed_fmt,
+             cast(pos as bigint) as pos,
+             url as link, title,
+             case when f = 0 then pub else upd end as published
+      from d2
+      order by host, pos
+    """
+    return f"""
+      with d as (
+        select doc_id, source, {host} as host from {docs}
+      ),
+      d2 as (
+        select doc_id, host,
+               concat('https://', host, '/', source, '/',
+                      cast(doc_id as string)) as url,
+               concat('Post ', cast(doc_id as string)) as title,
+               date_format(timestamp_seconds({ts}),
+                           'EEE, dd MMM yyyy HH:mm:ss') || ' GMT' as pub,
+               date_format(timestamp_seconds({ts}),
+                           "yyyy-MM-dd'T'HH:mm:ss'Z'") as upd
+        from d
+      ),
+      feeds as (
+        select host,
+               case when ({fsel}) = 0 then
+                 concat('<?xml version="1.0" encoding="UTF-8"?>',
+                        '<rss version="2.0"><channel><title>', host,
+                        '</title>',
+                        array_join(transform(array_sort(collect_list(
+                          struct(doc_id, url, title, pub))),
+                          e -> concat('<item><title>', e.title,
+                                      '</title><link>', e.url,
+                                      '</link><pubDate>', e.pub,
+                                      '</pubDate></item>')), ''),
+                        '</channel></rss>')
+               else
+                 concat('<feed xmlns="http://www.w3.org/2005/Atom">',
+                        '<title>', host, '</title>',
+                        array_join(transform(array_sort(collect_list(
+                          struct(doc_id, url, title, upd))),
+                          e -> concat('<entry><title>', e.title,
+                                      '</title><link href="', e.url,
+                                      '"/><updated>', e.upd,
+                                      '</updated></entry>')), ''),
+                        '</feed>')
+               end as xml
+        from d2
+        group by host
+      ),
+      entries as (
+        select host,
+               case when instr(xml, '<rss') > 0 then 'rss' else 'atom' end
+                 as feed_fmt,
+               posexplode(regexp_extract_all(
+                 xml, '<(item|entry)>(.*?)</(item|entry)>', 2))
+                 as (pos0, entry)
+        from feeds
+      )
+      select host, feed_fmt,
+             cast(pos0 + 1 as bigint) as pos,
+             case when feed_fmt = 'rss'
+                  then regexp_extract(entry, '<link>([^<]*)</link>', 1)
+                  else regexp_extract(entry, '<link href="([^"]*)"/>', 1)
+             end as link,
+             regexp_extract(entry, '<title>([^<]*)</title>', 1) as title,
+             case when feed_fmt = 'rss'
+                  then regexp_extract(entry, '<pubDate>([^<]*)</pubDate>', 1)
+                  else regexp_extract(entry, '<updated>([^<]*)</updated>', 1)
+             end as published
+      from entries
+      order by host, pos
+    """

@@ -365,6 +365,37 @@ def test_sitemap_parse_recovers_entries(q):
     assert (locs.str.split("/").str[2] == df.host).all()
 
 
+def test_feed_parse_both_formats_round_trip(q):
+    """Feed round trip: every document appears exactly once under its
+    host, BOTH wire formats are exercised (host-hash parity), fields are
+    per-format (RSS link/pubDate RFC-822 vs Atom href/updated ISO-8601),
+    and entries never leak across a host's feed document."""
+    df = q("feed_parse")
+    ids = df.link.str.rsplit("/", n=1).str[1].astype(int)
+    assert ids.is_unique and len(df) > 0
+    assert set(df.feed_fmt) == {"rss", "atom"}
+    # one format per host, and the skewed host aggregates a fifth of the
+    # corpus into one feed document
+    assert (df.groupby("host").feed_fmt.nunique() == 1).all()
+    pop = df[df.host == "popular.example.com"]
+    assert len(pop) == (ids % 5 == 0).sum() and len(pop) > 0
+    assert (df.link.str.split("/").str[2] == df.host).all()
+    assert (df.title == "Post " + ids.astype(str)).all()
+    rss, atom = df[df.feed_fmt == "rss"], df[df.feed_fmt == "atom"]
+    assert rss.published.str.fullmatch(
+        r"[A-Z][a-z]{2}, \d{2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} GMT"
+    ).all()
+    assert atom.published.str.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"
+    ).all()
+    # pos is the 1-based doc_id rank within the host's feed
+    for _, g in df.groupby("host"):
+        got = g.sort_values("pos")
+        assert list(got.pos) == list(range(1, len(g) + 1))
+        lids = got.link.str.rsplit("/", n=1).str[1].astype(int)
+        assert list(lids) == sorted(lids)
+
+
 def test_bloom_frontier_no_false_negatives(q):
     """The Bloom contract: every truly-seen url MUST probe maybe_seen=1
     (false negatives impossible); unseen urls are mostly rejected with a
