@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from htmlgraft import (
-    clusterops, domops, eventops, linkops, media, pdfops, relops, simops,
-    streaming, textops, urlops, warcops,
+    clusterops, domops, eventops, jsonlops, linkops, media, pdfops, relops,
+    simops, streaming, textops, urlops, warcops,
 )
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "jsonl_roundtrip",
     "feed_parse",
     "hist_quantiles",
     "hits_hosts",
@@ -656,6 +657,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": warcops.run_warc_cdx,
         "wet_roundtrip": warcops.run_wet_roundtrip,
         "wat_roundtrip": warcops.run_wat_roundtrip,
+        "jsonl_roundtrip": jsonlops.run_jsonl_roundtrip,
         # structured extraction from the parsed DOM (links, metadata, graph)
         "extract_links": linkops.run_extract_links,
         "extract_metadata": linkops.run_extract_metadata,
@@ -811,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
             "robots_parse": urlops.robots_parse_sql(duck=True),
             "sitemap_parse": urlops.sitemap_parse_sql(duck=True),
             "feed_parse": urlops.feed_parse_sql(duck=True),
+            "jsonl_roundtrip": jsonlops.jsonl_rows_sql(duck=True),
             "bloom_frontier": urlops.bloom_frontier_sql(duck=True),
             "hll_card": urlops.hll_card_sql(duck=True),
             "cms_freq": textops.cms_freq_sql(duck=True),
