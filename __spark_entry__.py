@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "heavy_hitters",
     "jsonl_roundtrip",
     "feed_parse",
     "hist_quantiles",
@@ -699,6 +700,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card": _urlop(urlops.hll_card_sql),
         "cms_freq": _textop(textops.cms_freq_sql),
         "hist_quantiles": _textop(textops.hist_quantiles_sql),
+        "heavy_hitters": _textop(textops.heavy_hitters_sql),
         "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
         "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
         "domain_stats": _urlop(urlops.domain_stats_sql),
@@ -818,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
             "hll_card": urlops.hll_card_sql(duck=True),
             "cms_freq": textops.cms_freq_sql(duck=True),
             "hist_quantiles": textops.hist_quantiles_sql(duck=True),
+            "heavy_hitters": textops.heavy_hitters_sql(duck=True),
             "lang_id": textops.lang_id_sql(duck=True),
             "dataset_split": textops.dataset_split_sql(duck=True),
             "quality_score": textops.quality_sql(duck=True),

@@ -911,6 +911,63 @@ def hist_quantiles_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+HH_K = 29        # Misra-Gries counters -> per-shard keep iff c*(K+1) > N_s
+HH_SHARDS = 8    # deterministic shard = doc_id % HH_SHARDS
+
+
+def heavy_hitters_sql(duck: bool, docs: str = "documents") -> str:
+    """Misra-Gries heavy hitters — the DETERMINISTIC-guarantee member of
+    the sketch tier (bloom = membership, hll = cardinality, cms =
+    frequency, hist = quantiles): per shard, a token survives iff its
+    count exceeds the shard total over K+1 — exactly the set a K-counter
+    Misra-Gries pass retains — so each shard's summary is <= {HH_K} rows
+    whatever the vocabulary, summaries merge by summing the surviving
+    counts, and the classic guarantee survives the merge: any token with
+    GLOBAL count > N/(K+1) must clear the per-shard bar somewhere
+    (pigeonhole: if it cleared none, summing the per-shard bounds caps
+    its global count at N/(K+1)).  At 10^12 docs that turns "find every
+    >{100 // (HH_K + 1)}%-of-corpus token" into one map-side-combinable
+    agg + a {HH_K}-row-per-shard merge, no global token shuffle.
+
+    The output drives from the EXACT tf relation (small-scale audit side,
+    like cms_freq's exact column) left-joined to the merged summary, kept
+    where the token is globally heavy OR surfaced by the sketch — so a
+    guarantee violation is value-visible as an is_heavy_global=1 row with
+    n_shards=0, and the lower-bound contract (n_est_lower <= n_exact) is
+    hashed per token.  K={HH_K} puts the 1/(K+1) bar inside the gate
+    corpus's 3.1-3.5% near-uniform token band, so per-shard keep/drop
+    decisions genuinely disagree; the discriminating behavior on a SKEWED
+    vocabulary is pinned on a constructed corpus in tests (the driver
+    table has no Zipf tail — see CLAUDE.md)."""
+    t = HH_K + 1
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tks as (select doc_id % {HH_SHARDS} as shard, tok from tokens),
+      ns as (select shard, count(*) as n_s from tks group by shard),
+      cs as (select shard, tok, count(*) as c from tks group by shard, tok),
+      kept as (
+        select cs.shard, cs.tok, cs.c
+        from cs join ns on ns.shard = cs.shard
+        where cs.c * {t} > ns.n_s
+      ),
+      merged as (
+        select tok, sum(c) as est, count(*) as n_shards
+        from kept group by tok
+      ),
+      tf as (select tok, count(*) as n from tks group by tok),
+      tot as (select count(*) as n from tks)
+      select tf.tok as token,
+             cast(tf.n as bigint) as n_exact,
+             cast(coalesce(m.est, 0) as bigint) as n_est_lower,
+             cast(coalesce(m.n_shards, 0) as bigint) as n_shards,
+             cast(case when tf.n * {t} > (select n from tot) then 1 else 0
+                  end as bigint) as is_heavy_global
+      from tf left join merged m on m.tok = tf.tok
+      where tf.n * {t} > (select n from tot) or m.tok is not null
+      order by token
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     """Execute one textops plan on Spark over the sf_dir documents table."""
     _register_documents(spark, sf_dir)
