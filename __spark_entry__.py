@@ -575,6 +575,7 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
     "feed_parse",
@@ -726,6 +727,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _textop(textops.source_mix_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
+        "epoch_shuffle": _textop(textops.epoch_shuffle_sql),
         "passage_chunk": _textop(textops.passage_chunk_sql),
         "quality_classify": textops.run_quality_classify,
         "dataset_card": _textop(textops.dataset_card_sql),
@@ -849,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             "source_mix": textops.source_mix_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),
             "seq_pack": textops.seq_pack_sql(duck=True),
+            "epoch_shuffle": textops.epoch_shuffle_sql(duck=True),
             "passage_chunk": textops.passage_chunk_sql(duck=True),
             "quality_classify": textops.quality_classify_sql(duck=True),
             "dataset_card": textops.dataset_card_sql(duck=True),

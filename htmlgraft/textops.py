@@ -1974,6 +1974,83 @@ def seq_pack_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+EPOCH_N = 2          # epochs emitted by the gated query
+EPOCH_BLOCKS = 64    # hash blocks -> rank windows are block-local
+EPOCH_READERS = 4    # data-loader workers the permutation is sliced for
+
+
+def epoch_shuffle_sql(duck: bool, docs: str = "documents") -> str:
+    """Deterministic training-epoch shuffle — the data-loading-side
+    operator every trainer needs over a packed corpus: for each epoch, a
+    seeded pseudorandom PERMUTATION of the documents plus the contiguous
+    reader slice each data-loader worker consumes, computable statelessly
+    by any worker from (seed, epoch) alone.
+
+    Scale shape (the reason this is not ``order by md5(...)``): a global
+    rank over 10^12 rows is a single-partition sort.  Instead the
+    permutation is BLOCK-MAJOR — block = hash % {EPOCH_BLOCKS} (at real
+    scale, thousands), rank WITHIN block by the same hash (a partitioned
+    window), block offset by a prefix sum over the {EPOCH_BLOCKS}-row
+    block-count relation (bounded window) — position = offset + rank - 1.
+    Because the block is itself derived from the seeded hash, block-major
+    concatenation of hash-ordered blocks IS the order a full sort by
+    (block, hash) would give: a genuine permutation, shuffled per epoch,
+    no global sort anywhere.  Reader slices are contiguous position
+    ranges (floor(pos * {EPOCH_READERS} / N)), the standard stateless
+    worker-sharding contract.
+
+    The gate pins both epochs' full permutations by value: every
+    (epoch, doc_id, pos, reader) row is hashed, so an unstable tie-break,
+    a biased block split, or an epoch-mixing slip all break the hash.
+    Ties are impossible by construction (the hash input embeds the unique
+    doc_id)."""
+    d = _d(duck)
+    s = d["str"]
+    div = "//" if duck else "div"
+    epochs = d["range_incl"].format("0", str(EPOCH_N - 1))
+    e_exp = (f"unnest({epochs}) as epoch" if duck
+             else f"explode({epochs}) as epoch")
+    hkey = f"md5(concat('ep', cast(epoch as {s}), '#', cast(doc_id as {s})))"
+    return f"""
+      with items as (select doc_id, {e_exp} from {docs}),
+      hashed as (
+        select epoch, doc_id, {hkey} as hkey,
+               ({h32(hkey, duck)}) % {EPOCH_BLOCKS} as block
+        from items
+      ),
+      ranked as (
+        select epoch, doc_id, block, hkey,
+               row_number() over (
+                 partition by epoch, block order by hkey
+               ) as rk
+        from hashed
+      ),
+      bcounts as (
+        select epoch, block, count(*) as c
+        from hashed group by epoch, block
+      ),
+      boffsets as (
+        select epoch, block,
+               sum(c) over (
+                 partition by epoch order by block
+                 rows between unbounded preceding and current row
+               ) - c as off
+        from bcounts
+      ),
+      tot as (select epoch, count(*) as n from hashed group by epoch),
+      pos as (
+        select r.epoch, r.doc_id, b.off + r.rk - 1 as p
+        from ranked r
+        join boffsets b on b.epoch = r.epoch and b.block = r.block
+      )
+      select cast(p.epoch as bigint) as epoch, p.doc_id,
+             cast(p.p as bigint) as pos,
+             cast((p.p * {EPOCH_READERS}) {div} t.n as bigint) as reader
+      from pos p join tot t on t.epoch = p.epoch
+      order by p.epoch, pos
+    """
+
+
 CHUNK_W = 64   # passage window (tokens)
 CHUNK_S = 48   # stride (tokens) -> 16-token overlap
 

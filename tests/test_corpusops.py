@@ -491,3 +491,53 @@ def test_pluggable_weights_swap_changes_scores(spark, sf_dir, tmp_path):
             spark, sf_dir, weights_path=str(two)).collect()
     }
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
+    """Recompute both epochs' permutations in pure Python (block-major
+    order == full sort by the seeded hash) and require exact agreement;
+    pin that each epoch is a true permutation of 0..N-1, the epochs
+    genuinely differ, and reader slices are the contiguous stateless
+    shards a data loader consumes."""
+    import hashlib
+
+    from htmlgraft import textops
+    from htmlgraft.textops import EPOCH_BLOCKS, EPOCH_N, EPOCH_READERS
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").toPandas()
+    )
+    ids = list(docs.doc_id)
+    n = len(ids)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    for e in range(EPOCH_N):
+        keyed = []
+        for i in ids:
+            hkey = hashlib.md5(f"ep{e}#{i}".encode()).hexdigest()
+            keyed.append((h32(hkey) % EPOCH_BLOCKS, hkey, i))
+        keyed.sort()
+        for pos, (_b, _h, i) in enumerate(keyed):
+            want[(e, i)] = pos
+
+    df = textops.run(spark, sf_dir, textops.epoch_shuffle_sql).toPandas()
+    assert len(df) == EPOCH_N * n
+    got = {(r.epoch, r.doc_id): r.pos for r in df.itertuples()}
+    assert got == want
+    for e in range(EPOCH_N):
+        ep = df[df.epoch == e].sort_values("pos")
+        assert list(ep.pos) == list(range(n))
+        # contiguous, near-equal reader slices
+        assert (ep.reader == ep.pos * EPOCH_READERS // n).all()
+        assert ep.reader.nunique() == EPOCH_READERS
+        sizes = ep.groupby("reader").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert (ep.reader.diff().dropna() >= 0).all()
+    # the two epochs are genuinely different orders
+    e0 = df[df.epoch == 0].sort_values("pos").doc_id.tolist()
+    e1 = df[df.epoch == 1].sort_values("pos").doc_id.tolist()
+    assert e0 != e1 and sorted(e0) == sorted(e1)
