@@ -21,8 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from htmlgraft import (
-    clusterops, domops, eventops, jsonlops, linkops, media, pdfops, relops,
-    simops, streaming, textops, urlops, warcops,
+    clusterops, domops, eventops, jsonlops, linkops, media, pdfops,
+    pixelops, relops, simops, streaming, textops, urlops, warcops,
 )
 from htmlgraft.corpus import pages_df, pages_oracle_cte
 from htmlgraft.job import parse_extract, partition_metrics
@@ -575,6 +575,8 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "pixel_phash",
+    "pixel_resize",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -763,6 +765,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media.media_features,
         "media_resize": media.media_resize,
         "media_frame_sample": media.media_frame_sample,
+        "pixel_phash": pixelops.pixel_phash,
+        "pixel_resize": pixelops.pixel_resize,
         "charset_sniff": _textop(media.charset_sniff_sql),
         # PDF layout parse (binary column -> content-stream text extraction)
         "pdf_extract_text": pdfops.pdf_extract_text,
@@ -889,6 +893,8 @@ def oracle_sql() -> dict[str, str]:
             "media_features": media.media_features_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
             "media_frame_sample": media.media_frame_sample_oracle_sql(),
+            "pixel_phash": pixelops.pixel_phash_oracle_sql(),
+            "pixel_resize": pixelops.pixel_resize_oracle_sql(),
             "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
             "tpch_segment_stats": relops.segment_stats_sql(duck=True),

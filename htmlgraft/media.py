@@ -13,8 +13,9 @@ chunk for frame count), MP4/ISO-BMFF box walk (moov -> mvhd duration,
 trak -> tkhd 16.16 fixed-point dimensions), and WebM/Matroska EBML
 element walk (Segment -> Tracks -> TrackEntry -> Video -> PixelWidth/
 PixelHeight, with real variable-length-integer decoding).  These parsers
-work on real files; only the full-pixel/full-sample decode (which would
-need codec libraries absent in this container) remains out of scope, and
+work on real files; full-pixel decode is REAL for PNG (``pixelops`` —
+stdlib zlib is the whole codec), while JPEG/GIF/TIFF pixel decode (DCT /
+LZW, codec libraries absent in this container) remains out of scope, and
 genuinely unknown formats raise ``NotImplementedError``.
 
 The source table synthesizes blobs with REAL format headers entirely in
@@ -525,12 +526,17 @@ RESIZE_MAX_H = 512
 
 
 def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
-    """Pixel-level resampling is the HONEST STUB of the resize operator: the
-    container decoders/encoders (libpng/libjpeg equivalents) are not in this
-    environment, and the synthetic payloads are not real pixel data anyway.
-    Everything around it — header parse, dimension math, header rewrite with
-    a real CRC, batch plumbing — is real and tested."""
-    raise NotImplementedError("pixel resampling needs an image codec")
+    """Pixel-level resampling: REAL for PNG (full zlib decode, unfilter,
+    nearest-neighbour sample, re-encode — see ``pixelops``, which gates the
+    whole chain by value against a formula oracle).  JPEG/GIF/TIFF remain
+    honest stubs: their entropy decoders (DCT / LZW) would need codec
+    libraries absent in this environment."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from htmlgraft import pixelops
+
+        return pixelops.resample_png(blob, new_w, new_h)
+    raise NotImplementedError(
+        "pixel resampling beyond PNG needs an image codec")
 
 
 def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):
@@ -649,8 +655,11 @@ def resize_images(media: DataFrame, max_batch_bytes: int = 1 << 26) -> DataFrame
     real PNG CRC), and fingerprint the payload AFTER the rewrite -- the
     emitted payload_md5 proves payload bytes survived byte-identical (the
     oracle knows the expected value independently).  Pixel resampling
-    itself is ``resample_pixels`` -- the documented NotImplementedError
-    stub.  Same Arrow-batched byte-capped shape as extract_features."""
+    itself is ``resample_pixels`` -- real for PNG via ``pixelops`` (gated
+    separately by pixel_resize over real-IDAT images; the synthetic blobs
+    here carry text payloads, so this pass stays header-level), a
+    documented stub for DCT/LZW formats.  Same Arrow-batched byte-capped
+    shape as extract_features."""
     from functools import partial
 
     return media.where(F.col("media_type") == "image").select(

@@ -1,0 +1,425 @@
+"""Real pixel tier for PNG: decode, resample, and perceptual-hash dedup.
+
+PNG is the one raster format whose full pixel decode needs nothing beyond
+the standard library — the container is zlib (RFC 1950/1951) over five
+per-row predictive filters (PNG spec §6: None/Sub/Up/Average/Paeth) — so
+unlike JPEG (DCT) or GIF (LZW tables) the "needs an image codec" stub can
+be closed honestly here:
+
+- ``encode_png`` — real writer: signature, IHDR, zlib-deflated IDAT with
+  the row filter CYCLING through all five types (so a decoder that gets
+  any unfilter wrong cannot round-trip), IEND, correct CRC32s throughout.
+- ``decode_png_pixels`` — real reader: chunk walk with CRC verification,
+  multi-IDAT concatenation, inflate, and the five unfilters, for 8-bit
+  greyscale / RGB / grey+alpha / RGBA.  Palette, 16-bit, and Adam7
+  interlace raise ``NotImplementedError`` (documented scope, not a fake).
+- ``resample_png`` — nearest-neighbour resample (src = dst * src_dim div
+  dst_dim, pure integer index math so the oracle can restate it) through
+  a real decode -> sample -> re-encode chain.
+- ``dhash_gray`` — the standard 64-bit difference hash (9x8 grid of
+  nearest-neighbour samples, bit set where a pixel outshines its right
+  neighbour), the workhorse perceptual near-dup key for image corpora.
+
+Gated queries (full-value DuckDB oracles):
+
+``pixel_phash`` — synthesize a deterministic greyscale image per document
+(pixel(x, y) = (base*37 + x*7 + y*13) % 251 with base = doc_id % 7, so
+every 7th document is an exact pixel dup), ENCODE it to a real PNG,
+DECODE the actual bytes back, dHash the decoded pixels, and group by hash
+for keeper selection.  The oracle never sees a PNG: it recomputes the
+pixel sum and the dHash straight from the closed-form formula, so any bug
+in deflate framing, CRC, filtering, unfiltering, or the hash bit order
+shows up as a value mismatch.  Encoder and decoder cannot conspire: the
+gate pins the decoded VALUES against an independent recompute, and the
+filter cycling means a symmetric encode/decode slip still has to be exact
+inverse arithmetic per filter type (plus pytest pins fixed byte vectors).
+
+``pixel_resize`` — the same synthesized PNGs pushed through
+decode -> nearest-neighbour resample to (2w div 3, 2h div 3) -> re-encode
+-> DECODE AGAIN, gating the pixel sum of the final decode against the
+oracle's formula-at-sampled-coordinates recompute.
+
+Scale shape: both queries are two Arrow-batched ``mapInPandas`` maps (no
+shuffle anywhere in the pixel path; binary columns ride Arrow buffers)
+followed by one hash-keyed aggregation for keeper selection — the same
+partition-parallel shape the WARC/media stages use.  Per the
+fingerprint-placement rule, nothing JVM-computable hides inside the UDF:
+the UDF stages are exactly the pixel codec work.
+
+Hash strategy: the 64-bit dHash travels as a 16-hex-char STRING built
+from eight row bytes — 32-bit-safe for DuckDB (which range-checks
+``1::bigint << 63``, see CLAUDE.md) and byte-order-explicit on both
+engines.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
+
+# --- deterministic synthetic pixel corpus (mirrored by the oracles) ----------
+#
+# base = doc_id % 7 -> exact-duplicate groups; dims are functions of base so
+# duplicates share geometry; the modulus 251 (prime < 256) keeps the pixel
+# plane non-degenerate under the linear x/y ramp.
+
+PHASH_BASES = 7
+_BASE = f"(doc_id % {PHASH_BASES})"
+_PW = f"(12 + ({_BASE} * 7) % 17)"    # 12..28
+_PH = f"(9 + ({_BASE} * 5) % 13)"     # 9..21
+_PIX = "(({b} * 37 + {x} * 7 + {y} * 13) % 251)"
+
+
+def _pix(base: int, x: int, y: int) -> int:
+    return (base * 37 + x * 7 + y * 13) % 251
+
+
+def synth_dims(doc_id: int):
+    base = doc_id % PHASH_BASES
+    return base, 12 + (base * 7) % 17, 9 + (base * 5) % 13
+
+
+def synth_pixels(doc_id: int):
+    """(width, height, greyscale bytes) for the synthetic image of doc_id."""
+    base, w, h = synth_dims(doc_id)
+    return w, h, bytes(_pix(base, x, y) for y in range(h) for x in range(w))
+
+
+# --- real PNG codec (public spec, stdlib zlib only) ---------------------------
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    if ftype == 0:
+        return row
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        else:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
+    if ftype == 0:
+        return
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            row[i] = (row[i] + a) & 0xFF
+        elif ftype == 2:
+            row[i] = (row[i] + b) & 0xFF
+        elif ftype == 3:
+            row[i] = (row[i] + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+
+
+def encode_png(w: int, h: int, pixels: bytes, color_type: int = 0) -> bytes:
+    """Write a real, spec-conformant 8-bit PNG.  The row filter cycles
+    y % 5 so every filter type appears in any image at least 9 rows tall —
+    a decoder with any unfilter wrong cannot round-trip this output."""
+    bpp = _CHANNELS[color_type]
+    stride = w * bpp
+    if len(pixels) != stride * h:
+        raise ValueError(f"need {stride * h} bytes, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride:(y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_row(ftype, row, prev, bpp)
+        prev = row
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png_pixels(blob: bytes):
+    """Full pixel decode: (width, height, channels, pixel bytes).
+
+    Real chunk walk (CRCs verified — a corrupt chunk raises), IDAT
+    concatenation across chunks, zlib inflate, and per-row unfiltering.
+    Scope: 8-bit depth, color types 0/2/4/6, no interlace; palette,
+    16-bit, and Adam7 raise ``NotImplementedError`` (absent codec tables,
+    not silently wrong output)."""
+    if blob[:8] != _SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(blob)
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = struct.unpack(">I", blob[i:i + 4])[0]
+        typ = blob[i + 4:i + 8]
+        data = blob[i + 8:i + 8 + clen]
+        crc = struct.unpack(">I", blob[i + 8 + clen:i + 12 + clen])[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + clen
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} needs palette/16-bit "
+            "support not implemented here")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not implemented here")
+    bpp = _CHANNELS[ctype]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * h)
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        _unfilter_row(ftype, row, prev, bpp)
+        out[y * stride:(y + 1) * stride] = row
+        prev = bytes(row)
+    return w, h, bpp, bytes(out)
+
+
+def resample_png(blob: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbour resample of a real PNG through a real decode and
+    re-encode.  src = dst * src_dim div dst_dim — pure integer index math,
+    restatable relationally by the oracle."""
+    w, h, bpp, px = decode_png_pixels(blob)
+    stride = w * bpp
+    out = bytearray(new_w * new_h * bpp)
+    for y2 in range(new_h):
+        sy = y2 * h // new_h
+        for x2 in range(new_w):
+            sx = x2 * w // new_w
+            src = sy * stride + sx * bpp
+            dst = (y2 * new_w + x2) * bpp
+            out[dst:dst + bpp] = px[src:src + bpp]
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[bpp]
+    return encode_png(new_w, new_h, bytes(out), ctype)
+
+
+def dhash_gray(w: int, h: int, px: bytes) -> str:
+    """64-bit difference hash over a greyscale plane as 16 hex chars:
+    sample a 9x8 nearest-neighbour grid, set bit j of row byte i when
+    grid[i][j] > grid[i][j+1]; rows concatenate top-down, bit j carries
+    weight 1 << j.  Requires w >= 9 (9 distinct sample columns need not
+    be distinct source columns — NN sampling handles any w >= 1, but the
+    synthetic corpus guarantees w >= 12)."""
+    rows = []
+    for i in range(8):
+        sy = i * h // 8
+        samples = [px[sy * w + (j * w // 9)] for j in range(9)]
+        byte = 0
+        for j in range(8):
+            if samples[j] > samples[j + 1]:
+                byte |= 1 << j
+        rows.append(byte)
+    return "".join(f"{b:02x}" for b in rows)
+
+
+# --- Spark stages -------------------------------------------------------------
+
+_PNG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("png", BinaryType()),
+])
+
+_PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("phash", StringType()),
+])
+
+_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("new_width", LongType()),
+    StructField("new_height", LongType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def _synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "png": [encode_png(*synth_pixels(d)) for d in ids],
+        })
+
+
+def png_corpus(spark, sf_dir: str) -> DataFrame:
+    """Deterministic real-PNG corpus keyed by doc_id (pixels from the
+    closed-form formula, container from the real encoder)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_synth_batch, _PNG_SCHEMA)
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "phash")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
+            w, h, bpp, px = decode_png_pixels(bytes(blob))
+            assert bpp == 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_phash(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode -> decode -> dHash -> hash-group keeper.  The
+    only shuffle is the phash-keyed window (64-bit hash keys, balanced);
+    everything upstream is map-only."""
+    decoded = png_corpus(spark, sf_dir).mapInPandas(
+        _phash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_oracle_sql(docs: str = "documents") -> str:
+    """The pixel plane, its sum, and the dHash restated straight from the
+    synthesis formula — no PNG anywhere, so the whole deflate/filter/CRC
+    round trip is pinned by value."""
+    g = "(b * 37 + {x} * 7 + {y} * 13) % 251"
+    samp = g.format(x="(gx * w) // 9", y="(gy * h) // 8")
+    samp1 = g.format(x="((gx + 1) * w) // 9", y="(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "new_width", "new_height", "px_sum",
+        )}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
+            raw = bytes(blob)
+            w, h, _, _ = decode_png_pixels(raw)
+            new_w, new_h = max(1, w * 2 // 3), max(1, h * 2 // 3)
+            resized = resample_png(raw, new_w, new_h)
+            w2, h2, bpp2, px2 = decode_png_pixels(resized)
+            assert (w2, h2, bpp2) == (new_w, new_h, 1)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["new_width"].append(new_w)
+            out["new_height"].append(new_h)
+            out["px_sum"].append(sum(px2))
+        yield pd.DataFrame(out)
+
+
+def pixel_resize(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode -> decode -> NN resample to (2w/3, 2h/3) ->
+    re-encode -> decode AGAIN -> pixel sum of the final decode.  Map-only
+    end to end."""
+    return png_corpus(spark, sf_dir).mapInPandas(
+        _resize_batch, _RESIZE_SCHEMA).orderBy("doc_id")
+
+
+def pixel_resize_oracle_sql(docs: str = "documents") -> str:
+    """Formula-at-sampled-coordinates recompute of the resized plane."""
+    g = "(b * 37 + ((x2 * w) // nw) * 7 + ((y2 * h) // nh) * 13) % 251"
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
+               greatest(1, ({_PW} * 2) // 3) as nw,
+               greatest(1, ({_PH} * 2) // 3) as nh
+        from {docs}
+      )
+      select doc_id, cast(w as bigint) as width, cast(h as bigint) as height,
+             cast(nw as bigint) as new_width, cast(nh as bigint) as new_height,
+             cast(sum({g}) as bigint) as px_sum
+      from imgs, unnest(range(0, nw)) as tx(x2), unnest(range(0, nh)) as ty(y2)
+      group by doc_id, w, h, nw, nh
+      order by doc_id
+    """

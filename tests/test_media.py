@@ -206,10 +206,14 @@ def test_rewrite_gif_and_jpeg_dims():
 
 
 def test_resample_and_decode_are_honest_stubs():
+    """Non-PNG resample and video frame decode stay honest stubs (PNG
+    resample is real — see test_pixelops)."""
     import pytest
 
     with pytest.raises(NotImplementedError):
         media.resample_pixels(b"", 1, 1)
+    with pytest.raises(NotImplementedError):
+        media.resample_pixels(_jpg(8, 8), 4, 4)
     with pytest.raises(NotImplementedError):
         media.decode_frame(b"", 0)
 

@@ -1,0 +1,149 @@
+"""Pixel-tier pins: the PNG codec against fixed byte vectors and known
+answers (so encoder and decoder cannot validate each other circularly),
+filter coverage, resample index semantics, dHash bit order, and the
+phash-dedup group contract on the driver corpus."""
+
+import struct
+import zlib
+
+import pytest
+
+from htmlgraft import pixelops as P
+from htmlgraft.media import resample_pixels
+
+
+def _chunk(typ, data):
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _png(w, h, ctype, scanlines):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b""))
+
+
+# --- decoder known-answer vectors (hand-built, independent of encode_png) ----
+
+def test_decode_filter0_known_answer():
+    # 2x2 grey, both rows filter 0: pixels are the raw bytes
+    blob = _png(2, 2, 0, bytes([0, 10, 20, 0, 30, 40]))
+    assert P.decode_png_pixels(blob) == (2, 2, 1, bytes([10, 20, 30, 40]))
+
+
+def test_decode_each_filter_known_answer():
+    # 3 px/row grey; one row per filter type, unfiltered values hand-derived
+    lines = bytearray()
+    lines += bytes([0, 5, 10, 15])        # row0 none      -> 5 10 15
+    lines += bytes([1, 7, 7, 7])          # row1 sub       -> 7 14 21
+    lines += bytes([2, 1, 2, 3])          # row2 up        -> 8 16 24
+    lines += bytes([3, 10, 10, 10])       # row3 average:
+    #   a=0,b=8 -> 14; a=14,b=16 -> 25; a=25,b=24 -> 34
+    lines += bytes([4, 1, 1, 1])          # row4 paeth:
+    #   a=0,b=14,c=0 -> pred 14 -> 15; a=15,b=25,c=14 -> pred 25 -> 26;
+    #   a=26,b=34,c=25 -> pred 34 -> 35
+    blob = _png(3, 5, 0, bytes(lines))
+    assert P.decode_png_pixels(blob)[3] == bytes(
+        [5, 10, 15, 7, 14, 21, 8, 16, 24, 14, 25, 34, 15, 26, 35])
+
+
+def test_decode_multi_idat_and_crc_guard():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(bytes([0, 9, 9]))
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", idat[:4]) + _chunk(b"IDAT", idat[4:])
+            + _chunk(b"IEND", b""))
+    assert P.decode_png_pixels(blob)[3] == bytes([9, 9])
+    bad = bytearray(blob)
+    bad[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode_png_pixels(bytes(bad))
+
+
+def test_decode_rejects_out_of_scope_shapes():
+    with pytest.raises(NotImplementedError):
+        P.decode_png_pixels(_png(1, 1, 3, bytes([0, 0])))  # palette
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)   # Adam7
+    blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        P.decode_png_pixels(blob)
+    with pytest.raises(ValueError):
+        P.decode_png_pixels(b"GIF89a")
+
+
+@pytest.mark.parametrize("ctype,bpp", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_roundtrip_all_color_types(ctype, bpp):
+    w, h = 13, 11  # h > 5 -> every filter type appears (y % 5 cycling)
+    px = bytes((i * 17 + 3) % 256 for i in range(w * h * bpp))
+    assert P.decode_png_pixels(P.encode_png(w, h, px, ctype)) == (
+        w, h, bpp, px)
+
+
+def test_encoder_emits_all_five_filters():
+    w, h = 4, 10
+    px = bytes((i * 31) % 256 for i in range(w * h))
+    blob = P.encode_png(w, h, px)
+    assert blob[12:16] == b"IHDR"
+    idat_len = struct.unpack(">I", blob[33:37])[0]
+    raw = zlib.decompress(blob[41:41 + idat_len])
+    assert [raw[y * (w + 1)] for y in range(h)] == [y % 5 for y in range(h)]
+
+
+def test_resample_nearest_neighbour_indices():
+    # 4x2 grid downsampled to 2x1: picks (0,0) and (2,0)
+    px = bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    small = P.resample_png(P.encode_png(4, 2, px), 2, 1)
+    assert P.decode_png_pixels(small) == (2, 1, 1, bytes([1, 3]))
+    # upsample 2x1 -> 4x2 replicates
+    big = P.resample_png(P.encode_png(2, 1, bytes([9, 200])), 4, 2)
+    assert P.decode_png_pixels(big)[3] == bytes([9, 9, 200, 200] * 2)
+
+
+def test_media_resample_pixels_dispatch():
+    w, h, px = P.synth_pixels(3)
+    blob = P.encode_png(w, h, px)
+    out = resample_pixels(blob, 5, 4)
+    assert P.decode_png_pixels(out)[:2] == (5, 4)
+    with pytest.raises(NotImplementedError):
+        resample_pixels(b"\xff\xd8\xff\xc0", 5, 4)  # JPEG still honest
+
+
+def test_dhash_bit_order_known_answer():
+    # 9x8 image == the sample grid itself; row y: pixels strictly
+    # increasing left-to-right -> no bit set except where we spike col 0
+    px = bytearray(x + 10 * y for y in range(8) for x in range(9))
+    assert P.dhash_gray(9, 8, bytes(px)) == "00" * 8
+    px[0] = 255  # row 0: sample[0] > sample[1] -> bit 0 of first byte
+    assert P.dhash_gray(9, 8, bytes(px)) == "01" + "00" * 7
+    px[9 * 3 + 4] = 255  # row 3, col 4 spike -> bit 4 (0x10); col 3 < col 4
+    assert P.dhash_gray(9, 8, bytes(px)) == "01" + "00" * 2 + "10" + "00" * 4
+
+
+def test_dhash_invariant_under_exact_duplicate_and_scale():
+    # same scene at 2x resolution (pixel-replicated) has the same dHash
+    w, h, px = P.synth_pixels(4)
+    big = P.resample_png(P.encode_png(w, h, px), w * 2, h * 2)
+    w2, h2, _, px2 = P.decode_png_pixels(big)
+    assert P.dhash_gray(w, h, px) == P.dhash_gray(w2, h2, px2)
+
+
+def test_pixel_phash_groups(spark, sf_dir):
+    df = P.pixel_phash(spark, sf_dir).toPandas()
+    # exact-dup groups are doc_id mod 7: same base -> same phash
+    base_hash = {}
+    for r in df.itertuples():
+        base_hash.setdefault(r.doc_id % P.PHASH_BASES, set()).add(r.phash)
+    assert all(len(s) == 1 for s in base_hash.values())
+    # the 7 bases yield 7 distinct hashes; keeper is the min doc_id of each
+    assert df.phash.nunique() == P.PHASH_BASES
+    for b in range(P.PHASH_BASES):
+        grp = df[df.doc_id % P.PHASH_BASES == b]
+        assert (grp.keeper == grp.doc_id.min()).all()
+        assert (grp.dup == (grp.doc_id != grp.doc_id.min())).all()
+    # px_sum matches an independent pure-Python recompute
+    for r in df.head(14).itertuples():
+        w, h, px = P.synth_pixels(r.doc_id)
+        assert (r.width, r.height, r.px_sum) == (w, h, sum(px))
