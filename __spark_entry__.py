@@ -577,6 +577,8 @@ _GATE_FIRST = [
     # new in round 4
     "pixel_phash",
     "pixel_resize",
+    "source_temperature",
+    "kn_ngram",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -727,6 +729,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _textop(textops.corpus_filter_sql),
         "gopher_filter": _textop(textops.gopher_filter_sql),
         "source_mix": _textop(textops.source_mix_sql),
+        "source_temperature": _textop(textops.source_temperature_sql),
+        "kn_ngram": _textop(textops.kn_ngram_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "epoch_shuffle": _textop(textops.epoch_shuffle_sql),
@@ -853,6 +857,8 @@ def oracle_sql() -> dict[str, str]:
             "crawl_frontier": linkops.frontier_oracle_sql(),
             "dedup_incremental": textops.dedup_incremental_sql(duck=True),
             "source_mix": textops.source_mix_sql(duck=True),
+            "source_temperature": textops.source_temperature_sql(duck=True),
+            "kn_ngram": textops.kn_ngram_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),
             "seq_pack": textops.seq_pack_sql(duck=True),
             "epoch_shuffle": textops.epoch_shuffle_sql(duck=True),

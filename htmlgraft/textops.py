@@ -2313,6 +2313,139 @@ def source_mix_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+TEMP_TAUS = ("1", "2", "inf")
+
+
+def source_temperature_sql(duck: bool, docs: str = "documents") -> str:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    sampling rule of mBERT/XLM-R and the Pile: p_i proportional to
+    c_i^(1/tau)) — the knob between proportional sampling (tau=1, big
+    sources dominate) and uniform sampling (tau=inf, small sources
+    over-repeated), with tau=2 (square root) the common compromise.  One
+    row per (tau, source): the weight, its parts-per-million share, and
+    the document quota a budget-sized resample would draw.
+
+    Exact integer math throughout so both engines agree bit-for-bit:
+    tau=2 uses an integer sqrt computed as float sqrt plus a +/-1
+    correction (the double can round either way; the correction re-anchors
+    on exact bigint squares).  Scale: one token-count pass, then
+    everything is per-source (tens of rows) — linear at any corpus size."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_tok = ("len" if duck else "size") + f"({ws})"
+    div = "//" if duck else "div"
+    s0 = "cast(floor(sqrt(cast(n_tokens as double))) as bigint)"
+    isqrt = (
+        f"({s0} + (case when ({s0} + 1) * ({s0} + 1) <= n_tokens"
+        f" then 1 else 0 end)"
+        f" - (case when {s0} * {s0} > n_tokens then 1 else 0 end))"
+    )
+    taus = " union all ".join(f"select '{t}' as tau" for t in TEMP_TAUS)
+    return f"""
+      with per_source as (
+        select source, count(*) as n_docs,
+               sum(cast({n_tok} as bigint)) as n_tokens
+        from {docs} group by source
+      ),
+      weighted as (
+        select source, n_docs, n_tokens, t.tau,
+               case t.tau when '1' then n_tokens
+                    when '2' then {isqrt}
+                    else 1 end as weight
+        from per_source cross join ({taus}) t
+      ),
+      tot as (
+        select tau, cast(sum(weight) as bigint) as total_w,
+               cast(sum(n_docs) as bigint) as total_docs
+        from weighted group by tau
+      )
+      select w.tau, w.source,
+             cast(w.n_docs as bigint) as n_docs,
+             cast(w.n_tokens as bigint) as n_tokens,
+             cast(w.weight as bigint) as weight,
+             cast((w.weight * 1000000) {div} t.total_w as bigint) as ppm,
+             cast((t.total_docs * w.weight) {div} t.total_w as bigint)
+               as quota_docs
+      from weighted w join tot t on t.tau = w.tau
+      order by w.tau, w.source
+    """
+
+
+KN_D_MILLI = 750  # absolute discount 0.75 (Chen & Goodman's fixed-D variant)
+
+
+def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
+    """Interpolated Kneser-Ney bigram statistics (Kneser & Ney 1995; Chen
+    & Goodman 1999) — the n-gram-LM side of corpus quality work (KenLM-
+    style perplexity filters train exactly these tables).  Per bigram
+    (w1, w2): the raw count, the left-context total c(w1), the
+    continuation counts N1+(w1 *) and N1+(* w2), and the interpolated KN
+    probability in exact parts-per-million fixed point:
+
+        p = (c - D)/c(w1) + D * N1+(w1 *)/c(w1) * N1+(* w2)/n_bigram_types
+
+    with D = {KN_D_MILLI} permille, every division an integer division on
+    ppm-scaled bigints — identical on both engines, no float anywhere.
+
+    Scale shape: ONE corpus pass builds the bigram counts (the shuffle is
+    keyed by the bigram hash — balanced); every relation after that is
+    vocabulary-bounded (V^2 bigram types at worst, vocabulary-sized
+    context tables), never corpus-sized — the same bounded-relation
+    contract as the BPE trainer."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    pair = (d["elem"].format("ws", "i") + " || ' ' || "
+            + d["elem"].format("ws", "i + 1"))
+    lam = d["lambda"].format("i", pair)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", "len(ws) - 1"), lam)
+    if duck:
+        bigrams = f"""
+      words as (select doc_id, {ws} as ws from {docs}),
+      bigrams as (
+        select unnest({mk}) as bg from words where len(ws) >= 2
+      )"""
+    else:
+        mk_s = mk.replace("len(ws)", "size(ws)")
+        bigrams = f"""
+      words as (select doc_id, {ws} as ws from {docs}),
+      bigrams as (
+        select explode({mk_s}) as bg from words where size(ws) >= 2
+      )"""
+    w1 = d["elem"].format(d["split"].format("bg"), "1")
+    w2 = d["elem"].format(d["split"].format("bg"), "2")
+    div = "//" if duck else "div"
+    D = KN_D_MILLI
+    return f"""
+      with {bigrams},
+      bcounts as (
+        select {w1} as w1, {w2} as w2, cast(count(*) as bigint) as c
+        from bigrams group by 1, 2
+      ),
+      ctx as (  -- c(w1) and N1+(w1 *): left-context mass and fan-out
+        select w1, cast(sum(c) as bigint) as c1,
+               cast(count(*) as bigint) as n1fwd
+        from bcounts group by w1
+      ),
+      cont as (  -- N1+(* w2): how many distinct contexts precede w2
+        select w2, cast(count(*) as bigint) as n1bwd
+        from bcounts group by w2
+      ),
+      types as (select cast(count(*) as bigint) as n_types from bcounts)
+      select b.w1, b.w2, b.c, x.c1, x.n1fwd, o.n1bwd,
+             cast(
+               ((b.c * 1000 - {D}) * 1000000) {div} (x.c1 * 1000)
+               + ((({D} * x.n1fwd * 1000000) {div} (x.c1 * 1000))
+                  * ((o.n1bwd * 1000000) {div} t.n_types)) {div} 1000000
+               as bigint) as p_kn_ppm
+      from bcounts b
+      join ctx x on x.w1 = b.w1
+      join cont o on o.w2 = b.w2
+      cross join types t
+      order by b.w1, b.w2
+    """
+
+
 # --- BPE tokenizer training (iterative merges over the word-frequency dict) --
 
 BPE_MERGES = 8

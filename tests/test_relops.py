@@ -628,3 +628,100 @@ def test_hash_embed_pure_python_recompute(spark, sf_dir):
         rows = df[df["doc_id"] == d["doc_id"]]
         got = dict(zip(rows["dim"], rows["val"]))
         assert got == {k: v for k, v in want.items()}
+
+
+def test_source_temperature_pure_python_recompute(spark, sf_dir):
+    """Every (tau, source) row pinned by pure-Python integer recompute:
+    tau=1 weight = token count, tau=2 weight = math.isqrt (pinning the
+    float-sqrt +/-1 correction), tau=inf weight = 1; ppm and quota are the
+    exact bigint divisions.  Also pins the sampling semantics: tau=1 ppm
+    is proportional, tau=inf ppm is uniform, tau=2 strictly between for
+    the largest and smallest sources."""
+    import math
+    from collections import defaultdict
+
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.source_temperature_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text").collect()
+    )
+    n_docs = defaultdict(int)
+    n_tok = defaultdict(int)
+    for r in docs:
+        n_docs[r["source"]] += 1
+        n_tok[r["source"]] += len(r["text"].split(" "))
+    total_docs = sum(n_docs.values())
+
+    weight_of = {
+        "1": lambda n: n,
+        "2": lambda n: math.isqrt(n),
+        "inf": lambda n: 1,
+    }
+    assert len(rows) == 3 * len(n_docs)
+    ppm = {}
+    for tau, fn in weight_of.items():
+        total_w = sum(fn(n) for n in n_tok.values())
+        for r in rows:
+            if r["tau"] != tau:
+                continue
+            s = r["source"]
+            w = fn(n_tok[s])
+            assert (r["n_docs"], r["n_tokens"], r["weight"]) == (
+                n_docs[s], n_tok[s], w
+            ), (tau, s)
+            assert r["ppm"] == (w * 1_000_000) // total_w
+            assert r["quota_docs"] == (total_docs * w) // total_w
+            ppm[(tau, s)] = r["ppm"]
+    big = max(n_tok, key=n_tok.get)
+    small = min(n_tok, key=n_tok.get)
+    # temperature ordering: uniform < sqrt < proportional for the biggest
+    # source, and the reverse for the smallest
+    assert ppm[("inf", big)] < ppm[("2", big)] < ppm[("1", big)]
+    assert ppm[("1", small)] < ppm[("2", small)] < ppm[("inf", small)]
+
+
+def test_kn_ngram_pure_python_recompute(spark, sf_dir):
+    """The full Kneser-Ney bigram relation pinned by independent Python
+    recompute: bigram counts, context totals c(w1), fan-out N1+(w1 *),
+    continuation N1+(* w2), and the exact fixed-point p_kn_ppm formula for
+    EVERY row; plus the KN identities sum(n1fwd) == sum(n1bwd) ==
+    n_bigram_types and discounted-mass positivity (D < 1 <= c)."""
+    from collections import Counter, defaultdict
+
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.kn_ngram_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text").collect()
+    )
+    bc = Counter()
+    for r in docs:
+        ws = r["text"].split(" ")
+        for i in range(len(ws) - 1):
+            bc[(ws[i], ws[i + 1])] += 1
+    c1 = defaultdict(int)
+    n1fwd = defaultdict(int)
+    n1bwd = defaultdict(int)
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        n1fwd[w1] += 1
+        n1bwd[w2] += 1
+    n_types = len(bc)
+    assert sum(n1fwd.values()) == sum(n1bwd.values()) == n_types
+    D = textops.KN_D_MILLI
+    assert len(rows) == n_types
+    for r in rows:
+        key = (r["w1"], r["w2"])
+        c = bc[key]
+        assert (r["c"], r["c1"], r["n1fwd"], r["n1bwd"]) == (
+            c, c1[key[0]], n1fwd[key[0]], n1bwd[key[1]]
+        ), key
+        want = ((c * 1000 - D) * 1_000_000) // (c1[key[0]] * 1000) + (
+            ((D * n1fwd[key[0]] * 1_000_000) // (c1[key[0]] * 1000))
+            * ((n1bwd[key[1]] * 1_000_000) // n_types)
+        ) // 1_000_000
+        assert r["p_kn_ppm"] == want, key
+        assert r["p_kn_ppm"] > 0  # D < 1000 permille keeps mass positive
