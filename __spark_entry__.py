@@ -575,6 +575,8 @@ def _urlop(builder):
 # the front, the long-green pipeline queries to the back.
 _GATE_FIRST = [
     # new in round 4
+    "events_asof",
+    "events_range_join",
     "pixel_phash",
     "pixel_resize",
     "source_temperature",
@@ -765,6 +767,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _eventop(eventops.events_hourly_sql),
         "events_sessionize": _eventop(eventops.sessionize_sql),
         "events_top_users": _eventop(eventops.top_users_sql),
+        "events_asof": _eventop(eventops.asof_join_sql),
+        "events_range_join": _eventop(eventops.range_join_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
         "media_resize": media.media_resize,
@@ -896,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
             "events_hourly": eventops.events_hourly_sql(duck=True),
             "events_sessionize": eventops.sessionize_sql(duck=True),
             "events_top_users": eventops.top_users_sql(duck=True),
+            "events_asof": eventops.asof_join_sql(duck=True),
+            "events_range_join": eventops.range_join_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
             "media_frame_sample": media.media_frame_sample_oracle_sql(),

@@ -90,6 +90,172 @@ def top_users_sql(duck: bool, events: str = "events") -> str:
     """
 
 
+def asof_join_sql(duck: bool, events: str = "events") -> str:
+    """As-of join (the trades x quotes / state-at-time operator Spark has
+    no built-in for): every non-purchase event is joined to the user's
+    LATEST purchase at-or-before its timestamp.  The state relation is one
+    row per (user, second) — ties collapsed by ``max_by(value, event_id)``
+    so both engines pick the same state deterministically.
+
+    Two genuinely independent implementations:
+
+    - Spark: the scalable union trick — tag state rows and probe rows,
+      union, ONE shuffle on user_id, then ``last_value(...) IGNORE NULLS``
+      over (es, is_state desc) carries the newest state forward onto each
+      probe.  No range explosion, no per-row subquery; the window is
+      user-bounded (never single-partition).  This is the shape that
+      survives 10^12 probe rows: cost is exactly one sort-shuffle of
+      probes+states on the join key.
+    - DuckDB oracle: the native ``ASOF LEFT JOIN`` operator.
+
+    Money values cross engines as cents via ``floor(v*100 + 0.5)`` (cast
+    rounding differs between engines; floor(+0.5) does not).  Probes with
+    no prior state surface as -1 sentinels."""
+    epoch = "floor(epoch(ts))" if duck else "unix_timestamp(ts)"
+    argmax = "arg_max" if duck else "max_by"
+    cents = "cast(floor({0} * 100 + 0.5) as bigint)"
+    pre = f"""
+      st as (
+        select user_id, cast({epoch} as bigint) as es,
+               {argmax}(value, event_id) as sval
+        from {events} where event_type = 'purchase'
+        group by user_id, cast({epoch} as bigint)
+      ),
+      pr as (
+        select event_id, user_id, cast({epoch} as bigint) as es, event_type
+        from {events} where event_type <> 'purchase'
+      )"""
+    if duck:
+        return f"""
+      with {pre}
+      select p.event_id, p.user_id, p.es, p.event_type,
+             coalesce({cents.format("s.sval")}, -1) as asof_cents,
+             coalesce(p.es - s.es, -1) as lag_s
+      from pr p asof left join st s
+        on p.user_id = s.user_id and p.es >= s.es
+      order by p.event_id
+    """
+    return f"""
+      with {pre},
+      u as (
+        select user_id, es, 1 as is_state,
+               cast(null as bigint) as event_id,
+               cast(null as string) as event_type, sval, es as ses
+        from st
+        union all
+        select user_id, es, 0 as is_state, event_id, event_type,
+               cast(null as double) as sval, cast(null as bigint) as ses
+        from pr
+      ),
+      w as (
+        select user_id, es, is_state, event_id, event_type,
+               last_value(sval) ignore nulls over (
+                 partition by user_id order by es, is_state desc
+                 rows between unbounded preceding and current row) as aval,
+               last_value(ses) ignore nulls over (
+                 partition by user_id order by es, is_state desc
+                 rows between unbounded preceding and current row) as aes
+        from u
+      )
+      select event_id, user_id, es, event_type,
+             coalesce({cents.format("aval")}, -1) as asof_cents,
+             coalesce(es - aes, -1) as lag_s
+      from w where is_state = 0
+      order by event_id
+    """
+
+
+# an hour with >= this many 'error' events is an incident window; 2 keeps
+# the relation non-empty at every test sf (sf0.001 peaks at 3 errors/hour)
+INCIDENT_MIN_ERRORS = 2
+
+
+def range_join_sql(duck: bool, events: str = "events") -> str:
+    """Interval range join (overlap join), the second relational operator
+    Spark lacks a native form of: user sessions (from the sessionize
+    windows) are joined to derived "incident windows" — hours whose error
+    count reaches {INCIDENT_MIN_ERRORS} — on interval OVERLAP, producing
+    per-session incident counts and total overlap seconds.
+
+    - Spark: the bucketed interval-join pattern that scales — each session
+      explodes to the hour buckets it covers (``sequence`` over hour ids,
+      bounded by session length), equi-joins windows on the hour id, then
+      filters/aggregates the exact overlap.  The join is a plain hash join
+      on a balanced integer key; nothing is quadratic, no BNLJ.
+    - DuckDB oracle: the direct inequality join (s.start <= w.end and
+      w.start <= s.end) its IEJoin executes natively.
+
+    Sessions are CLOSED integer-second intervals [s0, s1] (a one-event
+    session is a point); windows are [h*3600, h*3600+3599].  overlap_s =
+    min(ends) - max(starts) + 1 on those closed bounds — identical integer
+    math in both engines."""
+    epoch = "floor(epoch(ts))" if duck else "unix_timestamp(ts)"
+    idiv = "//" if duck else "div"
+    sess = f"""
+      seq as (
+        select user_id, event_id, cast({epoch} as bigint) as es,
+               lag(cast({epoch} as bigint)) over (
+                 partition by user_id order by {epoch}, event_id
+               ) as prev_es
+        from {events}
+      ),
+      marks as (
+        select user_id, es,
+               sum(case when prev_es is null
+                         or es - prev_es > {SESSION_GAP_S}
+                   then 1 else 0 end)
+                 over (partition by user_id order by es, event_id
+                       rows between unbounded preceding and current row)
+                 as sid
+        from seq
+      ),
+      sessions as (
+        select user_id, sid, min(es) as s0, max(es) as s1
+        from marks group by user_id, sid
+      ),
+      windows as (
+        select cast({epoch} as bigint) {idiv} 3600 as hour_id,
+               count(*) as n_errors
+        from {events} where event_type = 'error'
+        group by cast({epoch} as bigint) {idiv} 3600
+        having count(*) >= {INCIDENT_MIN_ERRORS}
+      )"""
+    if duck:
+        join = f"""
+      hits as (
+        select s.user_id, s.sid, s.s0, s.s1, w.hour_id,
+               least(s.s1, w.hour_id * 3600 + 3599)
+                 - greatest(s.s0, w.hour_id * 3600) + 1 as overlap_s
+        from sessions s join windows w
+          on s.s0 <= w.hour_id * 3600 + 3599
+         and w.hour_id * 3600 <= s.s1
+      )"""
+    else:
+        join = f"""
+      expl as (
+        select user_id, sid, s0, s1,
+               explode(sequence(s0 div 3600, s1 div 3600)) as hour_id
+        from sessions
+      ),
+      hits as (
+        select e.user_id, e.sid, e.s0, e.s1, w.hour_id,
+               least(e.s1, w.hour_id * 3600 + 3599)
+                 - greatest(e.s0, w.hour_id * 3600) + 1 as overlap_s
+        from expl e join windows w on w.hour_id = e.hour_id
+      )"""
+    return f"""
+      with {sess},
+      {join}
+      select user_id, cast(sid as bigint) as sid, s0, s1,
+             cast(count(*) as bigint) as n_incidents,
+             cast(sum(overlap_s) as bigint) as overlap_s,
+             cast(min(hour_id) as bigint) as first_hour_id
+      from hits
+      group by user_id, sid, s0, s1
+      order by user_id, sid
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(sql_builder(duck=False, **kw))

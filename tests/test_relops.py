@@ -725,3 +725,118 @@ def test_kn_ngram_pure_python_recompute(spark, sf_dir):
         ) // 1_000_000
         assert r["p_kn_ppm"] == want, key
         assert r["p_kn_ppm"] > 0  # D < 1000 permille keeps mass positive
+
+
+def test_events_asof_pure_python_recompute(spark, sf_dir):
+    """The as-of join pinned row-for-row by an independent bisect
+    recompute: per user, sorted (second, value-of-max-event_id) purchase
+    states; every non-purchase event must carry the latest state at or
+    before its second (cents + lag), -1 sentinels before the first
+    purchase.  Also asserts both join outcomes actually occur."""
+    import bisect
+    from collections import defaultdict
+
+    from htmlgraft import eventops
+
+    rows = eventops.run(spark, sf_dir, eventops.asof_join_sql).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    states = defaultdict(dict)  # user -> es -> (event_id, value)
+    probes = []
+    for r in ev:
+        es = int(r["ts"].timestamp())
+        if r["event_type"] == "purchase":
+            cur = states[r["user_id"]].get(es)
+            if cur is None or r["event_id"] > cur[0]:
+                states[r["user_id"]][es] = (r["event_id"], r["value"])
+        else:
+            probes.append((r["event_id"], r["user_id"], es, r["event_type"]))
+    sorted_states = {
+        u: sorted((es, v) for es, (_, v) in d.items())
+        for u, d in states.items()
+    }
+    want = {}
+    for event_id, user_id, es, etype in probes:
+        st = sorted_states.get(user_id, [])
+        i = bisect.bisect_right([s[0] for s in st], es)
+        if i == 0:
+            want[event_id] = (user_id, es, etype, -1, -1)
+        else:
+            ses, sval = st[i - 1]
+            import math
+            want[event_id] = (
+                user_id, es, etype,
+                int(math.floor(sval * 100 + 0.5)), es - ses,
+            )
+    assert len(rows) == len(want)
+    got = {
+        r["event_id"]: (r["user_id"], r["es"], r["event_type"],
+                        r["asof_cents"], r["lag_s"])
+        for r in rows
+    }
+    assert got == want
+    assert any(v[3] == -1 for v in want.values())  # pre-first-purchase
+    assert any(v[3] >= 0 for v in want.values())   # matched probes
+
+
+def test_events_range_join_pure_python_recompute(spark, sf_dir):
+    """The interval join pinned by full Python recompute: sessions built
+    with the 1800 s gap rule, incident windows = hours with >=
+    INCIDENT_MIN_ERRORS errors, closed-interval overlap seconds.  The
+    Spark bucketed-explode plan and the DuckDB IEJoin must both equal
+    this."""
+    from collections import defaultdict
+
+    from htmlgraft import eventops
+
+    rows = eventops.run(spark, sf_dir, eventops.range_join_sql).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    per_user = defaultdict(list)
+    err_hours = defaultdict(int)
+    for r in ev:
+        es = int(r["ts"].timestamp())
+        per_user[r["user_id"]].append((es, r["event_id"]))
+        if r["event_type"] == "error":
+            err_hours[es // 3600] += 1
+    windows = sorted(
+        h for h, n in err_hours.items()
+        if n >= eventops.INCIDENT_MIN_ERRORS
+    )
+    assert windows, "corpus must produce at least one incident window"
+
+    sessions = []  # (user_id, sid, s0, s1)
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        s0 = s1 = None
+        prev = None
+        for es, _ in evs:
+            if prev is None or es - prev > eventops.SESSION_GAP_S:
+                if s0 is not None:
+                    sessions.append((u, sid, s0, s1))
+                sid += 1
+                s0 = es
+            s1 = es
+            prev = es
+        sessions.append((u, sid, s0, s1))
+
+    want = {}
+    for u, sid, s0, s1 in sessions:
+        hits = [
+            (h, min(s1, h * 3600 + 3599) - max(s0, h * 3600) + 1)
+            for h in windows
+            if s0 <= h * 3600 + 3599 and h * 3600 <= s1
+        ]
+        if hits:
+            want[(u, sid)] = (
+                s0, s1, len(hits), sum(o for _, o in hits), hits[0][0]
+            )
+    got = {
+        (r["user_id"], r["sid"]): (
+            r["s0"], r["s1"], r["n_incidents"], r["overlap_s"],
+            r["first_hour_id"],
+        )
+        for r in rows
+    }
+    assert got == want
