@@ -581,6 +581,7 @@ _GATE_FIRST = [
     "pixel_resize",
     "source_temperature",
     "kn_ngram",
+    "kn_heldout_score",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -733,6 +734,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _textop(textops.source_mix_sql),
         "source_temperature": _textop(textops.source_temperature_sql),
         "kn_ngram": _textop(textops.kn_ngram_sql),
+        "kn_heldout_score": _textop(textops.kn_heldout_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "epoch_shuffle": _textop(textops.epoch_shuffle_sql),
@@ -863,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
             "source_mix": textops.source_mix_sql(duck=True),
             "source_temperature": textops.source_temperature_sql(duck=True),
             "kn_ngram": textops.kn_ngram_sql(duck=True),
+            "kn_heldout_score": textops.kn_heldout_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),
             "seq_pack": textops.seq_pack_sql(duck=True),
             "epoch_shuffle": textops.epoch_shuffle_sql(duck=True),

@@ -2446,6 +2446,112 @@ def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+KN_HELDOUT_MOD = 10  # doc_id % MOD == 0 is held out; the rest train
+
+
+def kn_heldout_sql(duck: bool, docs: str = "documents") -> str:
+    """Held-out scoring under the Kneser-Ney bigram model (the KenLM
+    perplexity-filter loop: train on 90% of the corpus, score the rest) —
+    unlike the self-scored ``lm_score``, this exercises the model's
+    BACKOFF structure: a held-out bigram is scored by the full
+    interpolated estimate when the train split saw it, by the context's
+    discount mass times the continuation probability when only the
+    context w1 was seen, and by the raw continuation probability when w1
+    itself is out-of-vocabulary.  Per held-out document: bigram count,
+    how many fell in each branch, the summed ppm score, and the weakest
+    bigram.  Same exact-integer ppm fixed point as ``kn_ngram_sql``
+    (docs with fewer than two tokens have no bigrams and no row).
+
+    Scale shape: the model relations are vocabulary-bounded; scoring is
+    three hash joins of held-out doc bigrams against them — linear in the
+    held-out split, the lm_score contract.  The driver tables' 31-token
+    vocabulary barely exercises branches 1-2, so the constructed-corpus
+    test pins them (CLAUDE.md's no-idf-signal caveat)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    pair = (d["elem"].format("ws", "i") + " || ' ' || "
+            + d["elem"].format("ws", "i + 1"))
+    lam = d["lambda"].format("i", pair)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", "len(ws) - 1"), lam)
+    if duck:
+        tr_bg = f"select unnest({mk}) as bg from tr_words where len(ws) >= 2"
+        ho_bg = (f"select doc_id, unnest({mk}) as bg from ho_words"
+                 " where len(ws) >= 2")
+    else:
+        mk_s = mk.replace("len(ws)", "size(ws)")
+        tr_bg = f"select explode({mk_s}) as bg from tr_words where size(ws) >= 2"
+        ho_bg = (f"select doc_id, explode({mk_s}) as bg from ho_words"
+                 " where size(ws) >= 2")
+    w1 = d["elem"].format(d["split"].format("bg"), "1")
+    w2 = d["elem"].format(d["split"].format("bg"), "2")
+    div = "//" if duck else "div"
+    D = KN_D_MILLI
+    M = KN_HELDOUT_MOD
+    pcont = f"((coalesce(o.n1bwd, 0) * 1000000) {div} t.n_types)"
+    lam_w1 = f"(({D} * x.n1fwd * 1000000) {div} (x.c1 * 1000))"
+    return f"""
+      with tr_words as (
+        select doc_id, {ws} as ws from {docs} where doc_id % {M} <> 0
+      ),
+      tr_bigrams as ({tr_bg}),
+      bcounts as (
+        select bg, cast(count(*) as bigint) as c from tr_bigrams group by bg
+      ),
+      ctx as (
+        select {w1} as w1, cast(sum(c) as bigint) as c1,
+               cast(count(*) as bigint) as n1fwd
+        from bcounts group by 1
+      ),
+      cont as (
+        select {w2} as w2, cast(count(*) as bigint) as n1bwd
+        from bcounts group by 1
+      ),
+      types as (select cast(count(*) as bigint) as n_types from bcounts),
+      ho_words as (
+        select doc_id, {ws} as ws from {docs} where doc_id % {M} = 0
+      ),
+      ho_bigrams as ({ho_bg}),
+      db as (
+        select doc_id, bg, {w1} as w1, {w2} as w2,
+               cast(count(*) as bigint) as cnt
+        from ho_bigrams group by doc_id, bg
+      ),
+      scored as (
+        select d.doc_id, d.cnt,
+               case when b.c is not null then 0
+                    when x.c1 is not null then 1
+                    else 2 end as branch,
+               cast(case
+                 when b.c is not null then
+                   ((b.c * 1000 - {D}) * 1000000) {div} (x.c1 * 1000)
+                   + ({lam_w1} * {pcont}) {div} 1000000
+                 when x.c1 is not null then
+                   ({lam_w1} * {pcont}) {div} 1000000
+                 else {pcont}
+               end as bigint) as p_ppm
+        from db d
+        left join bcounts b on b.bg = d.bg
+        left join ctx x on x.w1 = d.w1
+        left join cont o on o.w2 = d.w2
+        cross join types t
+      )
+      select doc_id,
+             cast(sum(cnt) as bigint) as n_bigrams,
+             cast(sum(case when branch = 0 then cnt else 0 end) as bigint)
+               as n_hit,
+             cast(sum(case when branch = 1 then cnt else 0 end) as bigint)
+               as n_backoff,
+             cast(sum(case when branch = 2 then cnt else 0 end) as bigint)
+               as n_oov,
+             cast(sum(cnt * p_ppm) as bigint) as score_ppm,
+             cast(min(p_ppm) as bigint) as min_p_ppm
+      from scored
+      group by doc_id
+      order by doc_id
+    """
+
+
 # --- BPE tokenizer training (iterative merges over the word-frequency dict) --
 
 BPE_MERGES = 8

@@ -840,3 +840,100 @@ def test_events_range_join_pure_python_recompute(spark, sf_dir):
         for r in rows
     }
     assert got == want
+
+
+def test_kn_heldout_backoff_branches_constructed(spark):
+    """The driver corpus's 31-token vocabulary rarely leaves the full-hit
+    branch, so a constructed corpus pins all three scoring branches: a
+    held-out doc of train bigrams (hit), one with a seen context but
+    unseen bigram (backoff, including a zero-continuation w2), and one
+    with an out-of-vocabulary context (oov).  Spark and DuckDB must agree
+    value-for-value, and every row must equal an independent Python
+    recompute of the ppm formulas."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+    import pandas as pd
+
+    from htmlgraft import textops
+
+    train = {i: "a b a c b a" for i in range(1, 5)}
+    train[5] = "c a b d"          # adds bigrams c-a, b-d
+    held = {
+        0: "a b a c",             # all bigrams in train -> hit
+        10: "a d d c",            # a-d, d-d, d-c unseen; contexts a,d...
+        20: "z a q q",            # z OOV context; q never a continuation
+    }
+    docs = pd.DataFrame(
+        [{"doc_id": k, "text": v} for k, v in {**train, **held}.items()]
+    )
+
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(textops.kn_heldout_sql(duck=False))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(textops.kn_heldout_sql(duck=True))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+    # independent Python recompute
+    bc = Counter()
+    for t in train.values():
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            bc[(ws[i], ws[i + 1])] += 1
+    c1, n1f, n1b = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (w1, w2), c in bc.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    T = len(bc)
+    D = textops.KN_D_MILLI
+
+    def p_ppm(w1, w2):
+        pc = (n1b.get(w2, 0) * 1_000_000) // T
+        if (w1, w2) in bc:
+            c = bc[(w1, w2)]
+            return (
+                ((c * 1000 - D) * 1_000_000) // (c1[w1] * 1000)
+                + (((D * n1f[w1] * 1_000_000) // (c1[w1] * 1000)) * pc)
+                // 1_000_000,
+                0,
+            )
+        if w1 in c1:
+            return (
+                (((D * n1f[w1] * 1_000_000) // (c1[w1] * 1000)) * pc)
+                // 1_000_000,
+                1,
+            )
+        return pc, 2
+
+    by_doc = {}
+    for d, t in held.items():
+        ws = t.split(" ")
+        cnt = Counter((ws[i], ws[i + 1]) for i in range(len(ws) - 1))
+        n = [0, 0, 0]
+        score = 0
+        minp = None
+        for (w1, w2), c in cnt.items():
+            p, br = p_ppm(w1, w2)
+            n[br] += c
+            score += c * p
+            minp = p if minp is None else min(minp, p)
+        by_doc[d] = (sum(n), n[0], n[1], n[2], score, minp)
+    for _, r in got.iterrows():
+        assert by_doc[r["doc_id"]] == (
+            r["n_bigrams"], r["n_hit"], r["n_backoff"], r["n_oov"],
+            r["score_ppm"], r["min_p_ppm"],
+        ), r["doc_id"]
+    assert by_doc[0][1] > 0 and by_doc[0][2] == by_doc[0][3] == 0
+    assert by_doc[10][2] > 0      # backoff branch fires
+    assert by_doc[20][3] > 0      # oov branch fires
+    assert by_doc[20][5] == 0     # q never continues anything: pcont == 0
