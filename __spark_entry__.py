@@ -582,6 +582,7 @@ _GATE_FIRST = [
     "source_temperature",
     "kn_ngram",
     "kn_heldout_score",
+    "dsir_weights",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -735,6 +736,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_temperature": _textop(textops.source_temperature_sql),
         "kn_ngram": _textop(textops.kn_ngram_sql),
         "kn_heldout_score": _textop(textops.kn_heldout_sql),
+        "dsir_weights": _textop(textops.dsir_weights_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "epoch_shuffle": _textop(textops.epoch_shuffle_sql),
@@ -866,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
             "source_temperature": textops.source_temperature_sql(duck=True),
             "kn_ngram": textops.kn_ngram_sql(duck=True),
             "kn_heldout_score": textops.kn_heldout_sql(duck=True),
+            "dsir_weights": textops.dsir_weights_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),
             "seq_pack": textops.seq_pack_sql(duck=True),
             "epoch_shuffle": textops.epoch_shuffle_sql(duck=True),

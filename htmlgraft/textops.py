@@ -2446,6 +2446,77 @@ def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+DSIR_BUCKETS = 64  # hashed-unigram feature space (Xie et al. use 10^4; 64
+#                    keeps every bucket populated at test scale)
+
+
+def dsir_weights_sql(duck: bool, docs: str = "documents",
+                     target: str = "lang = 'en'") -> str:
+    """Data Selection via Importance Resampling (Xie et al. 2023, public):
+    score every document by how much more likely its hashed-unigram
+    features are under a TARGET distribution (here the ``{target}``
+    subset) than under the raw corpus — the standard cheap domain-match
+    filter for pretraining mixes.
+
+    Integer surrogate for the log-likelihood-ratio: per feature bucket b,
+    both distributions are estimated add-one-smoothed in parts-per-BILLION
+    (p = (cnt_b + 1) * 1e9 / (tot + B)), and the per-token ratio is
+    r_ppm(b) = p_tgt_ppb * 1e6 // max(p_raw_ppb, 1) — a linear-ratio
+    surrogate (monotone in the true ratio per token, like lm_score's
+    linear surrogate of log-prob).  Per doc: token count, summed and
+    averaged ratio, and the resample verdict avg >= 1e6 (more
+    target-like than corpus-average).  The ppb scale keeps the smallest
+    smoothed bucket nonzero up to ~10^9-token corpora; beyond that the
+    max() guard keeps the math defined (products stay < 2^63 for any
+    corpus below ~9e12 tokens).
+
+    Scale shape: two bucket histograms (B-bounded relations, map-side
+    partials), broadcast-joined back onto the token stream; one (doc_id)
+    hash agg — linear, one shuffle."""
+    h = h32("tok", duck)
+    B = DSIR_BUCKETS
+    div = "//" if duck else "div"
+    return f"""
+      with {tokens_cte(duck, docs)},
+      tb as (
+        select doc_id, {h} % {B} as b from tokens where tok <> ''
+      ),
+      raw_h as (
+        select b, cast(count(*) as bigint) as cnt from tb group by b
+      ),
+      tgt_h as (
+        select b, cast(count(*) as bigint) as cnt
+        from tb join {docs} d using (doc_id)
+        where {target}
+        group by b
+      ),
+      tots as (
+        select (select sum(cnt) from raw_h) + {B} as raw_tot,
+               (select coalesce(sum(cnt), 0) from tgt_h) + {B} as tgt_tot
+      ),
+      rat as (
+        select r.b,
+               (((coalesce(g.cnt, 0) + 1) * 1000000000 {div} t.tgt_tot)
+                 * 1000000)
+                 {div} greatest(
+                   (r.cnt + 1) * 1000000000 {div} t.raw_tot, 1)
+                 as r_ppm
+        from raw_h r
+        left join tgt_h g on g.b = r.b
+        cross join tots t
+      )
+      select tb.doc_id,
+             cast(count(*) as bigint) as n_tokens,
+             cast(sum(rat.r_ppm) as bigint) as sum_rat_ppm,
+             cast(sum(rat.r_ppm) {div} count(*) as bigint) as avg_rat_ppm,
+             cast(case when sum(rat.r_ppm) {div} count(*) >= 1000000
+                  then 1 else 0 end as bigint) as keep
+      from tb join rat on rat.b = tb.b
+      group by tb.doc_id
+      order by tb.doc_id
+    """
+
+
 KN_HELDOUT_MOD = 10  # doc_id % MOD == 0 is held out; the rest train
 
 

@@ -937,3 +937,60 @@ def test_kn_heldout_backoff_branches_constructed(spark):
     assert by_doc[10][2] > 0      # backoff branch fires
     assert by_doc[20][3] > 0      # oov branch fires
     assert by_doc[20][5] == 0     # q never continues anything: pcont == 0
+
+
+def test_dsir_weights_pure_python_recompute(spark, sf_dir):
+    """DSIR importance ratios pinned by full Python recompute (md5 bucket
+    hash, add-one ppb histograms, the exact integer ratio chain) for
+    every document; plus the semantic check that the target subset
+    (lang='en') out-scores the rest on average — the whole point of
+    importance resampling."""
+    import hashlib
+    from collections import Counter
+
+    from htmlgraft import textops
+
+    rows = textops.run(spark, sf_dir, textops.dsir_weights_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang").collect()
+    )
+    B = textops.DSIR_BUCKETS
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    raw_h, tgt_h = Counter(), Counter()
+    toks = {}
+    for r in docs:
+        bs = [bucket(t) for t in r["text"].split(" ") if t != ""]
+        toks[r["doc_id"]] = bs
+        raw_h.update(bs)
+        if r["lang"] == "en":
+            tgt_h.update(bs)
+    raw_tot = sum(raw_h.values()) + B
+    tgt_tot = sum(tgt_h.values()) + B
+    r_ppm = {
+        b: (((tgt_h.get(b, 0) + 1) * 1_000_000_000 // tgt_tot) * 1_000_000)
+        // max((raw_h[b] + 1) * 1_000_000_000 // raw_tot, 1)
+        for b in raw_h
+    }
+    got = {r["doc_id"]: r for r in rows}
+    assert len(got) == len([d for d in toks.values() if d])
+    lang = {r["doc_id"]: r["lang"] for r in docs}
+    en_avgs, other_avgs = [], []
+    for d, bs in toks.items():
+        if not bs:
+            continue
+        s = sum(r_ppm[b] for b in bs)
+        r = got[d]
+        assert (r["n_tokens"], r["sum_rat_ppm"], r["avg_rat_ppm"],
+                r["keep"]) == (
+            len(bs), s, s // len(bs), 1 if s // len(bs) >= 1_000_000 else 0
+        ), d
+        (en_avgs if lang[d] == "en" else other_avgs).append(s // len(bs))
+    assert en_avgs and other_avgs
+    assert (sum(en_avgs) / len(en_avgs)
+            > sum(other_avgs) / len(other_avgs)), (
+        "target subset must out-score the rest"
+    )
