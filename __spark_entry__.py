@@ -583,6 +583,7 @@ _GATE_FIRST = [
     "kn_ngram",
     "kn_heldout_score",
     "dsir_weights",
+    "ngram_novelty",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -737,6 +738,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_ngram": _textop(textops.kn_ngram_sql),
         "kn_heldout_score": _textop(textops.kn_heldout_sql),
         "dsir_weights": _textop(textops.dsir_weights_sql),
+        "ngram_novelty": _textop(textops.ngram_novelty_sql),
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "epoch_shuffle": _textop(textops.epoch_shuffle_sql),
@@ -869,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
             "kn_ngram": textops.kn_ngram_sql(duck=True),
             "kn_heldout_score": textops.kn_heldout_sql(duck=True),
             "dsir_weights": textops.dsir_weights_sql(duck=True),
+            "ngram_novelty": textops.ngram_novelty_sql(duck=True),
             "substring_dedup": textops.substring_dedup_sql(duck=True),
             "seq_pack": textops.seq_pack_sql(duck=True),
             "epoch_shuffle": textops.epoch_shuffle_sql(duck=True),

@@ -2446,6 +2446,43 @@ def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+NOVELTY_K = 4  # word k-gram width for the novelty audit
+
+
+def ngram_novelty_sql(duck: bool, docs: str = "documents") -> str:
+    """Per-document n-gram novelty (the duplication/memorization audit of
+    Lee et al. 2022's dedup analysis): in doc_id (crawl) order, what
+    fraction of a document's distinct {NOVELTY_K}-gram shingles appear
+    here FIRST?  A later near-copy scores ~0; fresh text scores ~100.
+    Output per doc: distinct shingle count, first-seen count, and the
+    integer novelty percentage.
+
+    Scale shape: one shingle explode, one min(doc_id) agg keyed on the
+    shingle (balanced — map-side partials absorb hot shingles), and one
+    shingle-keyed join back; every relation is shingle-type-bounded or
+    linear in the corpus.  No windows, no collect."""
+    div = "//" if duck else "div"
+    return f"""
+      with {shingles_cte(duck, src=docs, k=NOVELTY_K)},
+      firsts as (
+        select shingle, min(doc_id) as first_doc
+        from shingles group by shingle
+      ),
+      per_doc as (
+        select s.doc_id,
+               cast(count(*) as bigint) as n_shingles,
+               cast(sum(case when f.first_doc = s.doc_id
+                        then 1 else 0 end) as bigint) as n_novel
+        from shingles s join firsts f on f.shingle = s.shingle
+        group by s.doc_id
+      )
+      select doc_id, n_shingles, n_novel,
+             cast((100 * n_novel) {div} n_shingles as bigint) as novelty_pct
+      from per_doc
+      order by doc_id
+    """
+
+
 DSIR_BUCKETS = 64  # hashed-unigram feature space (Xie et al. use 10^4; 64
 #                    keeps every bucket populated at test scale)
 

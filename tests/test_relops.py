@@ -994,3 +994,64 @@ def test_dsir_weights_pure_python_recompute(spark, sf_dir):
             > sum(other_avgs) / len(other_avgs)), (
         "target subset must out-score the rest"
     )
+
+
+def test_ngram_novelty_pure_python_recompute(spark, sf_dir):
+    """Novelty pinned by Python recompute of the full relation (distinct
+    4-gram shingles, min-doc_id first-seen, integer percentage), plus the
+    semantic corners on a constructed corpus: an exact later copy scores
+    0, fresh text scores 100, a half-overlap scores in between."""
+    from collections import defaultdict
+
+    import duckdb
+    import pandas as pd
+
+    from htmlgraft import textops
+
+    K = textops.NOVELTY_K
+    rows = textops.run(spark, sf_dir, textops.ngram_novelty_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+    sh = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        sh[r["doc_id"]] = {
+            " ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)
+        }
+    first = {}
+    for d in sorted(sh):
+        for s in sh[d]:
+            first.setdefault(s, d)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_pct"])
+           for r in rows}
+    assert len(got) == len([d for d, s in sh.items() if s])
+    for d, s in sh.items():
+        if not s:
+            continue
+        novel = sum(1 for x in s if first[x] == d)
+        assert got[d] == (len(s), novel, (100 * novel) // len(s)), d
+
+    # constructed corners, cross-checked Spark vs DuckDB
+    corpus = pd.DataFrame([
+        {"doc_id": 1, "text": "p q r s t u"},         # fresh -> 100
+        {"doc_id": 2, "text": "p q r s t u"},         # exact copy -> 0
+        {"doc_id": 3, "text": "p q r s x y z w v"},   # partial overlap
+        {"doc_id": 4, "text": "m n"},                 # too short: no row
+    ])
+    spark.createDataFrame(corpus).createOrReplaceTempView("documents")
+    g = {
+        r["doc_id"]: (r["n_novel"], r["novelty_pct"])
+        for r in spark.sql(textops.ngram_novelty_sql(duck=False)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    w = {
+        r[0]: (r[2], r[3])
+        for r in con.execute(textops.ngram_novelty_sql(duck=True)).fetchall()
+    }
+    assert g == w
+    assert g[1] == (3, 100)
+    assert g[2] == (0, 0)
+    assert 0 < g[3][1] < 100 and 4 not in g
