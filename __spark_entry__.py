@@ -584,6 +584,7 @@ _GATE_FIRST = [
     "kn_heldout_score",
     "dsir_weights",
     "ngram_novelty",
+    "host_triangles",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -678,6 +679,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": linkops.run_pagerank_hosts,
         "hits_hosts": linkops.run_hits_hosts,
         "host_components": linkops.run_host_components,
+        "host_triangles": linkops.run_host_triangles,
         "crawl_schedule": linkops.run_crawl_schedule,
         "anchor_text": linkops.run_anchor_text,
         "crawl_frontier": linkops.run_crawl_frontier,
@@ -893,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
             "pagerank_hosts": linkops.pagerank_oracle_sql(),
             "hits_hosts": linkops.hits_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),
+            "host_triangles": linkops.host_triangles_oracle_sql(),
             "crawl_schedule": linkops.crawl_schedule_oracle_sql(),
             "anchor_text": linkops.anchor_text_oracle_sql(),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),

@@ -685,6 +685,68 @@ def run_host_components(spark, sf_dir: str) -> DataFrame:
     return host_components_df(links_df(pages_df(spark, sf_dir))).orderBy("host")
 
 
+def triangles_sql(duck: bool, edges: str = "hedges") -> str:
+    """Triangle counting + local clustering over an ``{edges}(src_host,
+    dst_host)`` relation — the classic graph-structure audit (spam farms
+    and boilerplate link rings show up as dense triangle clusters; Suri &
+    Vassilvitskii 2011's MapReduce formulation is the public scale
+    pattern).  Edges are undirected-deduped and ORIENTED (a < b by name),
+    so each triangle is enumerated exactly once as a < b < c via two
+    hash joins; per-host counts unfold each triangle onto its three
+    corners, and clustering_pct = 200 * tri / (deg * (deg - 1)).
+
+    Scale shape: joins are keyed on single hosts (balanced after the
+    orientation halves each edge to its lower endpoint); a production run
+    on a skewed web graph orders by DEGREE instead of name — same
+    one-line orientation rule, documented here rather than applied since
+    the oracle needs name order to be engine-identical."""
+    div = "//" if duck else "div"
+    return f"""
+      uedges as (
+        select distinct least(src_host, dst_host) as a,
+               greatest(src_host, dst_host) as b
+        from {edges} where src_host <> dst_host
+      ),
+      tris as (
+        select e1.a, e1.b, e2.b as c
+        from uedges e1
+        join uedges e2 on e2.a = e1.b
+        join uedges e3 on e3.a = e1.a and e3.b = e2.b
+      ),
+      corners as (
+        select a as host from tris
+        union all select b from tris
+        union all select c from tris
+      ),
+      per_host as (
+        select host, cast(count(*) as bigint) as n_triangles
+        from corners group by host
+      ),
+      ends as (
+        select a as host from uedges union all select b from uedges
+      ),
+      deg as (
+        select host, cast(count(*) as bigint) as degree from ends
+        group by host
+      )
+      select d.host, d.degree,
+             coalesce(p.n_triangles, 0) as n_triangles,
+             cast(case when d.degree >= 2
+                  then (200 * coalesce(p.n_triangles, 0))
+                       {div} (d.degree * (d.degree - 1))
+                  else 0 end as bigint) as clustering_pct
+      from deg d left join per_host p on p.host = d.host
+      order by d.host
+    """
+
+
+def run_host_triangles(spark, sf_dir: str) -> DataFrame:
+    hostgraph_df(links_df(pages_df(spark, sf_dir))).createOrReplaceTempView(
+        "hedges"
+    )
+    return spark.sql("with " + triangles_sql(duck=False))
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 # The corpus link skeleton (document order; htmlgraft/corpus.py _html_expr):
 #   1 nav   <a href="/">Home</a>
@@ -929,6 +991,20 @@ def hostgraph_oracle_sql() -> str:
              cast(count(*) as bigint) as n_links
       from resolved group by src, dst
     """
+    )
+
+
+def host_triangles_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + """,
+      hedges as (select src as src_host, dst as dst_host from resolved),
+"""
+        + triangles_sql(duck=True)
     )
 
 

@@ -433,3 +433,75 @@ def test_hits_pure_python_recompute(spark, sf_dir):
     assert got == {h: (hub[h], auth[h]) for h in nodes}
     top_auth = max(got, key=lambda h: got[h][1])
     assert top_auth == "popular.example.com"
+
+
+def test_host_triangles_pure_python_recompute(spark, sf_dir):
+    """Triangle counts and clustering pinned by a brute-force Python
+    recompute over the same undirected host edges, and the K4/path
+    corners pinned on a constructed graph (complete K4: every host in 3
+    triangles, clustering 100; a path: zero triangles)."""
+    import itertools
+
+    import duckdb
+    import pandas as pd
+
+    from htmlgraft import linkops
+
+    rows = linkops.run_host_triangles(spark, sf_dir).collect()
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.linkops import hostgraph_df, links_df
+
+    edges = hostgraph_df(links_df(pages_df(spark, sf_dir))).collect()
+    und = {
+        tuple(sorted((e["src_host"], e["dst_host"])))
+        for e in edges if e["src_host"] != e["dst_host"]
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {h: 0 for h in adj}
+    n_total = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                if a < b:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+                    n_total += 1
+    got = {r["host"]: (r["degree"], r["n_triangles"], r["clustering_pct"])
+           for r in rows}
+    assert set(got) == set(adj)
+    assert sum(r["n_triangles"] for r in rows) == 3 * n_total
+    for h in adj:
+        d = len(adj[h])
+        want_pct = (200 * tri[h]) // (d * (d - 1)) if d >= 2 else 0
+        assert got[h] == (d, tri[h], want_pct), h
+
+    # constructed corners: K4 plus a pendant path
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e"), ("e", "f")]
+    df = pd.DataFrame(
+        [{"src_host": s, "dst_host": t} for s, t in k4]
+        + [{"src_host": t, "dst_host": s} for s, t in k4]  # both directions
+    )
+    spark.createDataFrame(df).createOrReplaceTempView("hedges")
+    g = {
+        r["host"]: (r["degree"], r["n_triangles"], r["clustering_pct"])
+        for r in spark.sql(
+            "with " + linkops.triangles_sql(duck=False)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("hedges", df)
+    w = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "with " + linkops.triangles_sql(duck=True)
+        ).fetchall()
+    }
+    assert g == w
+    assert g["a"] == (3, 3, 100) and g["b"] == (3, 3, 100)
+    assert g["d"] == (4, 3, 50)   # K4 corner with the pendant edge
+    assert g["e"] == (2, 0, 0) and g["f"] == (1, 0, 0)
