@@ -585,6 +585,7 @@ _GATE_FIRST = [
     "dsir_weights",
     "ngram_novelty",
     "host_triangles",
+    "stream_window_metrics",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -660,6 +661,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful streaming (applyInPandasWithState) under the
         # same value gate: final per-host state vs relational rollup
         "stream_host_sessions": streaming.run_stream_host_sessions,
+        "stream_window_metrics": streaming.run_stream_window_metrics,
         "stream_dedup": streaming.run_stream_dedup,
         # WARC container ingestion (Common Crawl source format)
         "warc_extract_text": warcops.run_warc_extract_text,
@@ -805,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
             "wet_roundtrip": _expected("select url, text from expected"),
             "stream_extract_text": _expected("select url, text from expected"),
             "stream_host_sessions": streaming.stream_host_sessions_oracle_sql(),
+            "stream_window_metrics": streaming.stream_window_metrics_oracle_sql(),
             "stream_dedup": streaming.stream_dedup_oracle_sql(),
             "corpus_build": _corpus_build_oracle(),
             "line_scrub": _line_scrub_oracle(),

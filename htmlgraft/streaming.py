@@ -343,3 +343,104 @@ def run_stream_extract_text(spark, sf_dir: str) -> DataFrame:
         spark, sf_dir, stream_parse_extract,
         lambda df: df.select("url", "text"),
     )
+
+
+WINDOW_BASE_ES = 1709251200  # 2024-03-01 00:00:00 UTC, hour-aligned
+
+
+def run_stream_window_metrics(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the WATERMARKED WINDOWED AGGREGATION
+    (``windowed_metrics``: 1-hour event-time windows by lang, 2-hour
+    watermark, append mode) under the full value oracle — the third leg
+    of the streaming tier beside dedup state and custom sessions.
+
+    Append mode only emits a window once the watermark passes its end, so
+    the gate must CLOSE every real window deterministically: real pages
+    are re-keyed into a < 2-hour event-time span (two adjacent hour
+    windows; the span being under the horizon means no real row can ever
+    be late, whatever the micro-batch file order), and a single sentinel
+    page one day ahead is staged in a SECOND parquet write committed
+    after a wall-clock pause, so the file source (mod-time ordered)
+    processes it last and its watermark flushes both real windows on the
+    closing no-data micro-batch.  The sentinel's own window never closes
+    and is additionally filtered by lang.
+
+    Scale: state is (windows-in-horizon x langs) rows — bounded by the
+    watermark horizon, not the corpus; the shuffle keys on (window, lang)
+    with map-side partial aggregation."""
+    import shutil
+    import tempfile
+    import time
+
+    from .corpus import pages_df
+
+    base = tempfile.mkdtemp(prefix="graft_stream_w_")
+    drop, out, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+    p = pages_df(spark, sf_dir).select(
+        "url",
+        F.expr(
+            f"timestamp_seconds({WINDOW_BASE_ES} + (doc_id % 2) * 3600"
+            " + doc_id % 3600)"
+        ).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    p.repartition(4).write.parquet(drop)
+    time.sleep(2)  # distinct mtime: the file source must see this last
+    spark.range(1).select(
+        F.lit("sentinel://wm").alias("url"),
+        F.expr(f"timestamp_seconds({WINDOW_BASE_ES} + 86400)")
+        .alias("warc_ts"),
+        F.lit(bytearray(b"")).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("__wm__").alias("lang"),
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q = start_metrics_sink(
+        windowed_metrics(stream_pages(spark, drop, max_files_per_trigger=2)),
+        out, ckpt,
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s; sink is partial"
+            )
+    except Exception:
+        if q.isActive:
+            q.stop()
+        raise
+    rows = (
+        spark.read.parquet(out)
+        .where(F.col("lang") != "__wm__")
+        .select(
+            F.unix_timestamp("hour").cast("bigint").alias("hour_es"),
+            "lang",
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        .orderBy("hour_es", "lang")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return rows
+
+
+def stream_window_metrics_oracle_sql() -> str:
+    """Relational restatement: the doctored event time is a pure function
+    of doc_id, so each (hour, lang) cell is an independent count + the
+    html_expr_duck byte recompute."""
+    from .corpus import html_expr_duck, pages_oracle_cte
+
+    return (
+        pages_oracle_cte()
+        + f"""
+      select cast({WINDOW_BASE_ES} + (doc_id % 2) * 3600 as bigint)
+               as hour_es,
+             lang,
+             cast(count(*) as bigint) as n_pages,
+             cast(sum(octet_length(encode({html_expr_duck()})))
+                  as bigint) as n_bytes
+      from derived
+      group by 1, 2
+      order by hour_es, lang
+    """
+    )

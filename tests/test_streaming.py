@@ -211,3 +211,33 @@ def test_host_session_fn_timeout_close_branch():
     (out2,) = _host_session_fn(("h.example",), iter([pdf]), st2)
     assert st2.updated == (2, 30, ts1, ts2)
     assert out2.iloc[0].tolist() == ["h.example", 2, 30, ts1, ts2, False]
+
+
+def test_stream_window_metrics_closes_all_real_windows(spark, sf_dir):
+    """The sentinel protocol must close BOTH real hour windows (append
+    mode emits nothing for a window the watermark never passes), emit
+    exactly one row per (hour, lang), keep the sentinel's own lang out,
+    and agree with a batch recompute of the same doctored event times."""
+    from collections import Counter
+
+    from htmlgraft import streaming
+
+    rows = streaming.run_stream_window_metrics(spark, sf_dir).collect()
+    hours = sorted({r["hour_es"] for r in rows})
+    assert hours == [streaming.WINDOW_BASE_ES,
+                     streaming.WINDOW_BASE_ES + 3600]
+    assert all(r["lang"] != "__wm__" for r in rows)
+    keys = [(r["hour_es"], r["lang"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    )
+    want = Counter(
+        (streaming.WINDOW_BASE_ES + (r["doc_id"] % 2) * 3600, r["lang"])
+        for r in docs
+    )
+    got = {(r["hour_es"], r["lang"]): r["n_pages"] for r in rows}
+    assert got == dict(want)
+    assert all(r["n_bytes"] > 0 for r in rows)
