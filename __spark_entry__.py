@@ -738,11 +738,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _textop(textops.corpus_filter_sql),
         "gopher_filter": _textop(textops.gopher_filter_sql),
         "source_mix": _textop(textops.source_mix_sql),
-        "source_temperature": _textop(textops.source_temperature_sql),
-        "kn_ngram": _textop(textops.kn_ngram_sql),
-        "kn_heldout_score": _textop(textops.kn_heldout_sql),
-        "dsir_weights": _textop(textops.dsir_weights_sql),
-        "ngram_novelty": _textop(textops.ngram_novelty_sql),
+        "source_temperature": textops.run_source_temperature,
+        "kn_ngram": textops.run_kn_ngram,
+        "kn_heldout_score": textops.run_kn_heldout,
+        "dsir_weights": textops.run_dsir_weights,
+        "ngram_novelty": textops.run_ngram_novelty,
         "substring_dedup": _textop(textops.substring_dedup_sql),
         "seq_pack": _textop(textops.seq_pack_sql),
         "epoch_shuffle": _textop(textops.epoch_shuffle_sql),

@@ -741,9 +741,12 @@ def triangles_sql(duck: bool, edges: str = "hedges") -> str:
 
 
 def run_host_triangles(spark, sf_dir: str) -> DataFrame:
-    hostgraph_df(links_df(pages_df(spark, sf_dir))).createOrReplaceTempView(
-        "hedges"
-    )
+    # localCheckpoint the (small) edge relation: the triangle SQL
+    # references it five times and Catalyst inlines CTEs — without this
+    # the mapInPandas PARSE would re-run per reference (hits_df pattern)
+    hostgraph_df(links_df(pages_df(spark, sf_dir))).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("hedges")
     return spark.sql("with " + triangles_sql(duck=False))
 
 

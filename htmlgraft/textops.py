@@ -2316,7 +2316,22 @@ def source_mix_sql(duck: bool, docs: str = "documents") -> str:
 TEMP_TAUS = ("1", "2", "inf")
 
 
-def source_temperature_sql(duck: bool, docs: str = "documents") -> str:
+def per_source_tokens_sql(duck: bool, docs: str = "documents") -> str:
+    """The one corpus pass behind source_temperature: (source, n_docs,
+    n_tokens).  Split out so the Spark runner can persist it — Catalyst
+    inlines CTEs, and the tau expansion references it three times."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    n_tok = ("len" if duck else "size") + f"({ws})"
+    return f"""
+        select source, count(*) as n_docs,
+               sum(cast({n_tok} as bigint)) as n_tokens
+        from {docs} group by source
+    """
+
+
+def source_temperature_sql(duck: bool, docs: str = "documents",
+                           per_source_src: str | None = None) -> str:
     """Temperature-scaled source mixing (the multilingual/multi-source
     sampling rule of mBERT/XLM-R and the Pile: p_i proportional to
     c_i^(1/tau)) — the knob between proportional sampling (tau=1, big
@@ -2328,11 +2343,9 @@ def source_temperature_sql(duck: bool, docs: str = "documents") -> str:
     Exact integer math throughout so both engines agree bit-for-bit:
     tau=2 uses an integer sqrt computed as float sqrt plus a +/-1
     correction (the double can round either way; the correction re-anchors
-    on exact bigint squares).  Scale: one token-count pass, then
-    everything is per-source (tens of rows) — linear at any corpus size."""
-    d = _d(duck)
-    ws = d["split"].format("text")
-    n_tok = ("len" if duck else "size") + f"({ws})"
+    on exact bigint squares).  Scale: one token-count pass (persisted by
+    the runner — ``per_source_src``), then everything is per-source (tens
+    of rows) — linear at any corpus size."""
     div = "//" if duck else "div"
     s0 = "cast(floor(sqrt(cast(n_tokens as double))) as bigint)"
     isqrt = (
@@ -2341,11 +2354,11 @@ def source_temperature_sql(duck: bool, docs: str = "documents") -> str:
         f" - (case when {s0} * {s0} > n_tokens then 1 else 0 end))"
     )
     taus = " union all ".join(f"select '{t}' as tau" for t in TEMP_TAUS)
+    per_source = (per_source_src
+                  or f"({per_source_tokens_sql(duck, docs)})")
     return f"""
       with per_source as (
-        select source, count(*) as n_docs,
-               sum(cast({n_tok} as bigint)) as n_tokens
-        from {docs} group by source
+        select * from {per_source}
       ),
       weighted as (
         select source, n_docs, n_tokens, t.tau,
@@ -2374,7 +2387,34 @@ def source_temperature_sql(duck: bool, docs: str = "documents") -> str:
 KN_D_MILLI = 750  # absolute discount 0.75 (Chen & Goodman's fixed-D variant)
 
 
-def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
+def kn_bigram_counts_sql(duck: bool, docs: str = "documents") -> str:
+    """(w1, w2, c) bigram counts — the ONE corpus pass behind kn_ngram,
+    split out so the Spark runner can persist it (Catalyst inlines CTEs;
+    the ctx/cont/types/scoring consumers reference it four times)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    pair = (d["elem"].format("ws", "i") + " || ' ' || "
+            + d["elem"].format("ws", "i + 1"))
+    lam = d["lambda"].format("i", pair)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", "len(ws) - 1"), lam)
+    if duck:
+        bigrams = (f"select unnest({mk}) as bg from (select {ws} as ws"
+                   f" from {docs}) words where len(ws) >= 2")
+    else:
+        mk_s = mk.replace("len(ws)", "size(ws)")
+        bigrams = (f"select explode({mk_s}) as bg from (select {ws} as ws"
+                   f" from {docs}) words where size(ws) >= 2")
+    w1 = d["elem"].format(d["split"].format("bg"), "1")
+    w2 = d["elem"].format(d["split"].format("bg"), "2")
+    return f"""
+        select {w1} as w1, {w2} as w2, cast(count(*) as bigint) as c
+        from ({bigrams}) bigrams group by 1, 2
+    """
+
+
+def kn_ngram_sql(duck: bool, docs: str = "documents",
+                 bcounts_src: str | None = None) -> str:
     """Interpolated Kneser-Ney bigram statistics (Kneser & Ney 1995; Chen
     & Goodman 1999) — the n-gram-LM side of corpus quality work (KenLM-
     style perplexity filters train exactly these tables).  Per bigram
@@ -2387,40 +2427,19 @@ def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
     with D = {KN_D_MILLI} permille, every division an integer division on
     ppm-scaled bigints — identical on both engines, no float anywhere.
 
-    Scale shape: ONE corpus pass builds the bigram counts (the shuffle is
-    keyed by the bigram hash — balanced); every relation after that is
-    vocabulary-bounded (V^2 bigram types at worst, vocabulary-sized
-    context tables), never corpus-sized — the same bounded-relation
-    contract as the BPE trainer."""
-    d = _d(duck)
-    ws = d["split"].format("text")
-    pair = (d["elem"].format("ws", "i") + " || ' ' || "
-            + d["elem"].format("ws", "i + 1"))
-    lam = d["lambda"].format("i", pair)
-    mk = d["transform"].format(
-        d["range_incl"].format("1", "len(ws) - 1"), lam)
-    if duck:
-        bigrams = f"""
-      words as (select doc_id, {ws} as ws from {docs}),
-      bigrams as (
-        select unnest({mk}) as bg from words where len(ws) >= 2
-      )"""
-    else:
-        mk_s = mk.replace("len(ws)", "size(ws)")
-        bigrams = f"""
-      words as (select doc_id, {ws} as ws from {docs}),
-      bigrams as (
-        select explode({mk_s}) as bg from words where size(ws) >= 2
-      )"""
-    w1 = d["elem"].format(d["split"].format("bg"), "1")
-    w2 = d["elem"].format(d["split"].format("bg"), "2")
+    Scale shape: ONE corpus pass builds the bigram counts (persisted by
+    the Spark runner via ``bcounts_src`` — four consumers would otherwise
+    re-explode the corpus four times; the shuffle is keyed by the bigram
+    hash — balanced); every relation after that is vocabulary-bounded
+    (V^2 bigram types at worst, vocabulary-sized context tables), never
+    corpus-sized — the same bounded-relation contract as the BPE
+    trainer."""
     div = "//" if duck else "div"
     D = KN_D_MILLI
+    bc = bcounts_src or f"({kn_bigram_counts_sql(duck, docs)}) __bc"
     return f"""
-      with {bigrams},
-      bcounts as (
-        select {w1} as w1, {w2} as w2, cast(count(*) as bigint) as c
-        from bigrams group by 1, 2
+      with bcounts as (
+        select * from {bc}
       ),
       ctx as (  -- c(w1) and N1+(w1 *): left-context mass and fan-out
         select w1, cast(sum(c) as bigint) as c1,
@@ -2449,7 +2468,8 @@ def kn_ngram_sql(duck: bool, docs: str = "documents") -> str:
 NOVELTY_K = 4  # word k-gram width for the novelty audit
 
 
-def ngram_novelty_sql(duck: bool, docs: str = "documents") -> str:
+def ngram_novelty_sql(duck: bool, docs: str = "documents",
+                      shingles_src: str | None = None) -> str:
     """Per-document n-gram novelty (the duplication/memorization audit of
     Lee et al. 2022's dedup analysis): in doc_id (crawl) order, what
     fraction of a document's distinct {NOVELTY_K}-gram shingles appear
@@ -2457,13 +2477,19 @@ def ngram_novelty_sql(duck: bool, docs: str = "documents") -> str:
     Output per doc: distinct shingle count, first-seen count, and the
     integer novelty percentage.
 
-    Scale shape: one shingle explode, one min(doc_id) agg keyed on the
-    shingle (balanced — map-side partials absorb hot shingles), and one
-    shingle-keyed join back; every relation is shingle-type-bounded or
-    linear in the corpus.  No windows, no collect."""
+    Scale shape: one shingle explode (persisted by the Spark runner via
+    ``shingles_src`` — two consumers would otherwise re-explode), one
+    min(doc_id) agg keyed on the shingle (balanced — map-side partials
+    absorb hot shingles), and one shingle-keyed join back; every relation
+    is shingle-type-bounded or linear in the corpus.  No windows, no
+    collect."""
     div = "//" if duck else "div"
+    if shingles_src:
+        head = f"shingles as (select * from {shingles_src})"
+    else:
+        head = shingles_cte(duck, src=docs, k=NOVELTY_K)
     return f"""
-      with {shingles_cte(duck, src=docs, k=NOVELTY_K)},
+      with {head},
       firsts as (
         select shingle, min(doc_id) as first_doc
         from shingles group by shingle
@@ -2487,8 +2513,26 @@ DSIR_BUCKETS = 64  # hashed-unigram feature space (Xie et al. use 10^4; 64
 #                    keeps every bucket populated at test scale)
 
 
+def dsir_tb_sql(duck: bool, docs: str = "documents",
+                target: str = "lang = 'en'") -> str:
+    """(doc_id, bucket, is-target) hashed-token stream — the corpus pass
+    behind dsir_weights, split out for the persist-once runner."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    h = h32("tok", duck)
+    B = DSIR_BUCKETS
+    ex = f"unnest({ws})" if duck else f"explode({ws})"
+    base = (f"select doc_id, {ex} as tok,"
+            f" case when {target} then 1 else 0 end as tgt from {docs}")
+    return f"""
+        select doc_id, {h} % {B} as b, tgt
+        from ({base}) toks where tok <> ''
+    """
+
+
 def dsir_weights_sql(duck: bool, docs: str = "documents",
-                     target: str = "lang = 'en'") -> str:
+                     target: str = "lang = 'en'",
+                     tb_src: str | None = None) -> str:
     """Data Selection via Importance Resampling (Xie et al. 2023, public):
     score every document by how much more likely its hashed-unigram
     features are under a TARGET distribution (here the ``{target}``
@@ -2507,39 +2551,36 @@ def dsir_weights_sql(duck: bool, docs: str = "documents",
     max() guard keeps the math defined (products stay < 2^63 for any
     corpus below ~9e12 tokens).
 
-    Scale shape: two bucket histograms (B-bounded relations, map-side
-    partials), broadcast-joined back onto the token stream; one (doc_id)
-    hash agg — linear, one shuffle."""
-    h = h32("tok", duck)
+    Scale shape: ONE hashed-token pass (persisted by the Spark runner via
+    ``tb_src``; the histogram and the per-doc scoring both consume it), a
+    single B-bounded histogram carrying raw and target counts together
+    (map-side partials), broadcast-joined back onto the token stream; one
+    (doc_id) hash agg — linear, one shuffle."""
     B = DSIR_BUCKETS
     div = "//" if duck else "div"
+    tb = tb_src or f"({dsir_tb_sql(duck, docs, target)}) __tb"
     return f"""
-      with {tokens_cte(duck, docs)},
-      tb as (
-        select doc_id, {h} % {B} as b from tokens where tok <> ''
+      with tb as (
+        select * from {tb}
       ),
-      raw_h as (
-        select b, cast(count(*) as bigint) as cnt from tb group by b
-      ),
-      tgt_h as (
-        select b, cast(count(*) as bigint) as cnt
-        from tb join {docs} d using (doc_id)
-        where {target}
-        group by b
+      hist as (
+        select b, cast(count(*) as bigint) as cnt,
+               cast(sum(tgt) as bigint) as tcnt
+        from tb group by b
       ),
       tots as (
-        select (select sum(cnt) from raw_h) + {B} as raw_tot,
-               (select coalesce(sum(cnt), 0) from tgt_h) + {B} as tgt_tot
+        select cast(sum(cnt) + {B} as bigint) as raw_tot,
+               cast(sum(tcnt) + {B} as bigint) as tgt_tot
+        from hist
       ),
       rat as (
-        select r.b,
-               (((coalesce(g.cnt, 0) + 1) * 1000000000 {div} t.tgt_tot)
+        select h.b,
+               (((h.tcnt + 1) * 1000000000 {div} t.tgt_tot)
                  * 1000000)
                  {div} greatest(
-                   (r.cnt + 1) * 1000000000 {div} t.raw_tot, 1)
+                   (h.cnt + 1) * 1000000000 {div} t.raw_tot, 1)
                  as r_ppm
-        from raw_h r
-        left join tgt_h g on g.b = r.b
+        from hist h
         cross join tots t
       )
       select tb.doc_id,
@@ -2557,7 +2598,33 @@ def dsir_weights_sql(duck: bool, docs: str = "documents",
 KN_HELDOUT_MOD = 10  # doc_id % MOD == 0 is held out; the rest train
 
 
-def kn_heldout_sql(duck: bool, docs: str = "documents") -> str:
+def kn_train_bcounts_sql(duck: bool, docs: str = "documents") -> str:
+    """(bg, c) bigram counts over the TRAIN split — the corpus pass behind
+    kn_heldout, split out for the persist-once runner (four consumers)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    pair = (d["elem"].format("ws", "i") + " || ' ' || "
+            + d["elem"].format("ws", "i + 1"))
+    lam = d["lambda"].format("i", pair)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", "len(ws) - 1"), lam)
+    M = KN_HELDOUT_MOD
+    words = (f"select {ws} as ws from {docs}"
+             f" where doc_id % {M} <> 0")
+    if duck:
+        bg = f"select unnest({mk}) as bg from ({words}) tr_words where len(ws) >= 2"
+    else:
+        mk_s = mk.replace("len(ws)", "size(ws)")
+        bg = (f"select explode({mk_s}) as bg from ({words}) tr_words"
+              " where size(ws) >= 2")
+    return f"""
+        select bg, cast(count(*) as bigint) as c
+        from ({bg}) tr_bigrams group by bg
+    """
+
+
+def kn_heldout_sql(duck: bool, docs: str = "documents",
+                   bcounts_src: str | None = None) -> str:
     """Held-out scoring under the Kneser-Ney bigram model (the KenLM
     perplexity-filter loop: train on 90% of the corpus, score the rest) —
     unlike the self-scored ``lm_score``, this exercises the model's
@@ -2583,12 +2650,10 @@ def kn_heldout_sql(duck: bool, docs: str = "documents") -> str:
     mk = d["transform"].format(
         d["range_incl"].format("1", "len(ws) - 1"), lam)
     if duck:
-        tr_bg = f"select unnest({mk}) as bg from tr_words where len(ws) >= 2"
         ho_bg = (f"select doc_id, unnest({mk}) as bg from ho_words"
                  " where len(ws) >= 2")
     else:
         mk_s = mk.replace("len(ws)", "size(ws)")
-        tr_bg = f"select explode({mk_s}) as bg from tr_words where size(ws) >= 2"
         ho_bg = (f"select doc_id, explode({mk_s}) as bg from ho_words"
                  " where size(ws) >= 2")
     w1 = d["elem"].format(d["split"].format("bg"), "1")
@@ -2598,13 +2663,10 @@ def kn_heldout_sql(duck: bool, docs: str = "documents") -> str:
     M = KN_HELDOUT_MOD
     pcont = f"((coalesce(o.n1bwd, 0) * 1000000) {div} t.n_types)"
     lam_w1 = f"(({D} * x.n1fwd * 1000000) {div} (x.c1 * 1000))"
+    bc = bcounts_src or f"({kn_train_bcounts_sql(duck, docs)}) __tbc"
     return f"""
-      with tr_words as (
-        select doc_id, {ws} as ws from {docs} where doc_id % {M} <> 0
-      ),
-      tr_bigrams as ({tr_bg}),
-      bcounts as (
-        select bg, cast(count(*) as bigint) as c from tr_bigrams group by bg
+      with bcounts as (
+        select * from {bc}
       ),
       ctx as (
         select {w1} as w1, cast(sum(c) as bigint) as c1,
@@ -2658,6 +2720,92 @@ def kn_heldout_sql(duck: bool, docs: str = "documents") -> str:
       group by doc_id
       order by doc_id
     """
+
+
+def _persisted_pass(spark, sf_dir: str, build_sql, view: str):
+    """Materialize a corpus-pass relation once (persist + temp view) so
+    the downstream SQL's multiple references hit the cache instead of
+    re-running the pass — Catalyst inlines CTEs (run_bm25_search pattern).
+    The pass reads a shuffle-parallelism-repartitioned documents view:
+    the parquet scan's few partitions would otherwise bound the explode's
+    map side (run_minhash_lsh's scan-parallelism trap)."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.table("documents").repartition(n_parts).createOrReplaceTempView(
+        "__docs_rep"
+    )
+    df = spark.sql(build_sql(docs="__docs_rep")).persist()
+    df.createOrReplaceTempView(view)
+    return df
+
+
+def run_source_temperature(spark, sf_dir: str):
+    _persisted_pass(
+        spark, sf_dir,
+        lambda docs: per_source_tokens_sql(False, docs=docs),
+        "__temp_per_source",
+    )
+    return spark.sql(
+        source_temperature_sql(False, per_source_src="__temp_per_source")
+    )
+
+
+def run_kn_ngram(spark, sf_dir: str):
+    _persisted_pass(
+        spark, sf_dir,
+        lambda docs: kn_bigram_counts_sql(False, docs=docs), "__kn_bc",
+    )
+    return spark.sql(kn_ngram_sql(False, bcounts_src="__kn_bc"))
+
+
+def run_kn_heldout(spark, sf_dir: str):
+    _persisted_pass(
+        spark, sf_dir,
+        lambda docs: kn_train_bcounts_sql(False, docs=docs), "__kn_tbc",
+    )
+    return spark.sql(kn_heldout_sql(False, bcounts_src="__kn_tbc"))
+
+
+def run_dsir_weights(spark, sf_dir: str):
+    _persisted_pass(
+        spark, sf_dir,
+        lambda docs: dsir_tb_sql(False, docs=docs), "__dsir_tb",
+    )
+    return spark.sql(dsir_weights_sql(False, tb_src="__dsir_tb"))
+
+
+def novelty_shingles_sql(duck: bool, docs: str = "documents") -> str:
+    """Distinct (doc_id, {NOVELTY_K}-gram shingle) — the corpus pass
+    behind ngram_novelty as a PLAIN nested select: a WITH in the cached
+    SQL defeats Spark's cache-plan canonicalization, so the persisted
+    relation would silently never be substituted (measured: two full
+    explodes in the plan)."""
+    d = _d(duck)
+    ws = d["split"].format("text")
+    k = NOVELTY_K
+    parts = " || ' ' || ".join(
+        d["elem"].format("ws", f"i + {j}") if j else d["elem"].format("ws", "i")
+        for j in range(k)
+    )
+    lam = d["lambda"].format("i", parts)
+    mk = d["transform"].format(
+        d["range_incl"].format("1", f"len(ws) - {k - 1}"), lam)
+    words = f"select doc_id, {ws} as ws from {docs}"
+    if duck:
+        return (f"select distinct doc_id, unnest({mk}) as shingle"
+                f" from ({words}) words where len(ws) >= {k}")
+    mk_s = mk.replace("len(ws)", "size(ws)")
+    return (f"select distinct doc_id, explode({mk_s}) as shingle"
+            f" from ({words}) words where size(ws) >= {k}")
+
+
+def run_ngram_novelty(spark, sf_dir: str):
+    _persisted_pass(
+        spark, sf_dir,
+        lambda docs: novelty_shingles_sql(False, docs=docs),
+        "__novelty_sh",
+    )
+    return spark.sql(ngram_novelty_sql(False, shingles_src="__novelty_sh"))
 
 
 # --- BPE tokenizer training (iterative merges over the word-frequency dict) --

@@ -40,6 +40,12 @@ ALLOWLIST = {
     # literal rule/epoch-factor tables (ROBOTS_RULES = 3 rows; source_mix's
     # per-source factor relation is |sources|-bounded and tiny)
     "robots_filter", "source_mix",
+    # scalar/taus/tots broadcasts, audited r4s5: kn_* and dsir cross join a
+    # 1-row aggregate (n_types / smoothed totals); source_temperature's tau
+    # relation is a 3-row literal; hist_quantiles crosses the per-metric
+    # total (|metrics|-bounded) onto the quantile literals
+    "kn_ngram", "kn_heldout_score", "dsir_weights", "source_temperature",
+    "hist_quantiles",
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
