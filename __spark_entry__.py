@@ -586,6 +586,7 @@ _GATE_FIRST = [
     "ngram_novelty",
     "host_triangles",
     "stream_window_metrics",
+    "warc_revisit",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -717,6 +718,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _textop(textops.heavy_hitters_sql),
         "latest_snapshot": _urlop(urlops.latest_snapshot_sql),
         "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
+        "warc_revisit": _urlop(urlops.warc_revisit_sql),
         "domain_stats": _urlop(urlops.domain_stats_sql),
         "filter_funnel": _textop(textops.filter_funnel_sql),
         "dataset_split": _textop(textops.dataset_split_sql),
@@ -866,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
             "gopher_filter": textops.gopher_filter_sql(duck=True),
             "latest_snapshot": urlops.latest_snapshot_sql(duck=True),
             "recrawl_delta": urlops.recrawl_delta_sql(duck=True),
+            "warc_revisit": urlops.warc_revisit_sql(duck=True),
             "domain_stats": urlops.domain_stats_sql(duck=True),
             "filter_funnel": textops.filter_funnel_sql(duck=True),
             "charset_sniff": media.charset_sniff_sql(duck=True),

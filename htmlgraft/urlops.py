@@ -308,6 +308,74 @@ def latest_snapshot_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+def _captext_cte(duck: bool) -> str:
+    """Per-capture TEXT over ``caps`` — the change-tier synthesis shared
+    by ``recrawl_delta_sql`` (which derives Jaccard tiers from it) and
+    ``warc_revisit_sql`` (which derives payload digests): full rewrite /
+    byte-identical / one-token append, exactly as documented on
+    recrawl_delta_sql.  Keeps doc_id so consumers can derive the capture
+    timestamp (latest_snapshot's formula)."""
+    d = _d(duck)
+    rewrite = "'cq1 cq2 cq3 cq4 cq5 cq6 cq7 cq8'"
+    return f"""captext as (
+        select doc_id, url, capture_idx,
+               case
+                 when doc_id % 7 = 0 and capture_idx = doc_id % 3
+                      and doc_id % 3 >= 1 then {rewrite}
+                 when doc_id % 5 = 0 then text
+                 when capture_idx = doc_id % 3
+                   then concat(text, ' rq', cast(capture_idx as {d['str']}))
+                 else text
+               end as ctext
+        from caps
+      )"""
+
+
+def warc_revisit_sql(duck: bool, docs: str = "documents") -> str:
+    """WARC revisit-record planning (ISO 28500 / WARC 1.1
+    identical-payload-digest profile) — the dedup layer real web archives
+    apply at WRITE time: a capture whose payload digest was already
+    archived for that URL is stored as a tiny ``revisit`` record pointing
+    at the first ``response`` record instead of repeating the body.  Runs
+    on the same capture universe as latest_snapshot / recrawl_delta
+    (shared ``caps``/``captext`` CTEs), so the unchanged tier produces
+    real digest collisions.  Per capture: the digest, response-or-revisit
+    verdict, the referred-to capture's timestamp (-1 for responses), and
+    the payload bytes the revisit saves.
+
+    Scale: one md5 projection, one (url, digest) group-by for the first
+    capture, one equi-join back — the exact-dedup shuffle shape keyed on
+    (url, digest); no windows, no skew (fan-in <= crawl count per url)."""
+    return f"""
+      with {_captures_cte(duck, docs)},
+      {_captext_cte(duck)},
+      stamped as (
+        select url, capture_idx, md5(ctext) as digest,
+               length(ctext) as payload_len,
+               1709251200 + (doc_id % 31536000) + capture_idx * 86400
+                 as ts_seconds
+        from captext
+      ),
+      firsts as (
+        select url, digest, min(ts_seconds) as first_ts
+        from stamped group by url, digest
+      )
+      select s.url,
+             cast(s.capture_idx as bigint) as capture_idx,
+             cast(s.ts_seconds as bigint) as ts_seconds,
+             s.digest,
+             case when s.ts_seconds = f.first_ts
+                  then 'response' else 'revisit' end as record_type,
+             cast(case when s.ts_seconds = f.first_ts
+                  then -1 else f.first_ts end as bigint) as refers_to_ts,
+             cast(case when s.ts_seconds = f.first_ts
+                  then 0 else s.payload_len end as bigint) as bytes_saved
+      from stamped s
+      join firsts f on f.url = s.url and f.digest = s.digest
+      order by s.url, s.capture_idx
+    """
+
+
 def recrawl_delta_sql(duck: bool, docs: str = "documents") -> str:
     """Content-change detection between the two most recent captures of
     each URL — the signal a crawler uses to set per-URL recrawl frequency
@@ -341,21 +409,9 @@ def recrawl_delta_sql(duck: bool, docs: str = "documents") -> str:
         "unnest(string_split(ctext, ' '))" if duck
         else "explode(split(ctext, ' '))"
     )
-    rewrite = "'cq1 cq2 cq3 cq4 cq5 cq6 cq7 cq8'"
     return f"""
       with {_captures_cte(duck, docs)},
-      captext as (
-        select url, capture_idx,
-               case
-                 when doc_id % 7 = 0 and capture_idx = doc_id % 3
-                      and doc_id % 3 >= 1 then {rewrite}
-                 when doc_id % 5 = 0 then text
-                 when capture_idx = doc_id % 3
-                   then concat(text, ' rq', cast(capture_idx as {d['str']}))
-                 else text
-               end as ctext
-        from caps
-      ),
+      {_captext_cte(duck)},
       ranked as (
         select url, capture_idx, ctext,
                row_number() over (partition by url

@@ -636,3 +636,57 @@ def test_heavy_hitters_discriminates_skewed_corpus(spark):
     assert (df.n_shards == HH_SHARDS).all()
     # every shard kept them, so the merged lower bound is exact
     assert (df.n_est_lower == df.n_exact).all()
+
+
+def test_warc_revisit_pure_python_recompute(spark, sf_dir):
+    """Revisit planning pinned by full Python recompute of the capture
+    universe (same synthesis as recrawl_delta): per (url, digest) the
+    earliest capture is the response, every later identical capture a
+    revisit pointing at it; changed captures are fresh responses.  The
+    unchanged tier must actually produce revisits and the major/minor
+    tiers fresh responses."""
+    import hashlib
+
+    from htmlgraft import urlops
+
+    rows = urlops.run(spark, sf_dir, urlops.warc_revisit_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source").collect()
+    )
+    want = {}
+    by_tier = {"unchanged_revisits": 0, "responses": 0}
+    for r in docs:
+        d = r["doc_id"]
+        host = ("popular.example.com" if d % 5 == 0
+                else f"site-{d % 211}.example.org")
+        url = f"https://{host}/{r['source']}/{d}"
+        firsts = {}
+        for k in range(d % 3 + 1):
+            if d % 7 == 0 and k == d % 3 and d % 3 >= 1:
+                ctext = "cq1 cq2 cq3 cq4 cq5 cq6 cq7 cq8"
+            elif d % 5 == 0:
+                ctext = r["text"]
+            elif k == d % 3:
+                ctext = r["text"] + f" rq{k}"
+            else:
+                ctext = r["text"]
+            ts = 1709251200 + (d % 31536000) + k * 86400
+            dig = hashlib.md5(ctext.encode()).hexdigest()
+            if (url, dig) in firsts:
+                want[(url, k)] = (ts, dig, "revisit", firsts[(url, dig)],
+                                  len(ctext))
+            else:
+                firsts[(url, dig)] = ts
+                want[(url, k)] = (ts, dig, "response", -1, 0)
+    got = {
+        (r["url"], r["capture_idx"]): (
+            r["ts_seconds"], r["digest"], r["record_type"],
+            r["refers_to_ts"], r["bytes_saved"],
+        )
+        for r in rows
+    }
+    assert got == want
+    n_rev = sum(1 for v in want.values() if v[2] == "revisit")
+    assert n_rev > 0, "unchanged tier must produce revisits"
+    assert sum(1 for v in want.values() if v[2] == "response") > n_rev
