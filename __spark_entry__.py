@@ -587,6 +587,8 @@ _GATE_FIRST = [
     "host_triangles",
     "stream_window_metrics",
     "warc_revisit",
+    "ann_pq_codes",
+    "ann_pq_topk",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -773,6 +775,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": clusterops.run_kmeans_assign,
         "kmeans_centroids": clusterops.run_kmeans_centroids,
         "ann_ivf_topk": _simop(simops.ivf_topk_sql),
+        "ann_pq_codes": _simop(simops.pq_codes_sql),
+        "ann_pq_topk": _simop(simops.pq_topk_sql),
         "ann_multilsh_topk": _simop(simops.ann_multilsh_topk_sql),
         "ann_recall": _simop(simops.ann_recall_sql),
         # events: windowed rollups / sessionization / top-k
@@ -913,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
             "kmeans_assign": clusterops.kmeans_assign_sql(duck=True),
             "kmeans_centroids": clusterops.kmeans_centroids_sql(duck=True),
             "ann_ivf_topk": simops.ivf_topk_sql(duck=True),
+            "ann_pq_codes": simops.pq_codes_sql(duck=True),
+            "ann_pq_topk": simops.pq_topk_sql(duck=True),
             "ann_multilsh_topk": simops.ann_multilsh_topk_sql(duck=True),
             "ann_recall": simops.ann_recall_sql(duck=True),
             "events_hourly": eventops.events_hourly_sql(duck=True),

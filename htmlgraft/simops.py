@@ -323,6 +323,110 @@ def ivf_topk_sql(duck: bool, emb: str = "embeddings") -> str:
     """
 
 
+PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_K = 8  # codes per subspace codebook
+
+
+def _pq_slice(duck: bool, col: str, m: str) -> str:
+    """The m-th 8-dim subvector of a 64-dim quantized array (m 0-based,
+    as an SQL expression)."""
+    sd = 64 // PQ_M
+    if duck:
+        return f"list_slice({col}, 1 + {m} * {sd}, {sd} + {m} * {sd})"
+    return f"slice({col}, 1 + {m} * {sd}, {sd})"
+
+
+def _pq_common(duck: bool, emb: str) -> str:
+    """Shared PQ CTE chain: quantized vectors -> per-subspace subvectors
+    -> deterministic sampled codebooks (the quantized subvectors of the
+    first PQ_K vec_ids — the IVF coarse-quantizer pattern, so oracle
+    parity is exact with no float k-means) -> per-vector code assignment
+    (argmin integer squared-L2, ties to the lowest code)."""
+    q = _quant(duck)
+    ms = f"unnest(range(0, {PQ_M}))" if duck else f"explode(sequence(0, {PQ_M - 1}))"
+    sl = _pq_slice(duck, "qe", "m")
+    l2 = _l2(duck, "s.sub", "c.sub")
+    return f"""v as (select vec_id, {q} as qe from {emb}),
+      subs as (
+        select vec_id, m, {sl} as sub
+        from (select vec_id, qe, {ms} as m from v) sv
+      ),
+      cb as (
+        select m, vec_id as code, sub from subs where vec_id < {PQ_K}
+      ),
+      enc as (
+        select vec_id, m, code from (
+          select s.vec_id, s.m, c.code,
+                 row_number() over (
+                   partition by s.vec_id, s.m
+                   order by {l2} asc, c.code asc
+                 ) as rk
+          from subs s join cb c on c.m = s.m
+        ) a where rk = 1
+      )"""
+
+
+def pq_codes_sql(duck: bool, emb: str = "embeddings") -> str:
+    """Product-quantization encode audit (Jegou et al. 2011, public): the
+    per-(subspace, code) occupancy histogram of the PQ encoding — the
+    compression-quality diagnostic (empty or overloaded codes mean the
+    codebook wastes bits).  Gates the entire encode path value-exactly:
+    any argmin or slicing drift moves some count.
+
+    Scale: the encode is the real PQ cost shape — n x M x K candidate
+    distances via a join keyed on the subspace, then one (vec, m) window
+    over K rows; the histogram is an M*K-bounded agg."""
+    return f"""
+      with {_pq_common(duck, emb)}
+      select m, code,
+             cast(count(*) as bigint) as n_vectors,
+             cast(min(vec_id) as bigint) as min_vec_id
+      from enc
+      group by m, code
+      order by m, code
+    """
+
+
+def pq_topk_sql(duck: bool, emb: str = "embeddings") -> str:
+    """PQ asymmetric-distance search (ADC): each query keeps its EXACT
+    quantized subvectors and scores candidates through their codes alone
+    — distance table d2(query_sub_m, codebook[m][k]) built per query
+    (M x K rows), candidate distance = sum over m of table lookups.  The
+    memory story at 10^9 vectors: candidates cost M bytes each, and the
+    scoring join is keyed on (m, code) against an M*K-row broadcast
+    table — no full-vector reads off the candidate side at all.
+
+    Output: top-{TOP_K} per query by approximate squared-L2 (ascending,
+    ties to the lower vec_id), self excluded."""
+    l2q = _l2(duck, "qs.sub", "c.sub")
+    return f"""
+      with {_pq_common(duck, emb)},
+      qsubs as (select vec_id as q_id, m, sub from subs
+                where vec_id < {N_QUERIES}),
+      qtab as (
+        select qs.q_id, c.m, c.code, cast({l2q} as bigint) as d2
+        from qsubs qs join cb c on c.m = qs.m
+      ),
+      approx as (
+        select t.q_id, e.vec_id as n_id, cast(sum(t.d2) as bigint) as ad2
+        from enc e
+        join qtab t on t.m = e.m and t.code = e.code
+        where e.vec_id <> t.q_id
+        group by t.q_id, e.vec_id
+      ),
+      ranked as (
+        select q_id, n_id, ad2,
+               row_number() over (
+                 partition by q_id order by ad2 asc, n_id asc
+               ) as rk
+        from approx
+      )
+      select q_id, n_id, ad2, cast(rk as bigint) as rk
+      from ranked where rk <= {TOP_K}
+      order by q_id, rk
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"

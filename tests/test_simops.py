@@ -90,3 +90,63 @@ def test_semdedup_drop_requires_smaller_kept_or_dropped_neighbor(spark, sem_view
             >= simops.SEM_TH
         ]
         assert (kept == 0) == bool(dup_smaller), (vid, dup_smaller)
+
+
+def test_pq_pure_python_recompute(spark, sf_dir):
+    """PQ encode and ADC search pinned by an independent Python recompute:
+    quantization, 8x8 sampled codebooks, argmin code assignment (ties to
+    the lowest code), per-query distance tables, and the exact top-k by
+    summed table lookups.  Also pins self-exclusion and that the ADC
+    distance of every reported neighbor equals the table-sum recompute."""
+    from collections import defaultdict
+
+    from htmlgraft import simops
+
+    emb = {
+        r["vec_id"]: [round(float(x) * 1000.0) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    M, K, SD = simops.PQ_M, simops.PQ_K, 64 // simops.PQ_M
+
+    def sub(v, m):
+        return v[m * SD:(m + 1) * SD]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cb = {m: {k: sub(emb[k], m) for k in range(K)} for m in range(M)}
+    enc = {
+        vid: [min(range(K), key=lambda k: (l2(sub(v, m), cb[m][k]), k))
+              for m in range(M)]
+        for vid, v in emb.items()
+    }
+
+    got_codes = {
+        (r["m"], r["code"]): (r["n_vectors"], r["min_vec_id"])
+        for r in simops.run(spark, sf_dir, simops.pq_codes_sql).collect()
+    }
+    want_codes = defaultdict(list)
+    for vid, codes in enc.items():
+        for m, c in enumerate(codes):
+            want_codes[(m, c)].append(vid)
+    assert got_codes == {
+        k: (len(v), min(v)) for k, v in want_codes.items()
+    }
+
+    got_topk = defaultdict(list)
+    for r in simops.run(spark, sf_dir, simops.pq_topk_sql).collect():
+        got_topk[r["q_id"]].append((r["n_id"], r["ad2"], r["rk"]))
+    for q in range(simops.N_QUERIES):
+        tab = {m: {k: l2(sub(emb[q], m), cb[m][k]) for k in range(K)}
+               for m in range(M)}
+        ad2 = {
+            vid: sum(tab[m][enc[vid][m]] for m in range(M))
+            for vid in emb if vid != q
+        }
+        want = sorted(ad2.items(), key=lambda kv: (kv[1], kv[0]))[
+            :simops.TOP_K
+        ]
+        assert got_topk[q] == [
+            (n, d, i + 1) for i, (n, d) in enumerate(want)
+        ], q
+        assert all(n != q for n, _, _ in got_topk[q])
