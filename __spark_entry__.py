@@ -589,6 +589,7 @@ _GATE_FIRST = [
     "warc_revisit",
     "ann_pq_codes",
     "ann_pq_topk",
+    "dedup_containment",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -695,6 +696,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _textop(textops.dedup_exact_sql),
         "dedup_ngram_jaccard": _textop(textops.ngram_jaccard_sql),
         "dedup_minhash_lsh": textops.run_minhash_lsh,
+        "dedup_containment": textops.run_dedup_containment,
         "dedup_simhash": _textop(textops.simhash_sql),
         "dedup_simhash_idf": _textop(textops.simhash_idf_sql),
         "dedup_simhash_neardup": textops.run_simhash_neardup,
@@ -830,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact": textops.dedup_exact_sql(duck=True),
             "dedup_ngram_jaccard": textops.ngram_jaccard_sql(duck=True),
             "dedup_minhash_lsh": textops.minhash_lsh_sql(duck=True),
+            "dedup_containment": textops.dedup_containment_sql(duck=True),
             "dedup_simhash": textops.simhash_sql(duck=True),
             "dedup_simhash_idf": textops.simhash_idf_sql(duck=True),
             "dedup_simhash_neardup": textops.simhash_neardup_sql(duck=True),

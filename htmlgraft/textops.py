@@ -245,6 +245,81 @@ def minhash_lsh_sql(
     """
 
 
+CONTAIN_MILLI = 800  # containment threshold (per-side, permille)
+
+
+def dedup_containment_sql(
+    duck: bool, docs: str = "documents", k: int = 3,
+    shingles_ref: str | None = None,
+) -> str:
+    """ASYMMETRIC near-dup: shingle CONTAINMENT (Broder 1997's other
+    measure) over the same LSH candidate pairs as ``minhash_lsh_sql`` —
+    resemblance misses subset relations (a quote inside a long page reads
+    as dissimilar), containment |A∩B|/|A| catches them, which is how a
+    pipeline distinguishes "same doc" from "doc embedded in doc".  Per
+    candidate pair: both set sizes, the intersection, both per-side
+    containment permilles, and the verdict (dup by the symmetric Jaccard
+    rule; a_in_b / b_in_a at >= {CONTAIN_MILLI} permille one-sided;
+    partial otherwise).
+
+    Scale contract identical to minhash_lsh: banding bounds the pair set,
+    the verify join touches candidates only, and ``shingles_ref`` lets the
+    runner persist the one shingle explode (three consumers)."""
+    div = "//" if duck else "div"
+    if shingles_ref is None:
+        pre = (f"with {duped_docs_cte(duck, docs)},\n"
+               f"      {shingles_cte(duck, 'ddocs', k)},")
+    else:
+        pre = f"with shingles as (select doc_id, shingle from {shingles_ref}),"
+    C = CONTAIN_MILLI
+    return f"""
+      {pre}
+      {_minhash_cand_cte(duck)},
+      sizes as (select doc_id, count(*) as n from shingles group by doc_id),
+      inter as (
+        select c.a_id, c.b_id, count(*) as n_inter
+        from cand c
+        join shingles sa on sa.doc_id = c.a_id
+        join shingles sb on sb.doc_id = c.b_id and sb.shingle = sa.shingle
+        group by c.a_id, c.b_id
+      )
+      select i.a_id, i.b_id,
+             cast(sa.n as bigint) as n_a,
+             cast(sb.n as bigint) as n_b,
+             cast(i.n_inter as bigint) as n_inter,
+             cast((1000 * i.n_inter) {div} sa.n as bigint) as cont_a_milli,
+             cast((1000 * i.n_inter) {div} sb.n as bigint) as cont_b_milli,
+             case
+               when 2 * i.n_inter >= sa.n + sb.n - i.n_inter then 'dup'
+               when (1000 * i.n_inter) {div} sa.n >= {C} then 'a_in_b'
+               when (1000 * i.n_inter) {div} sb.n >= {C} then 'b_in_a'
+               else 'partial'
+             end as verdict
+      from inter i
+      join sizes sa on sa.doc_id = i.a_id
+      join sizes sb on sb.doc_id = i.b_id
+      order by i.a_id, i.b_id
+    """
+
+
+def run_dedup_containment(spark, sf_dir: str, k: int = 3):
+    """Persist-once runner (run_minhash_lsh pattern: same shingle
+    relation, three consumers)."""
+    _register_documents(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql(
+        f"with {duped_docs_cte(False)} select doc_id, text from ddocs"
+    ).repartition(n_parts).createOrReplaceTempView("__ct_ddocs")
+    sh = spark.sql(
+        f"with {shingles_cte(False, '__ct_ddocs', k)} "
+        "select doc_id, shingle from shingles"
+    ).persist()
+    sh.createOrReplaceTempView("__ct_shingles")
+    return spark.sql(
+        dedup_containment_sql(duck=False, k=k, shingles_ref="__ct_shingles")
+    )
+
+
 def _simhash_expr(duck: bool) -> str:
     """32-bit SimHash of the token-hash array column ``hv`` as ONE scalar
     expression: for each bit, every token hash votes +1/-1; the bit is set

@@ -1055,3 +1055,92 @@ def test_ngram_novelty_pure_python_recompute(spark, sf_dir):
     assert g[1] == (3, 100)
     assert g[2] == (0, 0)
     assert 0 < g[3][1] < 100 and 4 not in g
+
+
+def test_dedup_containment_constructed(spark):
+    """Containment semantics pinned on a constructed corpus with the full
+    LSH pipeline recomputed in Python (shingles -> 16 min-hashes -> 8
+    bands -> candidates -> containment verdicts): an engineered
+    subset/superset pair that provably shares a band must surface as
+    'a_in_b' (NOT 'dup' — the superset is >2x larger), and an exact copy
+    pair as 'dup'.  Spark and DuckDB must both equal the recompute."""
+    import hashlib
+    from itertools import count
+
+    import duckdb
+    import pandas as pd
+
+    from htmlgraft import textops
+
+    K = 3
+    N_HASHES = 16
+
+    def shingles(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)}
+
+    def bands(sh):
+        mh = [
+            min(hashlib.md5(f"{s}#{g}".encode()).hexdigest() for g in sh)
+            for s in range(N_HASHES)
+        ]
+        return [(b, mh[2 * b] + mh[2 * b + 1]) for b in range(N_HASHES // 2)]
+
+    base = "a1 a2 a3 a4 a5 a6"
+    sup = None
+    for j in count():
+        cand = base + " " + " ".join(f"x{j}y{i}" for i in range(20))
+        if set(bands(shingles(base))) & set(bands(shingles(cand))):
+            sup = cand
+            break
+        assert j < 200, "no band collision found"
+    corpus = pd.DataFrame([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": sup},
+        {"doc_id": 3, "text": base},      # exact copy of 1 -> dup
+        {"doc_id": 4, "text": "q1 q2 q3 q4 q5"},  # unrelated
+    ])
+
+    # Python recompute of the full relation
+    sh = {r["doc_id"]: shingles(r["text"]) for _, r in corpus.iterrows()}
+    bd = {d: set(bands(s)) for d, s in sh.items()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not (bd[a] & bd[b]):
+                continue
+            inter = len(sh[a] & sh[b])
+            na, nb = len(sh[a]), len(sh[b])
+            if 2 * inter >= na + nb - inter:
+                v = "dup"
+            elif (1000 * inter) // na >= textops.CONTAIN_MILLI:
+                v = "a_in_b"
+            elif (1000 * inter) // nb >= textops.CONTAIN_MILLI:
+                v = "b_in_a"
+            else:
+                v = "partial"
+            want[(a, b)] = (na, nb, inter, (1000 * inter) // na,
+                            (1000 * inter) // nb, v)
+
+    spark.createDataFrame(corpus).createOrReplaceTempView("documents")
+    got = {
+        (r["a_id"], r["b_id"]): (
+            r["n_a"], r["n_b"], r["n_inter"], r["cont_a_milli"],
+            r["cont_b_milli"], r["verdict"],
+        )
+        for r in spark.sql(
+            textops.dedup_containment_sql(duck=False)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    duck = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(
+            textops.dedup_containment_sql(duck=True)
+        ).fetchall()
+    }
+    assert got == want and duck == want
+    assert want[(1, 2)][5] == "a_in_b" and want[(1, 2)][3] == 1000
+    assert want[(1, 3)][5] == "dup"
