@@ -46,6 +46,8 @@ ALLOWLIST = {
     # total (|metrics|-bounded) onto the quantile literals
     "kn_ngram", "kn_heldout_score", "dsir_weights", "source_temperature",
     "hist_quantiles",
+    # same 16-row seeds literal cross join as dedup_minhash_lsh (audited)
+    "dedup_containment",
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
