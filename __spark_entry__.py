@@ -590,6 +590,7 @@ _GATE_FIRST = [
     "ann_pq_codes",
     "ann_pq_topk",
     "dedup_containment",
+    "events_funnel",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -787,6 +788,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _eventop(eventops.top_users_sql),
         "events_asof": _eventop(eventops.asof_join_sql),
         "events_range_join": _eventop(eventops.range_join_sql),
+        "events_funnel": _eventop(eventops.funnel_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
         "media_resize": media.media_resize,
@@ -929,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
             "events_top_users": eventops.top_users_sql(duck=True),
             "events_asof": eventops.asof_join_sql(duck=True),
             "events_range_join": eventops.range_join_sql(duck=True),
+            "events_funnel": eventops.funnel_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
             "media_frame_sample": media.media_frame_sample_oracle_sql(),

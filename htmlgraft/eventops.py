@@ -256,6 +256,62 @@ def range_join_sql(duck: bool, events: str = "events") -> str:
     """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_sql(duck: bool, events: str = "events") -> str:
+    """Ordered funnel analysis (view -> click -> purchase): per user, the
+    FIRST view, the first click strictly after it, and the first purchase
+    strictly after that — the sequential-pattern query neither
+    sessionization nor the as-of join expresses (each step's candidate
+    set depends on the previous step's chosen timestamp).  Users who
+    never viewed are excluded (no funnel entry); -1 marks steps not
+    reached; convert_s is the full view->purchase latency.
+
+    Scale: three user-keyed min-aggregations chained by equi-joins on
+    user_id — one shuffle key throughout, per-user state only, no
+    windows; the same shape at 10^12 events (funnel depth multiplies
+    scans, not shuffles, and each stage prunes to its event type at the
+    scan)."""
+    epoch = "floor(epoch(ts))" if duck else "unix_timestamp(ts)"
+    return f"""
+      with ev as (
+        select user_id, event_type, cast({epoch} as bigint) as es
+        from {events}
+        where event_type in ('view', 'click', 'purchase')
+      ),
+      v as (
+        select user_id, min(es) as t0 from ev
+        where event_type = 'view' group by user_id
+      ),
+      c as (
+        select e.user_id, min(e.es) as t1
+        from ev e join v on v.user_id = e.user_id and e.es > v.t0
+        where e.event_type = 'click'
+        group by e.user_id
+      ),
+      p as (
+        select e.user_id, min(e.es) as t2
+        from ev e join c on c.user_id = e.user_id and e.es > c.t1
+        where e.event_type = 'purchase'
+        group by e.user_id
+      )
+      select v.user_id,
+             cast(v.t0 as bigint) as t_view,
+             cast(coalesce(c.t1, -1) as bigint) as t_click,
+             cast(coalesce(p.t2, -1) as bigint) as t_purchase,
+             case when p.t2 is not null then 'purchase'
+                  when c.t1 is not null then 'click'
+                  else 'view' end as reached,
+             cast(case when p.t2 is not null then p.t2 - v.t0
+                  else -1 end as bigint) as convert_s
+      from v
+      left join c on c.user_id = v.user_id
+      left join p on p.user_id = v.user_id
+      order by v.user_id
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(sql_builder(duck=False, **kw))

@@ -1144,3 +1144,89 @@ def test_dedup_containment_constructed(spark):
     assert got == want and duck == want
     assert want[(1, 2)][5] == "a_in_b" and want[(1, 2)][3] == 1000
     assert want[(1, 3)][5] == "dup"
+
+
+def test_events_funnel_pure_python_recompute(spark, sf_dir):
+    """The ordered funnel pinned row-for-row by Python recompute: first
+    view, first click strictly after it, first purchase strictly after
+    that; every reach tier must actually occur in the corpus."""
+    from collections import defaultdict
+
+    from htmlgraft import eventops
+
+    rows = eventops.run(spark, sf_dir, eventops.funnel_sql).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        if r["event_type"] in eventops.FUNNEL_STEPS:
+            per[r["user_id"]][r["event_type"]].append(
+                int(r["ts"].timestamp())
+            )
+    want = {}
+    for u, d in per.items():
+        if not d.get("view"):
+            continue
+        t0 = min(d["view"])
+        t1 = min((t for t in d.get("click", []) if t > t0), default=None)
+        t2 = None
+        if t1 is not None:
+            t2 = min((t for t in d.get("purchase", []) if t > t1),
+                     default=None)
+        want[u] = (
+            t0, t1 if t1 is not None else -1,
+            t2 if t2 is not None else -1,
+            "purchase" if t2 is not None
+            else ("click" if t1 is not None else "view"),
+            t2 - t0 if t2 is not None else -1,
+        )
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"],
+                       r["reached"], r["convert_s"])
+        for r in rows
+    }
+    assert got == want
+    tiers = {v[3] for v in want.values()}
+    assert "purchase" in tiers and tiers <= {"view", "click", "purchase"}
+
+
+def test_events_funnel_ordering_corners_constructed(spark):
+    """The driver corpus is dense enough that every user converts, so the
+    partial tiers and the STRICT ordering rule are pinned on a
+    constructed event log, cross-checked Spark vs DuckDB: a purchase
+    BEFORE the first qualifying click must not count, a user with no
+    view has no funnel row, and both -1 sentinels appear."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from htmlgraft import eventops
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(10), "view"),                      # view only
+        (2, t(10), "view"), (2, t(5), "purchase"),   # purchase BEFORE view
+        (2, t(20), "click"),                     # ... and before click
+        (3, t(10), "view"), (3, t(20), "click"),
+        (3, t(15), "purchase"),                  # between view and click: no
+        (3, t(30), "purchase"),                  # after click: converts
+        (4, t(10), "click"), (4, t(20), "purchase"),  # no view: excluded
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    spark.createDataFrame(df).createOrReplaceTempView("events")
+    got = {
+        r["user_id"]: (r["t_click"], r["t_purchase"], r["reached"],
+                       r["convert_s"])
+        for r in spark.sql(eventops.funnel_sql(duck=False)).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", df)
+    want = {
+        r[0]: (r[2], r[3], r[4], r[5])
+        for r in con.execute(eventops.funnel_sql(duck=True)).fetchall()
+    }
+    assert got == want
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (-1, -1, "view", -1)
+    assert got[2][2] == "click" and got[2][1] == -1
+    assert got[3][2] == "purchase" and got[3][3] == 20
