@@ -591,6 +591,7 @@ _GATE_FIRST = [
     "ann_pq_topk",
     "dedup_containment",
     "events_funnel",
+    "media_exif_scrub",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -792,6 +793,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
         "media_resize": media.media_resize,
+        "media_exif_scrub": media.media_exif_scrub,
         "media_frame_sample": media.media_frame_sample,
         "pixel_phash": pixelops.pixel_phash,
         "pixel_resize": pixelops.pixel_resize,
@@ -934,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
             "events_funnel": eventops.funnel_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
+            "media_exif_scrub": media.media_exif_scrub_oracle_sql(),
             "media_frame_sample": media.media_frame_sample_oracle_sql(),
             "pixel_phash": pixelops.pixel_phash_oracle_sql(),
             "pixel_resize": pixelops.pixel_resize_oracle_sql(),

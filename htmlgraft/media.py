@@ -935,3 +935,163 @@ def charset_sniff_sql(duck: bool, docs: str = "documents") -> str:
       from scanned
       order by doc_id
     """
+
+
+# --- EXIF GPS scrub (privacy tier for the multimodal columns) ---------------
+
+GPS_IFD_TAG = 34853   # 0x8825 GPSInfo pointer (TIFF 6 / EXIF 2.x, public)
+GPS_LAT_TAG = 2
+GPS_LON_TAG = 4
+
+_GPS_HEADER = (
+    # II*\0, IFD0 @8 with 3 entries: width, height, GPSInfo -> sub-IFD @50
+    "concat(X'49492A00', X'08000000', X'0300', "
+    f"X'00010400', X'01000000', {_le(_W, 4)}, "
+    f"X'01010400', X'01000000', {_le(_H, 4)}, "
+    "X'25880400', X'01000000', X'32000000', "
+    "X'00000000', "
+    # GPS sub-IFD @50: 2 entries (lat/lon as LONG integer surrogates —
+    # real EXIF uses RATIONAL triplets; the walker supports SHORT/LONG,
+    # documented simplification), next-IFD 0
+    "X'0200', "
+    f"X'02000400', X'01000000', {_le('(doc_id % 180)', 4)}, "
+    f"X'04000400', X'01000000', {_le('(doc_id % 360)', 4)}, "
+    "X'00000000')"
+)
+
+EXIF_SCRUB_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("had_gps", LongType()),
+    StructField("lat_q", LongType()),
+    StructField("lon_q", LongType()),
+    StructField("n_before", LongType()),
+    StructField("n_after", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload_md5", StringType()),
+])
+
+
+def exif_media_df(spark, sf_dir: str) -> DataFrame:
+    """TIFF/EXIF corpus for the GPS scrub: image-family docs (doc_id%3=0),
+    every second one carrying a GPS sub-IFD (doc_id%2=0) with quantized
+    lat/lon surrogates, the rest the plain two-tag TIFF header.  Pure-SQL
+    binary synthesis, same _W/_H dims as the media table."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "__exif_docs"
+    )
+    return spark.sql(f"""
+        select doc_id,
+               case when doc_id % 2 = 0
+                    then concat({_GPS_HEADER}, payload)
+                    else concat({_TIFF_HEADER}, payload) end as media
+        from (select doc_id, encode(text, 'UTF-8') as payload
+              from __exif_docs where doc_id % 3 = 0)
+    """)
+
+
+def scrub_exif_gps(blob: bytes):
+    """Remove the GPS sub-IFD (and its IFD0 pointer entry) from a TIFF
+    stream, preserving every other entry and the payload byte-for-byte.
+    Returns (scrubbed_blob, had_gps, lat, lon, n_before, n_after); on
+    unparseable input the blob passes through untouched (crawl data is
+    hostile — a scrubber must never corrupt what it cannot parse)."""
+    got = _tiff_ifd(blob)
+    if got is None:
+        return blob, 0, -1, -1, -1, -1
+    fmt, entries, end = got
+    n_before = len(entries)
+    if GPS_IFD_TAG not in entries:
+        return blob, 0, -1, -1, n_before, n_before
+    gps_off = entries[GPS_IFD_TAG][1]
+    lat = lon = -1
+    payload_start = end
+    if gps_off + 2 <= len(blob):
+        n_gps = struct.unpack(fmt + "H", blob[gps_off:gps_off + 2])[0]
+        gps_end = gps_off + 2 + 12 * n_gps + 4
+        if gps_end <= len(blob):
+            for i in range(n_gps):
+                e = gps_off + 2 + 12 * i
+                tag, typ = struct.unpack(fmt + "HH", blob[e:e + 4])
+                if typ == 4:
+                    v = struct.unpack(fmt + "I", blob[e + 8:e + 12])[0]
+                elif typ == 3:
+                    v = struct.unpack(fmt + "H", blob[e + 8:e + 10])[0]
+                else:
+                    continue
+                if tag == GPS_LAT_TAG:
+                    lat = v
+                elif tag == GPS_LON_TAG:
+                    lon = v
+            payload_start = max(end, gps_end)
+    keep = [(t, typ, val) for t, (typ, val, _) in sorted(entries.items())
+            if t != GPS_IFD_TAG]
+    out = bytearray()
+    out += b"II*\x00" if fmt == "<" else b"MM\x00*"
+    out += struct.pack(fmt + "I", 8)
+    out += struct.pack(fmt + "H", len(keep))
+    for tag, typ, val in keep:
+        out += struct.pack(fmt + "HH", tag, typ)
+        out += struct.pack(fmt + "I", 1)
+        if typ == 3:  # SHORT: left-justified in the 4-byte value field
+            out += struct.pack(fmt + "H", val) + b"\x00\x00"
+        else:
+            out += struct.pack(fmt + "I", val)
+    out += struct.pack(fmt + "I", 0)
+    out += blob[payload_start:]
+    return bytes(out), 1, lat, lon, n_before, len(keep)
+
+
+def media_exif_scrub(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: EXIF GPS location scrub — the privacy pass a
+    multimodal pipeline runs before training (GPS tags are direct PII).
+    The gate is END-TO-END through the rewrite: width/height and
+    payload_md5 are re-read from the SCRUBBED bytes (not carried
+    through), so a scrub that corrupts the IFD or shifts the payload
+    fails the hash against the relational oracle.  Map-only mapInPandas
+    over the binary column — no shuffle beyond the output sort."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                out, had, lat, lon, nb, na = scrub_exif_gps(bytes(blob))
+                parsed = parse_tiff(out)
+                w, h, _, end = parsed if parsed else (-1, -1, 0, 0)
+                rows.append((
+                    int(doc_id), had, lat, lon, nb, na, w, h,
+                    hashlib.md5(out[end:]).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_SCRUB_SCHEMA.fields]
+            )
+
+    return (
+        exif_media_df(spark, sf_dir)
+        .mapInPandas(batches, EXIF_SCRUB_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def media_exif_scrub_oracle_sql(docs: str = "documents") -> str:
+    """Relational restatement: every output column is a pure function of
+    doc_id and text under the synthesis rule — the scrubbed file must
+    re-parse to the same dims and carry the identical payload bytes."""
+    return f"""
+      select doc_id,
+             cast(case when doc_id % 2 = 0 then 1 else 0 end as bigint)
+               as had_gps,
+             cast(case when doc_id % 2 = 0 then doc_id % 180 else -1 end
+                  as bigint) as lat_q,
+             cast(case when doc_id % 2 = 0 then doc_id % 360 else -1 end
+                  as bigint) as lon_q,
+             cast(case when doc_id % 2 = 0 then 3 else 2 end as bigint)
+               as n_before,
+             cast(2 as bigint) as n_after,
+             cast({_W} as bigint) as width,
+             cast({_H} as bigint) as height,
+             md5(text) as payload_md5
+      from {docs} where doc_id % 3 = 0
+      order by doc_id
+    """

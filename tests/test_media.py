@@ -319,3 +319,74 @@ def test_media_tiff_family_end_to_end(spark, sf_dir):
     for d in tiff_ids:
         assert rs[d]["fmt"] == "tiff"
         assert rs[d]["new_width"] <= 512 and rs[d]["new_height"] <= 512
+
+
+class TestExifScrub:
+    def test_gps_removed_and_payload_exact(self):
+        import struct
+
+        from htmlgraft.media import (
+            GPS_IFD_TAG, _tiff_ifd, scrub_exif_gps,
+        )
+
+        payload = b"PAYLOAD-BYTES" * 3
+        # II header, IFD0 @8: width, height, GPSInfo -> @50; GPS IFD 2 tags
+        blob = (
+            b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 3)
+            + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 640)
+            + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+            + struct.pack("<HHI", GPS_IFD_TAG, 4, 1) + struct.pack("<I", 50)
+            + struct.pack("<I", 0)
+            + struct.pack("<H", 2)
+            + struct.pack("<HHI", 2, 4, 1) + struct.pack("<I", 37)
+            + struct.pack("<HHI", 4, 4, 1) + struct.pack("<I", 122)
+            + struct.pack("<I", 0)
+            + payload
+        )
+        out, had, lat, lon, nb, na = scrub_exif_gps(blob)
+        assert (had, lat, lon, nb, na) == (1, 37, 122, 3, 2)
+        fmt, entries, end = _tiff_ifd(out)
+        assert GPS_IFD_TAG not in entries
+        assert entries[256][1] == 640 and entries[257][1] == 480
+        assert out[end:] == payload
+
+    def test_short_entries_and_big_endian_preserved(self):
+        import struct
+
+        from htmlgraft.media import GPS_IFD_TAG, _tiff_ifd, scrub_exif_gps
+
+        payload = b"xyz"
+        blob = (
+            b"MM\x00*" + struct.pack(">I", 8)
+            + struct.pack(">H", 3)
+            + struct.pack(">HHI", 256, 3, 1) + struct.pack(">H", 99) + b"\x00\x00"
+            + struct.pack(">HHI", 257, 3, 1) + struct.pack(">H", 77) + b"\x00\x00"
+            + struct.pack(">HHI", GPS_IFD_TAG, 4, 1) + struct.pack(">I", 50)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 2, 3, 1) + struct.pack(">H", 5) + b"\x00\x00"
+            + struct.pack(">I", 0)
+            + payload
+        )
+        out, had, lat, lon, nb, na = scrub_exif_gps(blob)
+        assert (had, lat, nb, na) == (1, 5, 3, 2)
+        assert out[:4] == b"MM\x00*"
+        fmt, entries, end = _tiff_ifd(out)
+        assert entries[256] == (3, 99, 10) and entries[257][1] == 77
+        assert out[end:] == payload
+
+    def test_no_gps_and_malformed_pass_through(self):
+        from htmlgraft.media import scrub_exif_gps
+
+        import struct
+        plain = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 10)
+            + struct.pack("<I", 0) + b"pp"
+        )
+        out, had, lat, lon, nb, na = scrub_exif_gps(plain)
+        assert out == plain and (had, nb, na) == (0, 1, 1)
+        junk = b"NOT-A-TIFF-AT-ALL"
+        out2, had2, *_ = scrub_exif_gps(junk)
+        assert out2 == junk and had2 == 0
