@@ -592,6 +592,7 @@ _GATE_FIRST = [
     "dedup_containment",
     "events_funnel",
     "media_exif_scrub",
+    "host_cocitation",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -688,6 +689,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": linkops.run_hits_hosts,
         "host_components": linkops.run_host_components,
         "host_triangles": linkops.run_host_triangles,
+        "host_cocitation": linkops.run_host_cocitation,
         "crawl_schedule": linkops.run_crawl_schedule,
         "anchor_text": linkops.run_anchor_text,
         "crawl_frontier": linkops.run_crawl_frontier,
@@ -913,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
             "hits_hosts": linkops.hits_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),
             "host_triangles": linkops.host_triangles_oracle_sql(),
+            "host_cocitation": linkops.host_cocitation_oracle_sql(),
             "crawl_schedule": linkops.crawl_schedule_oracle_sql(),
             "anchor_text": linkops.anchor_text_oracle_sql(),
             "ann_brute_topk": simops.ann_topk_sql(duck=True),

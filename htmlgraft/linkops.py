@@ -740,6 +740,75 @@ def triangles_sql(duck: bool, edges: str = "hedges") -> str:
     """
 
 
+FANIN_CAP = 16  # co-citation sources kept per destination (skew guard)
+
+
+def cocitation_sql(duck: bool, edges: str = "hedges") -> str:
+    """Co-citation host similarity (Small 1973, the other classic link
+    measure beside HITS/PageRank): two hosts are related when they link
+    to the same destinations — how a crawl finds mirror networks and
+    content farms sharing a partner ring.  The pair join is the classic
+    quadratic hazard (a destination with fan-in F yields F^2/2 pairs;
+    this corpus's popular partner host makes the skew real), so each
+    destination keeps only its top-{FANIN_CAP} strongest sources
+    (deterministic: link count desc, name asc) before the self-join —
+    the same bounded-pair contract as host_components' repeated-linkage
+    threshold, and the trade is explicit: pairs among a hub's weakest
+    sources are sacrificed, pairs through ordinary destinations are
+    exact.
+
+    cocite_milli = 1000 * shared / min(out-degree) — containment-style,
+    so a small host fully inside a big host's citation set scores 1000.
+
+    Scale: one per-destination window (bounded output, {FANIN_CAP} rows
+    per key), one capped self-join, hash aggs — never an uncapped
+    destination fan-out."""
+    div = "//" if duck else "div"
+    return f"""
+      uedges as (
+        select src_host as src, dst_host as dst, n_links
+        from {edges} where src_host <> dst_host
+      ),
+      capped as (
+        select dst, src from (
+          select dst, src,
+                 row_number() over (
+                   partition by dst order by n_links desc, src asc
+                 ) as rk
+          from uedges
+        ) r where rk <= {FANIN_CAP}
+      ),
+      outdeg as (
+        select src, count(distinct dst) as deg from uedges group by src
+      ),
+      pairs as (
+        select a.src as host_a, b.src as host_b,
+               cast(count(*) as bigint) as n_shared
+        from capped a join capped b
+          on a.dst = b.dst and a.src < b.src
+        group by a.src, b.src
+      )
+      select p.host_a, p.host_b, p.n_shared,
+             cast(da.deg as bigint) as deg_a,
+             cast(db.deg as bigint) as deg_b,
+             cast((1000 * p.n_shared) {div} least(da.deg, db.deg)
+                  as bigint) as cocite_milli
+      from pairs p
+      join outdeg da on da.src = p.host_a
+      join outdeg db on db.src = p.host_b
+      order by p.host_a, p.host_b
+    """
+
+
+def run_host_cocitation(spark, sf_dir: str) -> DataFrame:
+    # localCheckpoint: three consumers of the edge relation (capped twice
+    # via the self-join, outdeg) — the parse must run once
+    hostgraph_df(links_df(pages_df(spark, sf_dir))).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("hedges")
+    return spark.sql("with " + cocitation_sql(duck=False))
+
+
 def run_host_triangles(spark, sf_dir: str) -> DataFrame:
     # localCheckpoint the (small) edge relation: the triangle SQL
     # references it five times and Catalyst inlines CTEs — without this
@@ -994,6 +1063,24 @@ def hostgraph_oracle_sql() -> str:
              cast(count(*) as bigint) as n_links
       from resolved group by src, dst
     """
+    )
+
+
+def host_cocitation_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + """,
+      hedges as (
+        select src as src_host, dst as dst_host,
+               cast(count(*) as bigint) as n_links
+        from resolved group by 1, 2
+      ),
+"""
+        + cocitation_sql(duck=True)
     )
 
 

@@ -505,3 +505,57 @@ def test_host_triangles_pure_python_recompute(spark, sf_dir):
     assert g["a"] == (3, 3, 100) and g["b"] == (3, 3, 100)
     assert g["d"] == (4, 3, 50)   # K4 corner with the pendant edge
     assert g["e"] == (2, 0, 0) and g["f"] == (1, 0, 0)
+
+
+def test_host_cocitation_pure_python_recompute(spark, sf_dir):
+    """Co-citation pinned by full Python recompute including the
+    per-destination fan-in cap (strongest FANIN_CAP sources by link
+    count desc, name asc); the popular destination must actually exceed
+    the cap so the skew guard is exercised, and at least one capped-out
+    source must lose its pairs through that hub."""
+    from collections import defaultdict
+
+    from htmlgraft import linkops
+    from htmlgraft.corpus import pages_df
+    from htmlgraft.linkops import hostgraph_df, links_df
+
+    rows = linkops.run_host_cocitation(spark, sf_dir).collect()
+    edges = hostgraph_df(links_df(pages_df(spark, sf_dir))).collect()
+    ue = [(e["src_host"], e["dst_host"], e["n_links"]) for e in edges
+          if e["src_host"] != e["dst_host"]]
+
+    by_dst = defaultdict(list)
+    outdeg = defaultdict(set)
+    for s, d, n in ue:
+        by_dst[d].append((s, n))
+        outdeg[s].add(d)
+    capped = {
+        d: [s for s, _ in sorted(lst, key=lambda x: (-x[1], x[0]))
+            [:linkops.FANIN_CAP]]
+        for d, lst in by_dst.items()
+    }
+    assert any(len(lst) > linkops.FANIN_CAP for lst in by_dst.values()), (
+        "corpus must exercise the fan-in cap"
+    )
+    shared = defaultdict(int)
+    for d, srcs in capped.items():
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                shared[(a, b)] += 1
+    want = {
+        (a, b): (n, len(outdeg[a]), len(outdeg[b]),
+                 (1000 * n) // min(len(outdeg[a]), len(outdeg[b])))
+        for (a, b), n in shared.items()
+    }
+    got = {
+        (r["host_a"], r["host_b"]): (r["n_shared"], r["deg_a"], r["deg_b"],
+                                     r["cocite_milli"])
+        for r in rows
+    }
+    assert got == want
+    # a capped-out source loses pairs through the hub: exists some dst
+    # where the full source list is strictly larger than the kept list
+    hub = max(by_dst, key=lambda d: len(by_dst[d]))
+    dropped = {s for s, _ in by_dst[hub]} - set(capped[hub])
+    assert dropped
