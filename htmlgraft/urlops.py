@@ -884,6 +884,62 @@ def robots_parse_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+OPTOUT_AGENTS = ("*", "graftbot", "otherbot", "trainbot")
+
+
+def robots_optout_sql(duck: bool, docs: str = "documents") -> str:
+    """Crawler opt-out audit — the compliance report a training-data
+    pipeline runs before ingesting a host: for each agent of interest
+    (including one the robots.txt never names), which rule group applies
+    under RFC 9309 group selection (the agent's own group if present,
+    else ``*``), whether the site root is blocked, how many path rules
+    bind, and the crawl delay.  Layered directly on the
+    ``robots_parse_sql`` rules RELATION (the parser is the single source
+    of truth; this query adds only group selection + aggregation).
+
+    Root-blocked here means an exact ``Disallow: /`` in the selected
+    group (the synthesis carries no ``Allow: /``); full longest-match
+    path semantics live in ``robots_filter``, documented division of
+    labor.  Scale: the rules relation is |hosts|-bounded and tiny; the
+    agent list is a literal — everything after the parse is broadcast-
+    sized."""
+    inner = robots_parse_sql(duck, docs)
+    agents = " union all ".join(
+        f"select '{a}' as agent" for a in OPTOUT_AGENTS
+    )
+    return f"""
+      with rules as ({inner}),
+      want as ({agents}),
+      hosts as (select distinct host from rules),
+      self_g as (select distinct host, agent from rules),
+      pick as (
+        select h.host, w.agent,
+               case when s.agent is not null then w.agent else '*' end
+                 as grp
+        from hosts h
+        cross join want w
+        left join self_g s on s.host = h.host and s.agent = w.agent
+      ),
+      grules as (
+        select p.host, p.agent, p.grp, r.directive, r.value
+        from pick p
+        join rules r on r.host = p.host and r.agent = p.grp
+      )
+      select host, agent, min(grp) as group_used,
+             cast(max(case when directive = 'disallow' and value = '/'
+                      then 1 else 0 end) as bigint) as root_blocked,
+             cast(sum(case when directive in ('allow', 'disallow')
+                            and value <> '' then 1 else 0 end) as bigint)
+               as n_path_rules,
+             cast(coalesce(max(case when directive = 'crawl-delay'
+                               then cast(value as int) end), -1) as bigint)
+               as crawl_delay_s
+      from grules
+      group by host, agent
+      order by host, agent
+    """
+
+
 def feed_parse_sql(duck: bool, docs: str = "documents") -> str:
     """RSS/Atom feed PARSER — the fourth leg of crawl discovery next to
     robots_parse, sitemap_parse, and crawl_frontier: real crawlers poll

@@ -690,3 +690,31 @@ def test_warc_revisit_pure_python_recompute(spark, sf_dir):
     n_rev = sum(1 for v in want.values() if v[2] == "revisit")
     assert n_rev > 0, "unchanged tier must produce revisits"
     assert sum(1 for v in want.values() if v[2] == "response") > n_rev
+
+
+def test_robots_optout_semantics(spark, sf_dir):
+    """Group selection + audit semantics pinned against the known
+    synthesis: graftbot/otherbot share the explicit Disallow-/ group
+    (root_blocked=1, group_used=self), trainbot is never named and falls
+    back to the wildcard group (never root-blocked; family-dependent
+    rule counts; crawl-delay only in family 3), and '*' equals
+    trainbot's verdicts everywhere."""
+    from htmlgraft import urlops
+
+    rows = urlops.run(spark, sf_dir, urlops.robots_optout_sql).collect()
+    by = {(r["host"], r["agent"]): r for r in rows}
+    hosts = {r["host"] for r in rows}
+    assert hosts and len(by) == 4 * len(hosts)
+    for h in hosts:
+        for a in ("graftbot", "otherbot"):
+            r = by[(h, a)]
+            assert (r["group_used"], r["root_blocked"],
+                    r["n_path_rules"]) == (a, 1, 1), (h, a)
+        t = by[(h, "trainbot")]
+        w = by[(h, "*")]
+        assert t["group_used"] == "*" and w["group_used"] == "*"
+        for col in ("root_blocked", "n_path_rules", "crawl_delay_s"):
+            assert t[col] == w[col], (h, col)
+        assert t["root_blocked"] == 0
+        if t["crawl_delay_s"] != -1:
+            assert t["crawl_delay_s"] == 5
