@@ -348,6 +348,20 @@ def main() -> None:
                 spark, sf_dir, textops.filter_funnel_sql
             ).count(),
         )
+        timed(
+            "kn_ngram",  # persisted bigram-counts production runner
+            lambda: textops.run_kn_ngram(spark, sf_dir).count(),
+        )
+        timed(
+            "events_asof",
+            lambda: eventops.run(
+                spark, sf_dir, eventops.asof_join_sql
+            ).count(),
+        )
+        timed(
+            "ngram_novelty",  # persisted shingle production runner
+            lambda: textops.run_ngram_novelty(spark, sf_dir).count(),
+        )
         probes["ops"].append(_noise_probe())
     spark.stop()
 

@@ -48,6 +48,8 @@ ALLOWLIST = {
     "hist_quantiles",
     # same 16-row seeds literal cross join as dedup_minhash_lsh (audited)
     "dedup_containment",
+    # 4-row agents literal cross join onto the hosts relation (audited)
+    "robots_optout",
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
