@@ -594,6 +594,7 @@ _GATE_FIRST = [
     "media_exif_scrub",
     "host_cocitation",
     "robots_optout",
+    "hll_by_host",
     "epoch_shuffle",
     "heavy_hitters",
     "jsonl_roundtrip",
@@ -729,6 +730,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_delta": _urlop(urlops.recrawl_delta_sql),
         "warc_revisit": _urlop(urlops.warc_revisit_sql),
         "robots_optout": _urlop(urlops.robots_optout_sql),
+        "hll_by_host": _urlop(urlops.hll_by_host_sql),
         "domain_stats": _urlop(urlops.domain_stats_sql),
         "filter_funnel": _textop(textops.filter_funnel_sql),
         "dataset_split": _textop(textops.dataset_split_sql),
@@ -885,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             "recrawl_delta": urlops.recrawl_delta_sql(duck=True),
             "warc_revisit": urlops.warc_revisit_sql(duck=True),
             "robots_optout": urlops.robots_optout_sql(duck=True),
+            "hll_by_host": urlops.hll_by_host_sql(duck=True),
             "domain_stats": urlops.domain_stats_sql(duck=True),
             "filter_funnel": textops.filter_funnel_sql(duck=True),
             "charset_sniff": media.charset_sniff_sql(duck=True),

@@ -757,6 +757,81 @@ def hll_card_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+HLL_HOST_M = 16  # registers per host (per-group sketches stay tiny)
+HLL_HOST_ALPHA_NUM = int(0.673 * HLL_HOST_M * HLL_HOST_M * (1 << 32))
+
+
+def hll_by_host_sql(duck: bool, docs: str = "documents") -> str:
+    """GROUPED HyperLogLog: per-host distinct-url registers over the
+    recrawl capture multiset — the group-state form of ``hll_card`` and
+    the reason sketches exist at 10^12 rows: per-host distinct counts as
+    a {HLL_HOST_M}-integer vector per host that merges across
+    partitions, shards, and whole crawls by register-wise max (the
+    map-side combine IS the sketch), where count(distinct) per host
+    needs the full (host, url) shuffle every time.
+
+    Same float-free machinery as hll_card (suffix here is 28 bits ->
+    rho = 29 - binary-string length, 29 for zero); registers are
+    value-pinned per host via the order-joined md5, the raw estimate in
+    bigint fixed point (alpha_16 = 0.673); small-range correction lives
+    in the consumer (pinned in tests)."""
+    d = _d(duck)
+    div = "//" if duck else "div"
+    M = HLL_HOST_M
+    host = ("split_part(url, '/', 3)" if duck
+            else "element_at(split(url, '/'), 3)")
+    blen = ("length(printf('%b', suffix))" if duck
+            else "length(bin(suffix))")
+    rng = d["range_incl"].format("0", str(M - 1))
+    allb = (f"select unnest({rng}) as bucket" if duck
+            else f"select explode({rng}) as bucket")
+    regs_join = (
+        "md5(string_agg(cast(r as varchar), ',' order by bucket))" if duck
+        else "md5(array_join(transform(array_sort(collect_list("
+             "struct(bucket, r))), x -> cast(x.r as string)), ','))"
+    )
+    return f"""
+      with {_captures_cte(duck, docs)},
+      hu as (
+        select {host} as host, url, ({h32('url', duck)}) as hv from caps
+      ),
+      br as (
+        select host, hv % {M} as bucket,
+               case when suffix = 0 then 29 else 29 - {blen} end as rho
+        from (select host, hv, hv {div} {M} as suffix from hu)
+      ),
+      regs as (
+        select host, bucket, max(rho) as r from br group by host, bucket
+      ),
+      hosts as (select distinct host from hu),
+      full_regs as (
+        select h.host, a.bucket, coalesce(regs.r, 0) as r
+        from hosts h
+        cross join ({allb}) a
+        left join regs on regs.host = h.host and regs.bucket = a.bucket
+      ),
+      agg as (
+        select host,
+               sum({d['shl1'].format('(32 - r)')}) as den,
+               sum(case when r = 0 then 1 else 0 end) as v0,
+               sum(r) as register_sum,
+               {regs_join} as regs_md5
+        from full_regs group by host
+      ),
+      exact as (
+        select host, cast(count(distinct url) as bigint) as n_exact
+        from hu group by host
+      )
+      select e.host, e.n_exact,
+             cast({HLL_HOST_ALPHA_NUM} {div} a.den as bigint) as n_est_raw,
+             cast(a.v0 as bigint) as n_zero_registers,
+             cast(a.register_sum as bigint) as register_sum,
+             a.regs_md5
+      from exact e join agg a on a.host = e.host
+      order by e.host
+    """
+
+
 def run(spark, sf_dir: str, sql_builder, **kw):
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

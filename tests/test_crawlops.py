@@ -718,3 +718,68 @@ def test_robots_optout_semantics(spark, sf_dir):
         assert t["root_blocked"] == 0
         if t["crawl_delay_s"] != -1:
             assert t["crawl_delay_s"] == 5
+
+
+def test_hll_by_host_registers_and_mergeability(spark, sf_dir):
+    """Per-host registers pinned by pure-Python recompute (bucket, rho,
+    max) for EVERY host; the mergeability contract pinned by computing
+    the sketch over two arbitrary halves of the captures and
+    register-wise max-merging — must equal the full sketch exactly.
+    Linear-counting-corrected estimates (consumer-side float, like
+    hll_card) must land within 40% for every host with n_exact >= 8."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from htmlgraft import urlops
+
+    rows = urlops.run(spark, sf_dir, urlops.hll_by_host_sql).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect()
+    )
+    M = urlops.HLL_HOST_M
+    urls = []
+    for r in docs:
+        d = r["doc_id"]
+        host = ("popular.example.com" if d % 5 == 0
+                else f"site-{d % 211}.example.org")
+        # capture multiset repeats the url 1 + d%3 times; registers only
+        # see the distinct url once per value, so one entry suffices
+        urls.append((host, f"https://{host}/{r['source']}/{d}"))
+
+    def reg_of(pairs):
+        regs = defaultdict(lambda: [0] * M)
+        for host, u in pairs:
+            hv = int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+            bucket, suffix = hv % M, hv // M
+            rho = 29 if suffix == 0 else 29 - suffix.bit_length()
+            regs[host][bucket] = max(regs[host][bucket], rho)
+        return regs
+
+    full = reg_of(urls)
+    got = {r["host"]: r for r in rows}
+    assert set(got) == set(full)
+    for host, regs in full.items():
+        md5 = hashlib.md5(",".join(map(str, regs)).encode()).hexdigest()
+        assert got[host]["regs_md5"] == md5, host
+        assert got[host]["register_sum"] == sum(regs)
+
+    half = len(urls) // 2
+    a, b = reg_of(urls[:half]), reg_of(urls[half:])
+    merged = {
+        h: [max(a.get(h, [0] * M)[i], b.get(h, [0] * M)[i])
+            for i in range(M)]
+        for h in full
+    }
+    assert merged == dict(full)
+
+    for host, r in got.items():
+        n = r["n_exact"]
+        if n < 8:
+            continue
+        v0 = r["n_zero_registers"]
+        est = float(r["n_est_raw"])  # alpha*m^2 / sum(2^-r), natural units
+        if est <= 2.5 * M and v0 > 0:
+            est = M * math.log(M / v0)  # linear counting
+        assert abs(est - n) / n < 0.4, (host, n, est)
