@@ -50,6 +50,8 @@ ALLOWLIST = {
     "dedup_containment",
     # 4-row agents literal cross join onto the hosts relation (audited)
     "robots_optout",
+    # 16-row bucket literal cross join densifying per-host registers
+    "hll_by_host",
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
