@@ -569,76 +569,54 @@ def _urlop(builder):
 
 
 # The driver's correctness gate checks a bounded per-round subset of this
-# registry; order the entries so coverage debt drains first: queries never
-# driver-checked in any round (27 as of round 3, per VERDICT.md), the
-# round-2 red-then-fixed ann_recall, and everything NEW this round go to
-# the front, the long-green pipeline queries to the back.
+# registry (first 50); order the entries so coverage debt drains first.
+# Round-5 ordering per VERDICT.md §Next: (a) brand-new round-5 queries,
+# (b) ann_recall (r2 hash-fail, fix landed r3, never re-gated), (c) the 23
+# queries never driver-checked in any round, (d) everything whose last
+# driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
-    # new in round 4
-    "events_asof",
-    "events_range_join",
-    "pixel_phash",
-    "pixel_resize",
-    "source_temperature",
-    "kn_ngram",
-    "kn_heldout_score",
-    "dsir_weights",
-    "ngram_novelty",
-    "host_triangles",
-    "stream_window_metrics",
-    "warc_revisit",
-    "ann_pq_codes",
-    "ann_pq_topk",
-    "dedup_containment",
-    "events_funnel",
-    "media_exif_scrub",
-    "host_cocitation",
-    "robots_optout",
-    "hll_by_host",
-    "epoch_shuffle",
-    "heavy_hitters",
-    "jsonl_roundtrip",
-    "feed_parse",
-    "hist_quantiles",
-    "hits_hosts",
-    "cms_freq",
-    "hll_card",
-    "bloom_frontier",
-    "sitemap_parse",
-    "stream_dedup",
-    "dom_select",
-    "url_surt",
-    "warc_cdxj",
-    "wat_roundtrip",
-    "wat_export",
-    "wet_roundtrip",
-    "semdedup",
-    "warc_extract_text_http",
-    "extract_text_charsets",
-    "warc_extract_text_gz",
-    "dedup_simhash_idf",
-    "bpe_roundtrip",
-    "robots_parse",
-    "dataset_split",
-    "stream_host_sessions",
-    # never driver-checked through round 3 (+ ann_recall re-check)
-    "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
+    # new in round 5
+    "pixel_phash_jpeg",
+    "pixel_resize_jpeg",
+    "pixel_decode_audit",
+    # red in r2, fix landed r3, never re-gated since (simops.py ann_recall)
+    "ann_recall",
+    # never driver-checked in any round (r1-r4)
     "bpe_encode", "cdc_chunk", "charset_sniff", "corpus_filter",
     "dataset_card", "dedup_band_audit", "gopher_filter", "hash_embed",
     "inverted_index", "media_frame_sample", "media_resize",
     "ngram_collocations", "passage_chunk", "phrase_search", "pii_scrub",
     "ppl_bucket", "quality_classify", "seq_pack", "shard_pack",
     "source_mix", "substring_dedup", "text_normalize", "vocab_induct",
-    "ann_recall",
-    # checked only in round 2 (dtype-sensitive ones first)
+    # last driver evidence r2 or r1 (dtype-sensitive ANN/kmeans first)
     "kmeans_assign", "kmeans_centroids", "ann_brute_topk",
     "ann_lsh_buckets", "ann_lsh_topk", "ann_multilsh_topk",
     "ann_ivf_assign", "ann_ivf_topk", "embedding_neardup",
+    "lm_score", "repetition_stats", "stratified_sample", "decontaminate",
+    "events_hourly", "events_sessionize", "events_top_users",
+    "media_features", "pdf_extract_text", "tpch_pricing_summary",
+    "tpch_segment_stats", "tpch_region_rollup", "tpch_top_parts",
+    "events_rollup",
+    # green in r3, two rounds stale
     "dedup_incremental", "dedup_pipeline", "dedup_recall",
-    "winnow_fingerprint", "lm_score", "repetition_stats",
-    "keyword_extract", "stratified_sample", "decontaminate",
-    "latest_snapshot", "recrawl_delta", "domain_stats",
-    "crawl_schedule", "host_components", "anchor_text",
+    "winnow_fingerprint", "keyword_extract", "latest_snapshot",
+    "recrawl_delta", "domain_stats", "crawl_schedule", "host_components",
+    "anchor_text",
+    # green in r4 (freshest evidence — drain last)
+    "events_asof", "events_range_join", "pixel_phash", "pixel_resize",
+    "source_temperature", "kn_ngram", "kn_heldout_score", "dsir_weights",
+    "ngram_novelty", "host_triangles", "stream_window_metrics",
+    "warc_revisit", "ann_pq_codes", "ann_pq_topk", "dedup_containment",
+    "events_funnel", "media_exif_scrub", "host_cocitation",
+    "robots_optout", "hll_by_host", "epoch_shuffle", "heavy_hitters",
+    "jsonl_roundtrip", "feed_parse", "hist_quantiles", "hits_hosts",
+    "cms_freq", "hll_card", "bloom_frontier", "sitemap_parse",
+    "stream_dedup", "dom_select", "url_surt", "warc_cdxj",
+    "wat_roundtrip", "wat_export", "wet_roundtrip", "semdedup",
+    "warc_extract_text_http", "extract_text_charsets",
+    "warc_extract_text_gz", "dedup_simhash_idf", "bpe_roundtrip",
+    "robots_parse", "dataset_split", "stream_host_sessions",
+    "badwords_filter", "bm25_search", "bpe_train", "bpe_vocab",
 ]
 
 
