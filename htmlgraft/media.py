@@ -991,11 +991,28 @@ def exif_media_df(spark, sf_dir: str) -> DataFrame:
 
 
 def scrub_exif_gps(blob: bytes):
-    """Remove the GPS sub-IFD (and its IFD0 pointer entry) from a TIFF
-    stream, preserving every other entry and the payload byte-for-byte.
-    Returns (scrubbed_blob, had_gps, lat, lon, n_before, n_after); on
-    unparseable input the blob passes through untouched (crawl data is
-    hostile — a scrubber must never corrupt what it cannot parse)."""
+    """Remove the GPS sub-IFD from a TIFF stream without ever SILENTLY
+    retaining coordinate bytes (this is a privacy pass over hostile crawl
+    data — the worst failure mode is reporting a scrub that did not
+    happen).  Three lanes, strictest first:
+
+    1. RESTRUCTURE (drop the IFD0 GPS-pointer entry, splice out the GPS
+       sub-IFD): taken only when the sub-IFD parsed completely AND sits
+       contiguously at IFD0's end (``gps_off == ifd_end``) AND every
+       other IFD0 entry is a count-1 SHORT/LONG (so the rebuilt IFD
+       carries them losslessly and no offset-valued entry dangles).
+    2. ZERO-IN-PLACE: sub-IFD parsed completely but the restructure
+       preconditions fail — overwrite the sub-IFD bytes with zeros
+       (coordinates destroyed; the re-parsed GPS IFD reads 0 entries),
+       leaving every other byte identical.  ``n_after == n_before``
+       because the pointer entry remains (now aimed at a zeroed region).
+    3. PASS-THROUGH with ``had_gps=2``: the GPS pointer exists but the
+       sub-IFD cannot be located/parsed — the blob is returned untouched
+       and the DISTINCT status says "GPS present, NOT scrubbed" so a
+       caller can quarantine rather than ship it.
+
+    Returns (scrubbed_blob, had_gps, lat, lon, n_before, n_after) where
+    had_gps is 0 (no GPS), 1 (scrubbed), or 2 (present, unscrubbed)."""
     got = _tiff_ifd(blob)
     if got is None:
         return blob, 0, -1, -1, -1, -1
@@ -1004,26 +1021,41 @@ def scrub_exif_gps(blob: bytes):
     if GPS_IFD_TAG not in entries:
         return blob, 0, -1, -1, n_before, n_before
     gps_off = entries[GPS_IFD_TAG][1]
+    # Parse the GPS sub-IFD; any bounds failure means we cannot locate the
+    # coordinate bytes, so no lane may claim a scrub (lane 3).
+    if gps_off < end or gps_off + 2 > len(blob):
+        return blob, 2, -1, -1, n_before, n_before
+    n_gps = struct.unpack(fmt + "H", blob[gps_off:gps_off + 2])[0]
+    gps_end = gps_off + 2 + 12 * n_gps + 4
+    if gps_end > len(blob):
+        return blob, 2, -1, -1, n_before, n_before
     lat = lon = -1
-    payload_start = end
-    if gps_off + 2 <= len(blob):
-        n_gps = struct.unpack(fmt + "H", blob[gps_off:gps_off + 2])[0]
-        gps_end = gps_off + 2 + 12 * n_gps + 4
-        if gps_end <= len(blob):
-            for i in range(n_gps):
-                e = gps_off + 2 + 12 * i
-                tag, typ = struct.unpack(fmt + "HH", blob[e:e + 4])
-                if typ == 4:
-                    v = struct.unpack(fmt + "I", blob[e + 8:e + 12])[0]
-                elif typ == 3:
-                    v = struct.unpack(fmt + "H", blob[e + 8:e + 10])[0]
-                else:
-                    continue
-                if tag == GPS_LAT_TAG:
-                    lat = v
-                elif tag == GPS_LON_TAG:
-                    lon = v
-            payload_start = max(end, gps_end)
+    for i in range(n_gps):
+        e = gps_off + 2 + 12 * i
+        tag, typ = struct.unpack(fmt + "HH", blob[e:e + 4])
+        if typ == 4:
+            v = struct.unpack(fmt + "I", blob[e + 8:e + 12])[0]
+        elif typ == 3:
+            v = struct.unpack(fmt + "H", blob[e + 8:e + 10])[0]
+        else:
+            continue
+        if tag == GPS_LAT_TAG:
+            lat = v
+        elif tag == GPS_LON_TAG:
+            lon = v
+    # Restructure preconditions: contiguous sub-IFD, IFD0 fully
+    # representable (declared count all parsed, every entry count == 1 so
+    # inline SHORT/LONG values survive the rebuild verbatim).
+    off0 = struct.unpack(fmt + "I", blob[4:8])[0]
+    n_declared = struct.unpack(fmt + "H", blob[off0:off0 + 2])[0]
+    counts_ok = all(
+        struct.unpack(fmt + "I", blob[e + 4:e + 8])[0] == 1
+        for _, (_, _, e) in entries.items()
+    )
+    if gps_off != end or n_declared != n_before or not counts_ok:
+        out = bytearray(blob)
+        out[gps_off:gps_end] = bytes(gps_end - gps_off)  # lane 2
+        return bytes(out), 1, lat, lon, n_before, n_before
     keep = [(t, typ, val) for t, (typ, val, _) in sorted(entries.items())
             if t != GPS_IFD_TAG]
     out = bytearray()
@@ -1038,7 +1070,7 @@ def scrub_exif_gps(blob: bytes):
         else:
             out += struct.pack(fmt + "I", val)
     out += struct.pack(fmt + "I", 0)
-    out += blob[payload_start:]
+    out += blob[gps_end:]
     return bytes(out), 1, lat, lon, n_before, len(keep)
 
 

@@ -215,23 +215,32 @@ def _run_stream_query(spark, sf_dir: str, build, final_select,
         stage_df = pages_df(spark, sf_dir).select(
             "url", "warc_ts", "html", "text", "lang"
         )
-    stage_df.repartition(4).write.parquet(drop)
-    q = start_results_sink(
-        build(stream_pages(spark, drop, max_files_per_trigger=2)), out, ckpt
-    )
     try:
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming query did not finish within 600s; sink is partial"
-            )
-    except Exception:
-        if q.isActive:
-            q.stop()
-        raise
-    rows = final_select(spark.read.parquet(out)).localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return rows
+        stage_df.repartition(4).write.parquet(drop)
+        q = start_results_sink(
+            build(stream_pages(spark, drop, max_files_per_trigger=2)),
+            out, ckpt,
+        )
+        try:
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "streaming query did not finish within 600s; "
+                    "sink is partial"
+                )
+        except Exception:
+            if q.isActive:
+                q.stop()
+            raise
+        # localCheckpoint cuts lineage INSIDE the try: once it returns, the
+        # rows no longer reference the temp tree, and the finally can
+        # remove it on success and failure alike (a failed run otherwise
+        # leaks the full staged corpus per invocation on a shared box).
+        return final_select(spark.read.parquet(out)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def run_stream_dedup(spark, sf_dir: str) -> DataFrame:
@@ -384,44 +393,50 @@ def run_stream_window_metrics(spark, sf_dir: str) -> DataFrame:
         ).alias("warc_ts"),
         "html", "text", "lang",
     )
-    p.repartition(4).write.parquet(drop)
-    time.sleep(2)  # distinct mtime: the file source must see this last
-    spark.range(1).select(
-        F.lit("sentinel://wm").alias("url"),
-        F.expr(f"timestamp_seconds({WINDOW_BASE_ES} + 86400)")
-        .alias("warc_ts"),
-        F.lit(bytearray(b"")).cast("binary").alias("html"),
-        F.lit("").alias("text"),
-        F.lit("__wm__").alias("lang"),
-    ).coalesce(1).write.mode("append").parquet(drop)
-    q = start_metrics_sink(
-        windowed_metrics(stream_pages(spark, drop, max_files_per_trigger=2)),
-        out, ckpt,
-    )
     try:
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming query did not finish within 600s; sink is partial"
-            )
-    except Exception:
-        if q.isActive:
-            q.stop()
-        raise
-    rows = (
-        spark.read.parquet(out)
-        .where(F.col("lang") != "__wm__")
-        .select(
-            F.unix_timestamp("hour").cast("bigint").alias("hour_es"),
-            "lang",
-            F.col("n_pages").cast("bigint").alias("n_pages"),
-            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        p.repartition(4).write.parquet(drop)
+        time.sleep(2)  # distinct mtime: the file source must see this last
+        spark.range(1).select(
+            F.lit("sentinel://wm").alias("url"),
+            F.expr(f"timestamp_seconds({WINDOW_BASE_ES} + 86400)")
+            .alias("warc_ts"),
+            F.lit(bytearray(b"")).cast("binary").alias("html"),
+            F.lit("").alias("text"),
+            F.lit("__wm__").alias("lang"),
+        ).coalesce(1).write.mode("append").parquet(drop)
+        q = start_metrics_sink(
+            windowed_metrics(
+                stream_pages(spark, drop, max_files_per_trigger=2)
+            ),
+            out, ckpt,
         )
-        .orderBy("hour_es", "lang")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    return rows
+        try:
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "streaming query did not finish within 600s; "
+                    "sink is partial"
+                )
+        except Exception:
+            if q.isActive:
+                q.stop()
+            raise
+        # lineage cut inside the try; cleanup in finally so a timed-out or
+        # failed run does not leak the staged parquet tree.
+        return (
+            spark.read.parquet(out)
+            .where(F.col("lang") != "__wm__")
+            .select(
+                F.unix_timestamp("hour").cast("bigint").alias("hour_es"),
+                "lang",
+                F.col("n_pages").cast("bigint").alias("n_pages"),
+                F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            )
+            .orderBy("hour_es", "lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def stream_window_metrics_oracle_sql() -> str:

@@ -390,3 +390,102 @@ class TestExifScrub:
         junk = b"NOT-A-TIFF-AT-ALL"
         out2, had2, *_ = scrub_exif_gps(junk)
         assert out2 == junk and had2 == 0
+
+    def _ifd0(self, gps_ptr, n_extra=0):
+        import struct
+        n = 3 + n_extra
+        head = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 640)
+            + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+        )
+        from htmlgraft.media import GPS_IFD_TAG
+        head += struct.pack("<HHI", GPS_IFD_TAG, 4, 1) + struct.pack(
+            "<I", gps_ptr
+        )
+        return head
+
+    def test_truncated_gps_ifd_is_never_claimed_scrubbed(self):
+        """The privacy regression: a GPS pointer whose sub-IFD fails its
+        bounds check must pass the blob through with the DISTINCT had=2
+        status — never report a scrub while the coordinate bytes remain."""
+        import struct
+
+        from htmlgraft.media import scrub_exif_gps
+
+        # pointer past EOF entirely
+        blob = self._ifd0(gps_ptr=9999) + struct.pack("<I", 0) + b"payload"
+        out, had, lat, lon, nb, na = scrub_exif_gps(blob)
+        assert out == blob and (had, lat, lon, nb, na) == (2, -1, -1, 3, 3)
+        # sub-IFD starts in-bounds but its declared entries run past EOF
+        blob2 = (
+            self._ifd0(gps_ptr=50) + struct.pack("<I", 0)
+            + struct.pack("<H", 200) + b"\x01\x02"
+        )
+        out2, had2, *_ = scrub_exif_gps(blob2)
+        assert out2 == blob2 and had2 == 2
+        # pointer aimed INSIDE IFD0 (hostile): zeroing would corrupt IFD0
+        blob3 = self._ifd0(gps_ptr=8) + struct.pack("<I", 0) + b"pp"
+        out3, had3, *_ = scrub_exif_gps(blob3)
+        assert out3 == blob3 and had3 == 2
+
+    def test_noncontiguous_gps_is_zeroed_in_place(self):
+        """GPS sub-IFD parseable but not at IFD0's end: the restructure
+        would splice away the gap bytes, so the scrub must instead zero
+        the sub-IFD in place and keep every other byte identical."""
+        import struct
+
+        from htmlgraft.media import _tiff_ifd, scrub_exif_gps
+
+        gap = b"GAPBYTES"
+        # IFD0 ends at 50; GPS IFD at 58 (after an 8-byte gap)
+        gps = (
+            struct.pack("<H", 2)
+            + struct.pack("<HHI", 2, 4, 1) + struct.pack("<I", 37)
+            + struct.pack("<HHI", 4, 4, 1) + struct.pack("<I", 122)
+            + struct.pack("<I", 0)
+        )
+        blob = (
+            self._ifd0(gps_ptr=58) + struct.pack("<I", 0) + gap + gps
+            + b"PAYLOAD"
+        )
+        out, had, lat, lon, nb, na = scrub_exif_gps(blob)
+        assert (had, lat, lon, nb, na) == (1, 37, 122, 3, 3)
+        assert len(out) == len(blob)
+        assert out[:50 + 8] == blob[:50 + 8]          # header + gap intact
+        assert out[58:58 + len(gps)] == bytes(len(gps))  # coords destroyed
+        assert out[58 + len(gps):] == b"PAYLOAD"
+        # the re-parsed GPS IFD reads zero entries at the old pointer
+        fmt, entries, _ = _tiff_ifd(out)
+        gps_off = entries[34853][1]
+        assert struct.unpack("<H", out[gps_off:gps_off + 2])[0] == 0
+
+    def test_unrepresentable_ifd0_entry_forces_in_place_lane(self):
+        """An ASCII (type-2) entry in IFD0 cannot survive the SHORT/LONG
+        rebuild; the scrub must take the zero-in-place lane so the entry's
+        raw record (and its pointed-at bytes) stay byte-identical."""
+        import struct
+
+        from htmlgraft.media import GPS_IFD_TAG, scrub_exif_gps
+
+        # IFD0 @8 with 4 entries (ends at 8+2+48+4 = 62); ASCII Make tag
+        # points at 80, GPS IFD contiguous at 62.
+        ascii_rec = struct.pack("<HHI", 271, 2, 6) + struct.pack("<I", 80)
+        blob = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 4)
+            + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 640)
+            + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+            + ascii_rec
+            + struct.pack("<HHI", GPS_IFD_TAG, 4, 1) + struct.pack("<I", 62)
+            + struct.pack("<I", 0)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 2, 4, 1) + struct.pack("<I", 41)
+            + struct.pack("<I", 0)   # GPS ends at 62+2+12+4 = 80
+            + b"Nikon\x00tail"
+        )
+        out, had, lat, lon, nb, na = scrub_exif_gps(blob)
+        assert (had, lat) == (1, 41)
+        assert len(out) == len(blob)
+        assert out[:62] == blob[:62]            # IFD0 + ASCII record intact
+        assert out[62:80] == bytes(18)          # GPS IFD zeroed
+        assert out[80:] == b"Nikon\x00tail"     # ASCII value not spliced
