@@ -781,6 +781,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": media.media_frame_sample,
         "pixel_phash": pixelops.pixel_phash,
         "pixel_resize": pixelops.pixel_resize,
+        "pixel_phash_jpeg": pixelops.pixel_phash_jpeg,
+        "pixel_resize_jpeg": pixelops.pixel_resize_jpeg,
+        "pixel_decode_audit": pixelops.pixel_decode_audit,
         "charset_sniff": _textop(media.charset_sniff_sql),
         # PDF layout parse (binary column -> content-stream text extraction)
         "pdf_extract_text": pdfops.pdf_extract_text,
@@ -927,6 +930,9 @@ def oracle_sql() -> dict[str, str]:
             "media_frame_sample": media.media_frame_sample_oracle_sql(),
             "pixel_phash": pixelops.pixel_phash_oracle_sql(),
             "pixel_resize": pixelops.pixel_resize_oracle_sql(),
+            "pixel_phash_jpeg": pixelops.pixel_phash_jpeg_oracle_sql(),
+            "pixel_resize_jpeg": pixelops.pixel_resize_jpeg_oracle_sql(),
+            "pixel_decode_audit": pixelops.pixel_decode_audit_oracle_sql(),
             "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
             "tpch_segment_stats": relops.segment_stats_sql(duck=True),

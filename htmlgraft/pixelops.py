@@ -423,3 +423,350 @@ def pixel_resize_oracle_sql(docs: str = "documents") -> str:
       group by doc_id, w, h, nw, nh
       order by doc_id
     """
+
+
+# --- JPEG tier (round 5): real baseline codec, exact coefficient-domain oracle
+
+# Per-block quantized coefficients as pure functions of (base, block index):
+# DC plus ACs at zigzag 1 (u=1,v=0), 2 (u=0,v=1... natural (1,0)) and 9
+# (natural (3,0)) — adjacent ACs, a 6-zero run, and cross-block DC deltas up
+# to +-48, so the DPCM chain, run/size coding, and multi-length Huffman
+# codes are all genuinely exercised.  Dims reuse the PNG tier's 12..28 x
+# 9..21 (NOT multiples of 8 — MCU padding and edge cropping are live).
+_J_DC = "((({b} * 5 + {nb} * 3) % 33) - 16)"
+_J_A1 = "((({b} + {nb}) % 7) - 3)"
+_J_A2 = "((({b} * 2 + {nb}) % 5) - 2)"
+_J_A9 = "((({b} * 3 + {nb}) % 5) - 2)"
+_T1_SQL = "([1004, 851, 569, 200, -200, -569, -851, -1004])"
+_T3_SQL = "([851, -200, -1004, -569, 569, 1004, 200, -851])"
+
+
+def synth_jpeg_coeffs(doc_id: int):
+    """(w, h, zigzag-ordered quantized blocks) for the synthetic JPEG."""
+    base, w, h = synth_dims(doc_id)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    blocks = []
+    for nb in range(bw * bh):
+        zz = [0] * 64
+        zz[0] = ((base * 5 + nb * 3) % 33) - 16
+        zz[1] = ((base + nb) % 7) - 3
+        zz[2] = ((base * 2 + nb) % 5) - 2
+        zz[9] = ((base * 3 + nb) % 5) - 2
+        blocks.append(zz)
+    return w, h, blocks
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    from htmlgraft import jpegops
+
+    w, h, blocks = synth_jpeg_coeffs(doc_id)
+    return jpegops.encode_jpeg_gray_coeffs(w, h, blocks)
+
+
+def jpeg_pixel(doc_id: int, x: int, y: int) -> int:
+    """Closed-form decoded pixel (the Python twin of the SQL template):
+    dequantize the four nonzero coefficients with Annex-K Q values
+    (16/11/12/14 at their natural positions) and apply the jpegops
+    fixed-point IDCT contract."""
+    from htmlgraft.jpegops import IDCT_T
+
+    base, w, h = synth_dims(doc_id)
+    bw = (w + 7) // 8
+    nb = (y // 8) * bw + (x // 8)
+    xr, yr = x % 8, y % 8
+    dcq = ((base * 5 + nb * 3) % 33) - 16
+    a1 = ((base + nb) % 7) - 3
+    a2 = ((base * 2 + nb) % 5) - 2
+    a9 = ((base * 3 + nb) % 5) - 2
+    val = (dcq * 16 * 724 * 724
+           + a1 * 11 * IDCT_T[1][xr] * 724
+           + a2 * 12 * 724 * IDCT_T[1][yr]
+           + a9 * 14 * 724 * IDCT_T[3][yr])
+    return max(0, min(255, ((val + (1 << 21)) >> 22) + 128))
+
+
+def _jpix_sql(x: str, y: str) -> str:
+    """SQL expression for the decoded JPEG pixel at integer coords
+    (``x``, ``y``) — requires ``b`` and ``w`` in scope.  floor of a
+    power-of-two float division is exact here (|val| < 2^31 << 2^52), and
+    matches the decoder's arithmetic shift bit for bit."""
+    nb = f"((({y}) // 8) * ((w + 7) // 8) + (({x}) // 8))"
+    xr, yr = f"(({x}) % 8)", f"(({y}) % 8)"
+    val = (
+        f"({_J_DC.format(b='b', nb=nb)} * 8386816"
+        f" + {_J_A1.format(b='b', nb=nb)} * 11 * ({_T1_SQL}[{xr} + 1]) * 724"
+        f" + {_J_A2.format(b='b', nb=nb)} * 12 * 724 * ({_T1_SQL}[{yr} + 1])"
+        f" + {_J_A9.format(b='b', nb=nb)} * 14 * 724 * ({_T3_SQL}[{yr} + 1])"
+        ")"
+    )
+    return (f"greatest(0, least(255, cast(floor(({val} + 2097152)"
+            " / 4194304.0) as bigint) + 128))")
+
+
+def _jpeg_synth_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "jpeg": [synth_jpeg(d) for d in ids],
+        })
+
+
+_JPEG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("jpeg", BinaryType()),
+])
+
+
+def jpeg_corpus(spark, sf_dir: str) -> DataFrame:
+    """Deterministic real-JPEG corpus keyed by doc_id (coefficients from
+    the closed-form formulas, container from the real entropy encoder)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_jpeg_synth_batch, _JPEG_SCHEMA)
+
+
+def _jphash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.jpegops import decode_jpeg_luma
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "px_sum",
+                               "phash")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+            w, h, bpp, px = decode_jpeg_luma(bytes(blob))
+            assert bpp == 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_phash_jpeg(spark, sf_dir: str) -> DataFrame:
+    """Gated query: real-JPEG encode -> FULL baseline decode (Huffman,
+    DPCM, dequant, integer IDCT, crop) -> dHash -> hash-group keeper.
+    Same map-only shape as pixel_phash; the decode runs the luma fast
+    path (identical to the full decode for greyscale)."""
+    decoded = jpeg_corpus(spark, sf_dir).mapInPandas(
+        _jphash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_jpeg_oracle_sql(docs: str = "documents") -> str:
+    """Decoded plane, sum, and dHash restated from the coefficient
+    synthesis formulas + the fixed-point IDCT contract — no JPEG bytes
+    anywhere, so the whole marker/Huffman/stuffing/dequant/IDCT/crop
+    chain is pinned by value."""
+    pix = _jpix_sql("x", "y")
+    samp = _jpix_sql("(gx * w) // 9", "(gy * h) // 8")
+    samp1 = _jpix_sql("((gx + 1) * w) // 9", "(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({pix}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """
+
+
+def _jresize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.jpegops import decode_jpeg_gray
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "new_width", "new_height", "px_sum",
+        )}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+            w, h, _, px = decode_jpeg_gray(bytes(blob))
+            new_w, new_h = max(1, w * 2 // 3), max(1, h * 2 // 3)
+            res = bytearray(new_w * new_h)
+            for y2 in range(new_h):
+                sy = y2 * h // new_h
+                for x2 in range(new_w):
+                    res[y2 * new_w + x2] = px[sy * w + (x2 * w // new_w)]
+            # lossless re-encode (PNG) so the second decode pins the
+            # resample bytes exactly — a JPEG re-encode would re-quantize
+            reenc = encode_png(new_w, new_h, bytes(res))
+            w2, h2, bpp2, px2 = decode_png_pixels(reenc)
+            assert (w2, h2, bpp2) == (new_w, new_h, 1)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["new_width"].append(new_w)
+            out["new_height"].append(new_h)
+            out["px_sum"].append(sum(px2))
+        yield pd.DataFrame(out)
+
+
+def pixel_resize_jpeg(spark, sf_dir: str) -> DataFrame:
+    """Gated query: real-JPEG decode -> NN resample to (2w/3, 2h/3) ->
+    lossless PNG re-encode -> decode AGAIN -> pixel sum of the final
+    decode.  Chains both codecs; map-only end to end."""
+    return jpeg_corpus(spark, sf_dir).mapInPandas(
+        _jresize_batch, _RESIZE_SCHEMA).orderBy("doc_id")
+
+
+def pixel_resize_jpeg_oracle_sql(docs: str = "documents") -> str:
+    """JPEG-pixel formula at the resample's source coordinates."""
+    pix = _jpix_sql("(x2 * w) // nw", "(y2 * h) // nh")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
+               greatest(1, ({_PW} * 2) // 3) as nw,
+               greatest(1, ({_PH} * 2) // 3) as nh
+        from {docs}
+      )
+      select doc_id, cast(w as bigint) as width, cast(h as bigint) as height,
+             cast(nw as bigint) as new_width, cast(nh as bigint) as new_height,
+             cast(sum({pix}) as bigint) as px_sum
+      from imgs, unnest(range(0, nw)) as tx(x2), unnest(range(0, nh)) as ty(y2)
+      group by doc_id, w, h, nw, nh
+      order by doc_id
+    """
+
+
+# --- decode-audit: mixed-format dispatch + error lanes under one oracle -------
+
+_AUDIT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("ok", LongType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def _truncated_jpeg(doc_id: int) -> bytes:
+    """A real synthetic JPEG cut 6 bytes into its entropy segment —
+    every image here needs >= 4 blocks (~5 entropy bytes each), so the
+    decoder must hit bit-reader exhaustion, never a silent short plane."""
+    full = synth_jpeg(doc_id)
+    pos = full.find(b"\xff\xda")
+    ln = struct.unpack(">H", full[pos + 2:pos + 4])[0]
+    return full[:pos + 2 + ln + 6]
+
+
+def _audit_synth(doc_id: int) -> bytes:
+    m = doc_id % 4
+    if m == 0:
+        return encode_png(*synth_pixels(doc_id))
+    if m == 1:
+        return synth_jpeg(doc_id)
+    if m == 2:
+        return _truncated_jpeg(doc_id)
+    return b"JUNK" + str(doc_id).encode()
+
+
+def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.jpegops import decode_jpeg_luma
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "fmt", "ok", "px_sum")}
+        for doc_id in pdf["doc_id"]:
+            blob = _audit_synth(int(doc_id))
+            if blob[:8] == _SIG:
+                fmt = "png"
+            elif blob[:2] == b"\xff\xd8":
+                fmt = "jpeg"
+            else:
+                fmt = "unknown"
+            ok, px_sum = 0, -1
+            try:
+                if fmt == "png":
+                    w, h, _, px = decode_png_pixels(blob)
+                    ok, px_sum = 1, sum(px)
+                elif fmt == "jpeg":
+                    w, h, _, px = decode_jpeg_luma(blob)
+                    ok, px_sum = 1, sum(px)
+            except (ValueError, NotImplementedError):
+                ok, px_sum = 0, -1
+            out["doc_id"].append(int(doc_id))
+            out["fmt"].append(fmt)
+            out["ok"].append(ok)
+            out["px_sum"].append(px_sum)
+        yield pd.DataFrame(out)
+
+
+def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
+    """Gated query: the crawl-reality lane — a mixed corpus (PNG, JPEG,
+    TRUNCATED JPEG, junk bytes) through magic-byte dispatch and both real
+    decoders, reporting per-doc format/status/pixel-sum.  Pins that a
+    corrupt member yields a loud per-row error status, never a silently
+    wrong plane (the property that matters when 10^12 hostile documents
+    flow through mapInPandas).  Map-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_audit_batch, _AUDIT_SCHEMA).orderBy("doc_id")
+
+
+def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
+    """Every lane restated: PNG sums from the pixel formula, JPEG sums
+    from the coefficient/IDCT formula, error lanes pinned to (0, -1)."""
+    png_sum = "(b * 37 + x * 7 + y * 13) % 251"
+    jpg_sum = _jpix_sql("x", "y")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h from {docs}
+      ),
+      psums as (
+        select im.doc_id, sum({png_sum}) as s
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        where im.doc_id % 4 = 0
+        group by im.doc_id
+      ),
+      jsums as (
+        select im.doc_id, sum({jpg_sum}) as s
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        where im.doc_id % 4 = 1
+        group by im.doc_id
+      )
+      select im.doc_id,
+             case when im.doc_id % 4 = 0 then 'png'
+                  when im.doc_id % 4 in (1, 2) then 'jpeg'
+                  else 'unknown' end as fmt,
+             cast(case when im.doc_id % 4 <= 1 then 1 else 0 end as bigint)
+               as ok,
+             cast(coalesce(p.s, j.s, -1) as bigint) as px_sum
+      from imgs im
+      left join psums p on p.doc_id = im.doc_id
+      left join jsums j on j.doc_id = im.doc_id
+      order by im.doc_id
+    """
