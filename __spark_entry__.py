@@ -579,6 +579,9 @@ _GATE_FIRST = [
     "pixel_phash_jpeg",
     "pixel_resize_jpeg",
     "pixel_decode_audit",
+    "pixel_neardup",
+    "pixel_phash_gif",
+    "audio_pcm_features",
     # red in r2, fix landed r3, never re-gated since (simops.py ann_recall)
     "ann_recall",
     # never driver-checked in any round (r1-r4)
@@ -784,6 +787,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_phash_jpeg": pixelops.pixel_phash_jpeg,
         "pixel_resize_jpeg": pixelops.pixel_resize_jpeg,
         "pixel_decode_audit": pixelops.pixel_decode_audit,
+        "pixel_neardup": pixelops.pixel_neardup,
+        "pixel_phash_gif": pixelops.pixel_phash_gif,
+        "audio_pcm_features": media.audio_pcm_features,
         "charset_sniff": _textop(media.charset_sniff_sql),
         # PDF layout parse (binary column -> content-stream text extraction)
         "pdf_extract_text": pdfops.pdf_extract_text,
@@ -933,6 +939,9 @@ def oracle_sql() -> dict[str, str]:
             "pixel_phash_jpeg": pixelops.pixel_phash_jpeg_oracle_sql(),
             "pixel_resize_jpeg": pixelops.pixel_resize_jpeg_oracle_sql(),
             "pixel_decode_audit": pixelops.pixel_decode_audit_oracle_sql(),
+            "pixel_neardup": pixelops.pixel_neardup_oracle_sql(),
+            "pixel_phash_gif": pixelops.pixel_phash_gif_oracle_sql(),
+            "audio_pcm_features": media.audio_pcm_features_oracle_sql(),
             "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),
             "tpch_segment_stats": relops.segment_stats_sql(duck=True),

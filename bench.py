@@ -237,7 +237,7 @@ def main() -> None:
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from htmlgraft import eventops, linkops, simops, textops
+    from htmlgraft import eventops, linkops, pixelops, simops, textops
 
     pages_path = _stage_corpus(spark, sf_dir, sf, mult)
     pages = spark.read.parquet(pages_path)
@@ -361,6 +361,13 @@ def main() -> None:
         timed(
             "ngram_novelty",  # persisted shingle production runner
             lambda: textops.run_ngram_novelty(spark, sf_dir).count(),
+        )
+        timed(
+            # round-5 JPEG tier: real entropy encode -> full baseline
+            # decode (Huffman + DPCM + dequant + integer IDCT) -> dHash;
+            # times the dominant crawl-image perceptual-dedup path
+            "pixel_phash_jpeg",
+            lambda: pixelops.pixel_phash_jpeg(spark, sf_dir).count(),
         )
         probes["ops"].append(_noise_probe())
     spark.stop()

@@ -527,16 +527,34 @@ RESIZE_MAX_H = 512
 
 def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
     """Pixel-level resampling: REAL for PNG (full zlib decode, unfilter,
-    nearest-neighbour sample, re-encode — see ``pixelops``, which gates the
-    whole chain by value against a formula oracle).  JPEG/GIF/TIFF remain
-    honest stubs: their entropy decoders (DCT / LZW) would need codec
-    libraries absent in this environment."""
+    nearest-neighbour sample, re-encode — see ``pixelops``, gated by a
+    formula oracle) and, since round 5, REAL for greyscale baseline JPEG
+    (``jpegops`` full entropy decode -> NN sample -> forward-DCT
+    re-encode; lossy by nature, so round trips are bounded-error rather
+    than exact — the exact-value gate for the JPEG chain is
+    ``pixel_resize_jpeg``, which re-encodes losslessly via PNG).  Colour
+    JPEG re-encode, GIF, and TIFF remain honest stubs: colour needs a
+    pixel-domain colour encoder and GIF's LZW / TIFF's codecs are absent
+    in this environment."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from htmlgraft import pixelops
 
         return pixelops.resample_png(blob, new_w, new_h)
+    if blob[:2] == b"\xff\xd8":
+        from htmlgraft import jpegops
+
+        w, h, channels, px = jpegops.decode_jpeg(blob)
+        if channels != 1:
+            raise NotImplementedError(
+                "colour JPEG re-encode needs a pixel-domain colour encoder")
+        out = bytearray(new_w * new_h)
+        for y2 in range(new_h):
+            sy = y2 * h // new_h
+            for x2 in range(new_w):
+                out[y2 * new_w + x2] = px[sy * w + (x2 * w // new_w)]
+        return jpegops.encode_jpeg_gray(new_w, new_h, bytes(out))
     raise NotImplementedError(
-        "pixel resampling beyond PNG needs an image codec")
+        "pixel resampling beyond PNG/greyscale-JPEG needs an image codec")
 
 
 def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):
@@ -1125,5 +1143,128 @@ def media_exif_scrub_oracle_sql(docs: str = "documents") -> str:
              cast({_H} as bigint) as height,
              md5(text) as payload_md5
       from {docs} where doc_id % 3 = 0
+      order by doc_id
+    """
+
+
+# --- audio PCM tier (round 5): real sample decode, no codec needed -----------
+#
+# WAV was header-parse-only ("sample decode needs a codec" does not hold
+# for PCM — the samples ARE the bytes).  This tier synthesizes real RIFF
+# 16-bit mono PCM from a closed-form integer waveform, decodes the ACTUAL
+# bytes back (RIFF chunk walk + little-endian two's-complement unpack),
+# and reduces to integer features a relational oracle restates from the
+# waveform formula: any slip in the RIFF layout, byte order, sign
+# handling, or the feature folds shows up as a value mismatch.
+
+AUDIO_RATE = 8000
+_A_BASE = "(doc_id % 11)"
+_A_N = "(256 + (doc_id % 7) * 37)"
+_A_S = "((({b} * 37 + {i} * 53) % 201) - 100)"   # 16-bit-safe, oscillating
+
+
+def synth_wav_pcm(doc_id: int) -> bytes:
+    """Real RIFF/WAVE mono 16-bit PCM stream for the synthetic waveform
+    sample[i] = ((b*37 + i*53) % 201) - 100, b = doc_id % 11."""
+    b = doc_id % 11
+    n = 256 + (doc_id % 7) * 37
+    data = struct.pack(f"<{n}h",
+                       *(((b * 37 + i * 53) % 201) - 100 for i in range(n)))
+    fmt = struct.pack("<HHIIHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(blob: bytes):
+    """(sample_rate, channels, samples) — RIFF walk via ``parse_wav``
+    for the header, then a 16-bit little-endian two's-complement unpack
+    of the data chunk.  Non-PCM or non-16-bit streams raise (documented
+    scope: compressed WAV encodings need codecs this environment lacks)."""
+    got = parse_wav(blob)
+    if got is None:
+        raise ValueError("not a RIFF/WAVE stream")
+    rate, channels, frames, data_off = got
+    fmt_code, bits = None, None
+    i, n = 12, len(blob)
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            fmt_code = struct.unpack("<H", blob[i + 8:i + 10])[0]
+            bits = struct.unpack("<H", blob[i + 22:i + 24])[0]
+        i += 8 + size + (size & 1)
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decoded here (fmt={fmt_code}, "
+            f"bits={bits})")
+    count = frames * (channels or 1)
+    samples = struct.unpack_from(f"<{count}h", blob, data_off)
+    return rate, channels, samples
+
+
+_AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("abs_sum", LongType()),
+    StructField("energy", LongType()),
+    StructField("peak", LongType()),
+    StructField("zero_cross", LongType()),
+])
+
+
+def _audio_batch(batches) -> "Iterator[pd.DataFrame]":
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                               "abs_sum", "energy", "peak", "zero_cross")}
+        for doc_id in pdf["doc_id"]:
+            blob = synth_wav_pcm(int(doc_id))
+            rate, _ch, s = decode_wav_pcm(blob)
+            zc = sum(1 for i in range(1, len(s))
+                     if (s[i] >= 0) != (s[i - 1] >= 0))
+            out["doc_id"].append(int(doc_id))
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(len(s))
+            out["abs_sum"].append(sum(abs(v) for v in s))
+            out["energy"].append(sum(v * v for v in s))
+            out["peak"].append(max(abs(v) for v in s))
+            out["zero_cross"].append(zc)
+        yield pd.DataFrame(out)
+
+
+def audio_pcm_features(spark, sf_dir: str) -> DataFrame:
+    """Gated query: real WAV PCM encode -> decode -> integer audio
+    features (abs-sum, energy, peak, zero crossings).  Map-only
+    mapInPandas end to end (one Arrow batch pass, no shuffle); the same
+    partition-parallel shape as the image decode tier, and the binary
+    payload never leaves the executor."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_audio_batch, _AUDIO_SCHEMA).orderBy("doc_id")
+
+
+def audio_pcm_features_oracle_sql(docs: str = "documents") -> str:
+    """Every feature restated from the waveform formula; zero crossings
+    compare s(i) with the closed-form s(i-1) — no window needed."""
+    s = _A_S.format(b="b", i="i")
+    s_prev = _A_S.format(b="b", i="(i - 1)")
+    return f"""
+      with d as (
+        select doc_id, {_A_BASE} as b, {_A_N} as n from {docs}
+      ),
+      smp as (
+        select d.doc_id, t.i, {s} as s, {s_prev} as sp
+        from d, unnest(range(0, n)) as t(i)
+      )
+      select doc_id,
+             cast({AUDIO_RATE} as bigint) as sample_rate,
+             cast(count(*) as bigint) as n_samples,
+             cast(sum(abs(s)) as bigint) as abs_sum,
+             cast(sum(s * s) as bigint) as energy,
+             cast(max(abs(s)) as bigint) as peak,
+             cast(sum(case when i > 0 and (s >= 0) <> (sp >= 0)
+                      then 1 else 0 end) as bigint) as zero_cross
+      from smp group by doc_id
       order by doc_id
     """

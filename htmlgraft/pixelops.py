@@ -1,10 +1,12 @@
-"""Real pixel tier for PNG: decode, resample, and perceptual-hash dedup.
+"""Real pixel tier: decode, resample, and perceptual-hash dedup over the
+three dominant crawl-image formats (PNG here; baseline JPEG via
+jpegops.py; GIF via gifops.py — each a real pure-Python codec gated by a
+closed-form value oracle).
 
-PNG is the one raster format whose full pixel decode needs nothing beyond
-the standard library — the container is zlib (RFC 1950/1951) over five
-per-row predictive filters (PNG spec §6: None/Sub/Up/Average/Paeth) — so
-unlike JPEG (DCT) or GIF (LZW tables) the "needs an image codec" stub can
-be closed honestly here:
+PNG's pixel decode needs nothing beyond the standard library — the
+container is zlib (RFC 1950/1951) over five per-row predictive filters
+(PNG spec §6: None/Sub/Up/Average/Paeth) — so the "needs an image codec"
+stub closes honestly here:
 
 - ``encode_png`` — real writer: signature, IHDR, zlib-deflated IDAT with
   the row filter CYCLING through all five types (so a decoder that gets
@@ -673,6 +675,134 @@ _AUDIT_SCHEMA = StructType([
 ])
 
 
+# --- GIF tier: real LZW codec (gifops.py), same gate pattern as PNG ----------
+#
+# A DISTINCT pixel formula and geometry from the PNG tier so a formula
+# copy-paste slip in either oracle cannot hide; the larger planes (up to
+# 38x27 = 1026 px) push the LZW dictionary past 512 entries, so 10-bit
+# code widths are live in the gated corpus (pinned in tests).
+
+_GW = f"(16 + ({_BASE} * 9) % 23)"    # 16..38
+_GH = f"(11 + ({_BASE} * 7) % 17)"    # 11..27
+_GPIX = "(({b} * 41 + {x} * 11 + {y} * 5) % 247)"
+
+
+def _gpix(base: int, x: int, y: int) -> int:
+    return (base * 41 + x * 11 + y * 5) % 247
+
+
+def synth_gif_pixels(doc_id: int):
+    """(width, height, greyscale bytes) for the GIF-tier image of doc_id."""
+    base = doc_id % PHASH_BASES
+    w, h = 16 + (base * 9) % 23, 11 + (base * 7) % 17
+    return w, h, bytes(_gpix(base, x, y) for y in range(h) for x in range(w))
+
+
+_GIF_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("gif", BinaryType()),
+])
+
+
+def _gif_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.gifops import encode_gif
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "gif": [encode_gif(*synth_gif_pixels(d)) for d in ids],
+        })
+
+
+def gif_corpus(spark, sf_dir: str) -> DataFrame:
+    """Deterministic real-GIF corpus keyed by doc_id (pixels from the
+    closed-form formula, container + LZW from the real encoder)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_gif_synth_batch, _GIF_SCHEMA)
+
+
+def _gphash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.gifops import decode_gif_pixels
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "phash")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["gif"]):
+            w, h, bpp, px = decode_gif_pixels(bytes(blob))
+            assert bpp == 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_phash_gif(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real GIFs (LZW, extensions, greyscale GCT) ->
+    decode the actual bytes -> dHash -> hash-group keeper.  Same
+    map-only-then-one-bounded-window shape as the PNG/JPEG tiers; the
+    oracle recomputes pixels from the closed-form formula so any slip in
+    LZW width growth, sub-block framing, palette mapping, or extension
+    skipping shows up as a value mismatch."""
+    decoded = gif_corpus(spark, sf_dir).mapInPandas(
+        _gphash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_gif_oracle_sql(docs: str = "documents") -> str:
+    """The GIF-tier pixel plane, sum, and dHash restated straight from
+    the synthesis formula — no GIF bytes anywhere, so the whole
+    LZW/framing/palette round trip is pinned by value."""
+    g = "(b * 41 + {x} * 11 + {y} * 5) % 247"
+    samp = g.format(x="(gx * w) // 9", y="(gy * h) // 8")
+    samp1 = g.format(x="((gx + 1) * w) // 9", y="(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_GW} as w, {_GH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """
+
+
 def _truncated_jpeg(doc_id: int) -> bytes:
     """A real synthetic JPEG cut 6 bytes into its entropy segment —
     every image here needs >= 4 blocks (~5 entropy bytes each), so the
@@ -683,18 +813,36 @@ def _truncated_jpeg(doc_id: int) -> bytes:
     return full[:pos + 2 + ln + 6]
 
 
+def _truncated_gif(doc_id: int) -> bytes:
+    """A real synthetic GIF with its last 10 bytes removed: the cut lands
+    inside the final LZW sub-block (or its framing) and removes the block
+    terminator + trailer, so the sub-block walker must raise — the
+    original framing is intact up to the cut and the only 0x00 terminator
+    was at the removed end."""
+    from htmlgraft.gifops import encode_gif
+
+    return encode_gif(*synth_gif_pixels(doc_id))[:-10]
+
+
 def _audit_synth(doc_id: int) -> bytes:
-    m = doc_id % 4
+    m = doc_id % 6
     if m == 0:
         return encode_png(*synth_pixels(doc_id))
     if m == 1:
         return synth_jpeg(doc_id)
     if m == 2:
+        from htmlgraft.gifops import encode_gif
+
+        return encode_gif(*synth_gif_pixels(doc_id))
+    if m == 3:
         return _truncated_jpeg(doc_id)
+    if m == 4:
+        return _truncated_gif(doc_id)
     return b"JUNK" + str(doc_id).encode()
 
 
 def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.gifops import decode_gif_pixels
     from htmlgraft.jpegops import decode_jpeg_luma
 
     for pdf in batches:
@@ -705,6 +853,8 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 fmt = "png"
             elif blob[:2] == b"\xff\xd8":
                 fmt = "jpeg"
+            elif blob[:4] == b"GIF8":
+                fmt = "gif"
             else:
                 fmt = "unknown"
             ok, px_sum = 0, -1
@@ -714,6 +864,9 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ok, px_sum = 1, sum(px)
                 elif fmt == "jpeg":
                     w, h, _, px = decode_jpeg_luma(blob)
+                    ok, px_sum = 1, sum(px)
+                elif fmt == "gif":
+                    w, h, _, px = decode_gif_pixels(blob)
                     ok, px_sum = 1, sum(px)
             except (ValueError, NotImplementedError):
                 ok, px_sum = 0, -1
@@ -726,47 +879,285 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
     """Gated query: the crawl-reality lane — a mixed corpus (PNG, JPEG,
-    TRUNCATED JPEG, junk bytes) through magic-byte dispatch and both real
-    decoders, reporting per-doc format/status/pixel-sum.  Pins that a
-    corrupt member yields a loud per-row error status, never a silently
-    wrong plane (the property that matters when 10^12 hostile documents
-    flow through mapInPandas).  Map-only."""
+    GIF, TRUNCATED JPEG, TRUNCATED GIF, junk bytes) through magic-byte
+    dispatch and all three real decoders, reporting per-doc
+    format/status/pixel-sum.  Pins that a corrupt member yields a loud
+    per-row error status, never a silently wrong plane (the property that
+    matters when 10^12 hostile documents flow through mapInPandas).
+    Map-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(_audit_batch, _AUDIT_SCHEMA).orderBy("doc_id")
 
 
 def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
     """Every lane restated: PNG sums from the pixel formula, JPEG sums
-    from the coefficient/IDCT formula, error lanes pinned to (0, -1)."""
+    from the coefficient/IDCT formula, GIF sums from the GIF-tier
+    formula, error lanes pinned to (0, -1)."""
     png_sum = "(b * 37 + x * 7 + y * 13) % 251"
+    gif_sum = "(b * 41 + x * 11 + y * 5) % 247"
     jpg_sum = _jpix_sql("x", "y")
     return f"""
       with imgs as (
-        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h from {docs}
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
+               {_GW} as gw, {_GH} as gh
+        from {docs}
       ),
       psums as (
         select im.doc_id, sum({png_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 4 = 0
+        where im.doc_id % 6 = 0
         group by im.doc_id
       ),
       jsums as (
         select im.doc_id, sum({jpg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 4 = 1
+        where im.doc_id % 6 = 1
+        group by im.doc_id
+      ),
+      gsums as (
+        select im.doc_id, sum({gif_sum}) as s
+        from imgs im, unnest(range(0, gw)) as tx(x),
+             unnest(range(0, gh)) as ty(y)
+        where im.doc_id % 6 = 2
         group by im.doc_id
       )
       select im.doc_id,
-             case when im.doc_id % 4 = 0 then 'png'
-                  when im.doc_id % 4 in (1, 2) then 'jpeg'
+             case when im.doc_id % 6 = 0 then 'png'
+                  when im.doc_id % 6 in (1, 3) then 'jpeg'
+                  when im.doc_id % 6 in (2, 4) then 'gif'
                   else 'unknown' end as fmt,
-             cast(case when im.doc_id % 4 <= 1 then 1 else 0 end as bigint)
+             cast(case when im.doc_id % 6 <= 2 then 1 else 0 end as bigint)
                as ok,
-             cast(coalesce(p.s, j.s, -1) as bigint) as px_sum
+             cast(coalesce(p.s, j.s, g.s, -1) as bigint) as px_sum
       from imgs im
       left join psums p on p.doc_id = im.doc_id
       left join jsums j on j.doc_id = im.doc_id
+      left join gsums g on g.doc_id = im.doc_id
       order by im.doc_id
+    """
+
+
+# --- perceptual NEAR-dup: hamming-banded LSH over the 64-bit dHash ----------
+#
+# pixel_phash groups EXACT hash equality; real perceptual dedup needs
+# hamming-radius matching.  Pigeonhole banding makes it join-shaped: split
+# the 64-bit dHash into 4 bands of 16 bits — any pair within hamming
+# NEARDUP_HAM_MAX=3 differs in at most 3 bands, so it MUST agree on at
+# least one, and an equi-join on (band, value) finds every such pair
+# without an all-pairs comparison (same Broder-style banding argument the
+# text MinHash/SimHash operators use; the exact hamming filter then runs
+# JVM-side as bit_count over the candidates only).
+
+NEARDUP_VARIANTS = 5      # doc_id % 5 selects the perturbation strength
+NEARDUP_HAM_MAX = 3       # 4 bands of 16 bits guarantee recall at <= 3
+
+
+def synth_jpeg_neardup_coeffs(doc_id: int):
+    """Near-dup JPEG corpus: the exact-dup coefficients of
+    ``synth_jpeg_coeffs`` with ONE perturbation — block 0's zigzag-9 AC
+    gains ``doc_id % NEARDUP_VARIANTS``.  Measured offline (deterministic,
+    pinned in tests): within a base class the variants' dHashes sit at
+    hamming 0..5 from v=0, so the corpus contains exact dups, true
+    near-dups (<= 3), band-candidates that the exact filter rejects
+    (> 3), and singletons — every branch of the operator is live."""
+    w, h, blocks = synth_jpeg_coeffs(doc_id)
+    blocks[0][9] += doc_id % NEARDUP_VARIANTS
+    return w, h, blocks
+
+
+def _jneardup_synth_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft import jpegops
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "jpeg": [jpegops.encode_jpeg_gray_coeffs(
+                *synth_jpeg_neardup_coeffs(d)) for d in ids],
+        })
+
+
+_NHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash", StringType()),
+])
+
+
+def _jnhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.jpegops import decode_jpeg_luma
+
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["jpeg"]):
+            w, h, _, px = decode_jpeg_luma(bytes(blob))
+            out["doc_id"].append(int(doc_id))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def _band_val(i: int, col: str = "phash"):
+    """16-bit band i of the hex dHash as a bigint column (hex chars
+    4i+1..4i+4; conv() handles the a-f digits)."""
+    return F.conv(F.substring(col, i * 4 + 1, 4), 16, 10).cast("long")
+
+
+def pixel_neardup(spark, sf_dir: str) -> DataFrame:
+    """Gated query: perceptual near-dup dedup over real JPEGs — decode ->
+    dHash -> 4x16-bit band explode -> (band, value) equi-join for
+    candidates -> exact hamming filter (bit_count of band XORs) at radius
+    {NEARDUP_HAM_MAX} -> per-doc min-neighbor keeper.
+
+    Scale shape: the decode+hash pass is materialized ONCE
+    (localCheckpoint — three relational consumers would otherwise re-run
+    the Python decode), candidates come only from shared band buckets
+    (never all-pairs; the equi-join shuffle is O(memberships)), and the
+    hamming filter runs JVM-side on candidates only.  Hot band buckets at
+    crawl scale are exact-dup families — production would cap bucket size
+    exactly like textops.SIMHASH_BUCKET_CAP's overflow lane; this corpus's
+    buckets are bounded by construction (dup groups of ~n/35).
+
+    Output (integers/strings only): doc_id, phash, n_band_cand (distinct
+    docs sharing >= 1 band), n_near (within hamming radius), keeper (min
+    doc_id among self + near neighbors — the standard non-transitive LSH
+    dedup decision; connected-component closure is dedup_clusters'
+    separately-gated job), dup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    hashes = (docs.mapInPandas(_jneardup_synth_batch, _JPEG_SCHEMA)
+              .mapInPandas(_jnhash_batch, _NHASH_SCHEMA)
+              .localCheckpoint())
+    bands = hashes.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), _band_val(i).alias("val"))
+            for i in range(4)
+        ])).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "val"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("partner"))
+        .distinct()
+    )
+    scored = (
+        cand
+        .join(hashes.withColumnRenamed("phash", "phash_a"), "doc_id")
+        .join(hashes.select(F.col("doc_id").alias("partner"),
+                            F.col("phash").alias("phash_b")), "partner")
+        .withColumn("ham", F.expr(" + ".join(
+            f"bit_count(cast(conv(substring(phash_a, {i*4+1}, 4), 16, 10)"
+            f" as long) ^ cast(conv(substring(phash_b, {i*4+1}, 4), 16, 10)"
+            " as long))"
+            for i in range(4)
+        )))
+    )
+    near = F.col("ham") <= NEARDUP_HAM_MAX
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_band_cand"),
+        F.sum(near.cast("long")).alias("n_near"),
+        F.min(F.when(near, F.col("partner"))).alias("min_near"),
+    )
+    return (
+        hashes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "phash",
+            F.coalesce("n_band_cand", F.lit(0)).alias("n_band_cand"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.least("doc_id", F.coalesce("min_near", "doc_id"))
+            .alias("keeper"),
+        )
+        .withColumn("dup",
+                    (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def _jpix_neardup_sql(x: str, y: str) -> str:
+    """The decoded-pixel formula of ``_jpix_sql`` with the near-dup
+    perturbation: block 0's A9 coefficient gains ``v`` (requires ``b``,
+    ``w``, ``v`` in scope)."""
+    nb = f"((({y}) // 8) * ((w + 7) // 8) + (({x}) // 8))"
+    xr, yr = f"(({x}) % 8)", f"(({y}) % 8)"
+    a9 = (f"({_J_A9.format(b='b', nb=nb)}"
+          f" + (case when {nb} = 0 then v else 0 end))")
+    val = (
+        f"({_J_DC.format(b='b', nb=nb)} * 8386816"
+        f" + {_J_A1.format(b='b', nb=nb)} * 11 * ({_T1_SQL}[{xr} + 1]) * 724"
+        f" + {_J_A2.format(b='b', nb=nb)} * 12 * 724 * ({_T1_SQL}[{yr} + 1])"
+        f" + {a9} * 14 * 724 * ({_T3_SQL}[{yr} + 1])"
+        ")"
+    )
+    return (f"greatest(0, least(255, cast(floor(({val} + 2097152)"
+            " / 4194304.0) as bigint) + 128))")
+
+
+def pixel_neardup_oracle_sql(docs: str = "documents") -> str:
+    """Everything restated relationally from the perturbed coefficient
+    formulas: dHash row bytes from closed-form pixels, the same 4x16-bit
+    banding, the same exact-hamming filter (xor + bit_count on row
+    bytes), the same min-neighbor keeper — no JPEG bytes anywhere."""
+    samp = _jpix_neardup_sql("(gx * w) // 9", "(gy * h) // 8")
+    samp1 = _jpix_neardup_sql("((gx + 1) * w) // 9", "(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
+               doc_id % {NEARDUP_VARIANTS} as v
+        from {docs}
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      ),
+      bands as (
+        select doc_id, row // 2 as band,
+               sum(rowbyte * case when row % 2 = 0 then 256 else 1 end)
+                 as val
+        from bits group by doc_id, row // 2
+      ),
+      cand as (
+        select distinct a.doc_id, b.doc_id as partner
+        from bands a join bands b using (band, val)
+        where a.doc_id <> b.doc_id
+      ),
+      scored as (
+        select c.doc_id, c.partner,
+               sum(bit_count(xor(ba.rowbyte, bb.rowbyte))) as ham
+        from cand c
+        join bits ba on ba.doc_id = c.doc_id
+        join bits bb on bb.doc_id = c.partner and bb.row = ba.row
+        group by c.doc_id, c.partner
+      ),
+      per_doc as (
+        select doc_id, count(*) as n_band_cand,
+               sum(case when ham <= {NEARDUP_HAM_MAX} then 1 else 0 end)
+                 as n_near,
+               min(case when ham <= {NEARDUP_HAM_MAX} then partner end)
+                 as min_near
+        from scored group by doc_id
+      )
+      select h.doc_id, h.phash,
+             cast(coalesce(p.n_band_cand, 0) as bigint) as n_band_cand,
+             cast(coalesce(p.n_near, 0) as bigint) as n_near,
+             least(h.doc_id, coalesce(p.min_near, h.doc_id)) as keeper,
+             cast(case when h.doc_id <> least(h.doc_id,
+                    coalesce(p.min_near, h.doc_id)) then 1 else 0 end
+                  as bigint) as dup
+      from hashes h
+      left join per_doc p on p.doc_id = h.doc_id
+      order by h.doc_id
     """

@@ -1666,7 +1666,15 @@ def host_cap_sql(duck: bool, docs: str = "documents") -> str:
     lane (any global top-K doc is necessarily in its own lane's top K, so
     no survivor is lost); phase 2 re-ranks the <= K*lanes survivors per
     host.  The heavy host's window shrinks from its full document count to
-    {HOST_CAP_K}*{HOST_CAP_LANES} rows; both shuffles stay O(n)."""
+    {HOST_CAP_K}*{HOST_CAP_LANES} rows; both shuffles stay O(n).
+
+    Which branch the gated scale factors exercise (measured 2026-08-19):
+    at sf0.001/sf0.01 (the driver's gate sfs) exactly ONE host — the
+    constructed heavy host, 100 docs — exceeds K=8, so the lane-prune +
+    drop branch fires for it while the other 211 hosts take the
+    keep-everything branch; at sf0.1 every host (hottest 1000 docs)
+    exceeds the cap, exercising the all-hosts-saturated branch.  Both
+    regimes sweep green (ROUND5.md)."""
     from .corpus import HOST_EXPR, HOST_EXPR_DUCK
 
     host = HOST_EXPR_DUCK if duck else HOST_EXPR
@@ -4002,7 +4010,15 @@ def dedup_band_audit_sql(duck: bool, docs: str = "documents") -> str:
 
     Scale: two bucket-size aggs (map-side combined); everything downstream
     runs on bucket-size relations (~n_docs-bounded) and their distinct
-    VALUE domain."""
+    VALUE domain.
+
+    Which branch the gated scale factors exercise (measured 2026-08-19):
+    the SIMHASH_BUCKET_CAP=64 overflow re-banding lane in
+    `simhash_neardup_sql` fires at EVERY gated sf — max simhash byte
+    bucket is 167/142/1543 at sf0.001/0.01/0.1 (vs minhash max 6/3/16,
+    which never overflows) — so the audited distribution always includes
+    the regime the guard exists for, and sf0.1 adds the
+    order-of-magnitude-hotter saturation point."""
     iv = "//" if duck else "div"
     return f"""
       with {duped_docs_cte(duck, docs)},

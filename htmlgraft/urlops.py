@@ -713,7 +713,14 @@ def hll_card_sql(duck: bool, docs: str = "documents") -> str:
     alpha_m2_scaled div sum(2^(32-r)) in bigint fixed point, and the full
     register vector is pinned by an order-joined md5.  The small-range
     (linear-counting) correction needs ln() — float, so it lives in the
-    consumer (pinned in tests by a pure-Python recompute), not the gate."""
+    consumer (pinned in tests by a pure-Python recompute), not the gate.
+
+    Which branch the gated scale factors exercise (measured 2026-08-19):
+    at sf0.001/sf0.01 the raw estimate (552) sits BELOW the 2.5*m = 640
+    small-range threshold with 36 zero registers, so a consumer takes the
+    linear-counting branch; at sf0.1 the estimate (4827) is above it with
+    0 zero registers — the raw-HLL branch.  The driver gate therefore pins
+    the register relation under both correction regimes across its sfs."""
     d = _d(duck)
     s = d["str"]
     div = "//" if duck else "div"

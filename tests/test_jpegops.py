@@ -231,3 +231,86 @@ def test_truncated_synth_jpeg_is_loud():
     blob = P._truncated_jpeg(5)
     with pytest.raises(ValueError):
         J.decode_jpeg_luma(blob)
+
+
+# --- pixel_neardup corpus pins (pure Python, no Spark) -------------------------
+
+def _neardup_hash(doc_id: int) -> str:
+    """Real-codec path: perturbed coefficients -> entropy encode -> full
+    baseline decode -> dHash."""
+    w, h, blocks = P.synth_jpeg_neardup_coeffs(doc_id)
+    blob = J.encode_jpeg_gray_coeffs(w, h, blocks)
+    w2, h2, bpp, px = J.decode_jpeg_luma(blob)
+    assert (w2, h2, bpp) == (w, h, 1)
+    return P.dhash_gray(w, h, px)
+
+
+def _neardup_hash_closed_form(doc_id: int) -> str:
+    """Oracle twin: pixels recomputed from the perturbed coefficient
+    formulas + the fixed-point IDCT contract, never touching JPEG bytes
+    (the Python restatement of pixel_neardup_oracle_sql's pixel term)."""
+    base, w, h = P.synth_dims(doc_id)
+    v = doc_id % P.NEARDUP_VARIANTS
+    bw = (w + 7) // 8
+
+    def pix(x, y):
+        nb = (y // 8) * bw + (x // 8)
+        xr, yr = x % 8, y % 8
+        dcq = ((base * 5 + nb * 3) % 33) - 16
+        a1 = ((base + nb) % 7) - 3
+        a2 = ((base * 2 + nb) % 5) - 2
+        a9 = ((base * 3 + nb) % 5) - 2 + (v if nb == 0 else 0)
+        val = (dcq * 16 * 724 * 724
+               + a1 * 11 * J.IDCT_T[1][xr] * 724
+               + a2 * 12 * 724 * J.IDCT_T[1][yr]
+               + a9 * 14 * 724 * J.IDCT_T[3][yr])
+        return max(0, min(255, ((val + (1 << 21)) >> 22) + 128))
+
+    px = bytes(pix(x, y) for y in range(h) for x in range(w))
+    return P.dhash_gray(w, h, px)
+
+
+def _ham(h1: str, h2: str) -> int:
+    return bin(int(h1, 16) ^ int(h2, 16)).count("1")
+
+
+def test_neardup_decode_matches_closed_form():
+    for doc_id in range(40):
+        assert _neardup_hash(doc_id) == _neardup_hash_closed_form(doc_id)
+
+
+def test_neardup_corpus_hamming_spectrum():
+    """The corpus must exercise every operator branch: exact dups,
+    true near-dups (0 < ham <= 3, incl. the radius boundary), and
+    band-candidates the exact filter REJECTS (ham > 3).  doc_ids 0, 21,
+    7, 28, 14 all share base class 0 (doc_id % 7 == 0) with perturbation
+    v = doc_id % 5 of 0, 1, 2, 3, 4 — pinned offline 2026-08-19."""
+    h = {v: _neardup_hash(d) for v, d in
+         [(0, 0), (1, 21), (2, 7), (3, 28), (4, 14)]}
+    assert _ham(h[0], h[1]) == 1            # near
+    assert _ham(h[0], h[2]) == 3            # near, AT the radius boundary
+    assert _ham(h[0], h[3]) == 4            # rejected by the exact filter
+    assert _ham(h[0], h[4]) == 5            # rejected
+    assert _neardup_hash(0) == _neardup_hash(35)   # exact dup (b0, v0)
+
+
+def test_neardup_banding_guarantees_radius_recall():
+    """Pigeonhole: any pair within hamming NEARDUP_HAM_MAX must share at
+    least one of the four 16-bit bands (checked over every same-base pair
+    in the first 70 doc_ids — the recall property the band join relies
+    on, plus at least one such pair sharing NO band beyond the radius)."""
+    hashes = {d: _neardup_hash(d) for d in range(70)}
+    bands = {d: [h[i * 4:i * 4 + 4] for i in range(4)]
+             for d, h in hashes.items()}
+    checked = rejected_no_share = 0
+    for a in range(70):
+        for b in range(a + 1, 70):
+            if a % 7 != b % 7:
+                continue
+            share = any(x == y for x, y in zip(bands[a], bands[b]))
+            if _ham(hashes[a], hashes[b]) <= P.NEARDUP_HAM_MAX:
+                assert share, (a, b)
+                checked += 1
+            elif not share:
+                rejected_no_share += 1
+    assert checked > 0

@@ -206,13 +206,15 @@ def test_rewrite_gif_and_jpeg_dims():
 
 
 def test_resample_and_decode_are_honest_stubs():
-    """Non-PNG resample and video frame decode stay honest stubs (PNG
-    resample is real — see test_pixelops)."""
+    """GIF/TIFF resample and video frame decode stay honest stubs (PNG
+    and greyscale-JPEG resample are real — see test_pixelops).  The
+    synthetic header-only JPEG is a TRUNCATED stream to the real decoder
+    now, so it fails loudly as invalid data rather than as scope."""
     import pytest
 
     with pytest.raises(NotImplementedError):
         media.resample_pixels(b"", 1, 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         media.resample_pixels(_jpg(8, 8), 4, 4)
     with pytest.raises(NotImplementedError):
         media.decode_frame(b"", 0)
@@ -489,3 +491,28 @@ class TestExifScrub:
         assert out[:62] == blob[:62]            # IFD0 + ASCII record intact
         assert out[62:80] == bytes(18)          # GPS IFD zeroed
         assert out[80:] == b"Nikon\x00tail"     # ASCII value not spliced
+
+
+def test_wav_pcm_roundtrip_and_features():
+    """Real RIFF encode -> decode round trip plus a hand-computed
+    feature pin for one document."""
+    blob = media.synth_wav_pcm(3)
+    rate, channels, s = media.decode_wav_pcm(blob)
+    assert (rate, channels) == (media.AUDIO_RATE, 1)
+    b, n = 3 % 11, 256 + (3 % 7) * 37
+    assert len(s) == n
+    assert list(s) == [((b * 37 + i * 53) % 201) - 100 for i in range(n)]
+
+
+def test_wav_pcm_decode_error_lanes():
+    import pytest
+    import struct as _s
+
+    with pytest.raises(ValueError):
+        media.decode_wav_pcm(b"RIFX----WAVE")
+    # 8-bit PCM: real container, undecoded scope -> loud NotImplementedError
+    blob = bytearray(media.synth_wav_pcm(1))
+    fmt_off = blob.find(b"fmt ") + 8
+    blob[fmt_off + 14:fmt_off + 16] = _s.pack("<H", 8)
+    with pytest.raises(NotImplementedError):
+        media.decode_wav_pcm(bytes(blob))

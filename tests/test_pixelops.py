@@ -107,8 +107,15 @@ def test_media_resample_pixels_dispatch():
     blob = P.encode_png(w, h, px)
     out = resample_pixels(blob, 5, 4)
     assert P.decode_png_pixels(out)[:2] == (5, 4)
-    with pytest.raises(NotImplementedError):
-        resample_pixels(b"\xff\xd8\xff\xc0", 5, 4)  # JPEG still honest
+    # greyscale JPEG resample is REAL now (decode -> NN -> re-encode);
+    # re-decoding the lossy re-encode recovers the requested geometry
+    from htmlgraft import jpegops as J
+
+    jout = resample_pixels(P.synth_jpeg(3), 5, 4)
+    assert J.decode_jpeg_gray(jout)[:2] == (5, 4)
+    # a bare marker prefix is a TRUNCATED stream, not a scope boundary
+    with pytest.raises(ValueError):
+        resample_pixels(b"\xff\xd8\xff\xc0", 5, 4)
 
 
 def test_dhash_bit_order_known_answer():
