@@ -576,6 +576,7 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "pixel_phash_prog",
     "pixel_phash_jpeg",
     "pixel_resize_jpeg",
     "pixel_decode_audit",
@@ -789,6 +790,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_decode_audit": pixelops.pixel_decode_audit,
         "pixel_neardup": pixelops.pixel_neardup,
         "pixel_phash_gif": pixelops.pixel_phash_gif,
+        "pixel_phash_prog": pixelops.pixel_phash_prog,
         "audio_pcm_features": media.audio_pcm_features,
         "charset_sniff": _textop(media.charset_sniff_sql),
         # PDF layout parse (binary column -> content-stream text extraction)
@@ -941,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             "pixel_decode_audit": pixelops.pixel_decode_audit_oracle_sql(),
             "pixel_neardup": pixelops.pixel_neardup_oracle_sql(),
             "pixel_phash_gif": pixelops.pixel_phash_gif_oracle_sql(),
+            "pixel_phash_prog": pixelops.pixel_phash_prog_oracle_sql(),
             "audio_pcm_features": media.audio_pcm_features_oracle_sql(),
             "pdf_extract_text": pdfops.pdf_extract_oracle_sql(),
             "tpch_pricing_summary": relops.pricing_summary_sql(duck=True),

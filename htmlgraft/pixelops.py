@@ -825,7 +825,7 @@ def _truncated_gif(doc_id: int) -> bytes:
 
 
 def _audit_synth(doc_id: int) -> bytes:
-    m = doc_id % 6
+    m = doc_id % 8
     if m == 0:
         return encode_png(*synth_pixels(doc_id))
     if m == 1:
@@ -835,9 +835,15 @@ def _audit_synth(doc_id: int) -> bytes:
 
         return encode_gif(*synth_gif_pixels(doc_id))
     if m == 3:
-        return _truncated_jpeg(doc_id)
+        return synth_prog_jpeg(doc_id)
     if m == 4:
+        return _truncated_jpeg(doc_id)
+    if m == 5:
         return _truncated_gif(doc_id)
+    if m == 6:
+        # a progressive stream cut mid-scan: the multi-scan walker must
+        # raise (either inside entropy data or at the missing marker)
+        return synth_prog_jpeg(doc_id)[:-10]
     return b"JUNK" + str(doc_id).encode()
 
 
@@ -878,9 +884,10 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
-    """Gated query: the crawl-reality lane — a mixed corpus (PNG, JPEG,
-    GIF, TRUNCATED JPEG, TRUNCATED GIF, junk bytes) through magic-byte
-    dispatch and all three real decoders, reporting per-doc
+    """Gated query: the crawl-reality lane — a mixed corpus (PNG,
+    baseline JPEG, GIF, PROGRESSIVE JPEG, truncated JPEG, truncated GIF,
+    truncated-progressive, junk bytes) through magic-byte dispatch and
+    all three real decoders, reporting per-doc
     format/status/pixel-sum.  Pins that a corrupt member yields a loud
     per-row error status, never a silently wrong plane (the property that
     matters when 10^12 hostile documents flow through mapInPandas).
@@ -890,12 +897,14 @@ def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
 
 
 def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
-    """Every lane restated: PNG sums from the pixel formula, JPEG sums
-    from the coefficient/IDCT formula, GIF sums from the GIF-tier
-    formula, error lanes pinned to (0, -1)."""
+    """Every lane restated: PNG sums from the pixel formula, baseline
+    JPEG sums from the coefficient/IDCT formula, GIF sums from the
+    GIF-tier formula, progressive sums from the progressive-tier
+    formulas, error lanes pinned to (0, -1)."""
     png_sum = "(b * 37 + x * 7 + y * 13) % 251"
     gif_sum = "(b * 41 + x * 11 + y * 5) % 247"
     jpg_sum = _jpix_sql("x", "y")
+    prg_sum = _ppix_sql("x", "y")
     return f"""
       with imgs as (
         select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
@@ -906,35 +915,43 @@ def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
         select im.doc_id, sum({png_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 6 = 0
+        where im.doc_id % 8 = 0
         group by im.doc_id
       ),
       jsums as (
         select im.doc_id, sum({jpg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 6 = 1
+        where im.doc_id % 8 = 1
         group by im.doc_id
       ),
       gsums as (
         select im.doc_id, sum({gif_sum}) as s
         from imgs im, unnest(range(0, gw)) as tx(x),
              unnest(range(0, gh)) as ty(y)
-        where im.doc_id % 6 = 2
+        where im.doc_id % 8 = 2
+        group by im.doc_id
+      ),
+      rsums as (
+        select im.doc_id, sum({prg_sum}) as s
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        where im.doc_id % 8 = 3
         group by im.doc_id
       )
       select im.doc_id,
-             case when im.doc_id % 6 = 0 then 'png'
-                  when im.doc_id % 6 in (1, 3) then 'jpeg'
-                  when im.doc_id % 6 in (2, 4) then 'gif'
+             case when im.doc_id % 8 = 0 then 'png'
+                  when im.doc_id % 8 in (1, 3, 4, 6) then 'jpeg'
+                  when im.doc_id % 8 in (2, 5) then 'gif'
                   else 'unknown' end as fmt,
-             cast(case when im.doc_id % 6 <= 2 then 1 else 0 end as bigint)
+             cast(case when im.doc_id % 8 <= 3 then 1 else 0 end as bigint)
                as ok,
-             cast(coalesce(p.s, j.s, g.s, -1) as bigint) as px_sum
+             cast(coalesce(p.s, j.s, g.s, r.s, -1) as bigint) as px_sum
       from imgs im
       left join psums p on p.doc_id = im.doc_id
       left join jsums j on j.doc_id = im.doc_id
       left join gsums g on g.doc_id = im.doc_id
+      left join rsums r on r.doc_id = im.doc_id
       order by im.doc_id
     """
 
@@ -1160,4 +1177,170 @@ def pixel_neardup_oracle_sql(docs: str = "documents") -> str:
       from hashes h
       left join per_doc p on p.doc_id = h.doc_id
       order by h.doc_id
+    """
+
+
+# --- progressive-JPEG tier (round 5): multi-scan SOF2 under the same gate -----
+#
+# Progressive is the dominant non-baseline JPEG variant in a real crawl;
+# jpegops decodes it for real (spectral selection + successive
+# approximation) as of round 5.  The gated corpus uses DISTINCT formula
+# constants from the baseline-JPEG tier (anti-copy-paste, same convention
+# as the PNG/GIF split) and LARGER AC magnitudes so every scan kind in
+# the libjpeg-style default script carries content: first-pass AC at
+# Al=2 (|a1| up to 9 -> nonzero), refinement correction bits, cross-block
+# EOB runs (blocks whose band is empty at coarse precision), and ZRL (the
+# 30-gap between zigzag 9 and 40 inside the 6..63 band).  The oracle
+# restates pixels from the coefficient formulas + the IDCT contract — the
+# same pixels regardless of carrier, so the whole multi-scan chain is
+# pinned by value.
+
+_P_DC = "((({b} * 7 + {nb} * 5) % 45) - 22)"
+_P_A1 = "((({b} * 2 + {nb} * 3) % 19) - 9)"
+_P_A2 = "((({b} * 3 + {nb}) % 17) - 8)"
+_P_A9 = "((({b} + {nb} * 2) % 15) - 7)"
+_P_A40 = "((({b} * 5 + {nb}) % 9) - 4)"
+_T5_SQL = "([569, -1004, 200, 851, -851, -200, 1004, -569])"
+
+
+def synth_prog_coeffs(doc_id: int):
+    """(w, h, zigzag blocks) for the progressive-tier synthetic JPEG.
+    Natural positions: zigzag 1 -> (0,1) Q=11, 2 -> (1,0) Q=12,
+    9 -> (3,0) Q=14, 40 -> (3,5) Q=87."""
+    base, w, h = synth_dims(doc_id)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    blocks = []
+    for nb in range(bw * bh):
+        zz = [0] * 64
+        zz[0] = ((base * 7 + nb * 5) % 45) - 22
+        zz[1] = ((base * 2 + nb * 3) % 19) - 9
+        zz[2] = ((base * 3 + nb) % 17) - 8
+        zz[9] = ((base + nb * 2) % 15) - 7
+        zz[40] = ((base * 5 + nb) % 9) - 4
+        blocks.append(zz)
+    return w, h, blocks
+
+
+def synth_prog_jpeg(doc_id: int) -> bytes:
+    from htmlgraft import jpegops
+
+    w, h, blocks = synth_prog_coeffs(doc_id)
+    return jpegops.encode_jpeg_gray_coeffs_progressive(w, h, blocks)
+
+
+def prog_pixel(doc_id: int, x: int, y: int) -> int:
+    """Closed-form decoded pixel — the Python twin of ``_ppix_sql``."""
+    from htmlgraft.jpegops import IDCT_T
+
+    base, w, h = synth_dims(doc_id)
+    bw = (w + 7) // 8
+    nb = (y // 8) * bw + (x // 8)
+    xr, yr = x % 8, y % 8
+    dcq = ((base * 7 + nb * 5) % 45) - 22
+    a1 = ((base * 2 + nb * 3) % 19) - 9
+    a2 = ((base * 3 + nb) % 17) - 8
+    a9 = ((base + nb * 2) % 15) - 7
+    a40 = ((base * 5 + nb) % 9) - 4
+    val = (dcq * 16 * 724 * 724
+           + a1 * 11 * IDCT_T[1][xr] * 724
+           + a2 * 12 * 724 * IDCT_T[1][yr]
+           + a9 * 14 * 724 * IDCT_T[3][yr]
+           + a40 * 87 * IDCT_T[5][xr] * IDCT_T[3][yr])
+    return max(0, min(255, ((val + (1 << 21)) >> 22) + 128))
+
+
+def _ppix_sql(x: str, y: str) -> str:
+    """SQL for the progressive-tier decoded pixel (needs ``b``/``w``)."""
+    nb = f"((({y}) // 8) * ((w + 7) // 8) + (({x}) // 8))"
+    xr, yr = f"(({x}) % 8)", f"(({y}) % 8)"
+    val = (
+        f"({_P_DC.format(b='b', nb=nb)} * 8386816"
+        f" + {_P_A1.format(b='b', nb=nb)} * 11 * ({_T1_SQL}[{xr} + 1]) * 724"
+        f" + {_P_A2.format(b='b', nb=nb)} * 12 * 724 * ({_T1_SQL}[{yr} + 1])"
+        f" + {_P_A9.format(b='b', nb=nb)} * 14 * 724 * ({_T3_SQL}[{yr} + 1])"
+        f" + {_P_A40.format(b='b', nb=nb)} * 87 * ({_T5_SQL}[{xr} + 1])"
+        f" * ({_T3_SQL}[{yr} + 1])"
+        ")"
+    )
+    return (f"greatest(0, least(255, cast(floor(({val} + 2097152)"
+            " / 4194304.0) as bigint) + 128))")
+
+
+def _prog_synth_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "jpeg": [synth_prog_jpeg(d) for d in ids],
+        })
+
+
+def prog_corpus(spark, sf_dir: str) -> DataFrame:
+    """Deterministic real progressive-JPEG corpus keyed by doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_prog_synth_batch, _JPEG_SCHEMA)
+
+
+def pixel_phash_prog(spark, sf_dir: str) -> DataFrame:
+    """Gated query: progressive (SOF2) encode -> full multi-scan decode
+    (DC first/refine, AC spectral bands, successive-approximation
+    refinement, EOB runs, ZRL) -> dHash -> hash-group keeper.  Same
+    map-only + bounded-window shape as the baseline-JPEG tier."""
+    decoded = prog_corpus(spark, sf_dir).mapInPandas(
+        _jphash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_prog_oracle_sql(docs: str = "documents") -> str:
+    """Pixels restated from the progressive-tier coefficient formulas +
+    the IDCT contract — no JPEG bytes in SQL; every scan of the
+    progressive chain must reconstruct the exact coefficients to hash
+    equal."""
+    pix = _ppix_sql("x", "y")
+    samp = _ppix_sql("(gx * w) // 9", "(gy * h) // 8")
+    samp1 = _ppix_sql("((gx + 1) * w) // 9", "(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({pix}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
     """

@@ -198,9 +198,18 @@ def test_marker_inside_entropy_raises():
         J.decode_jpeg_gray(bad)
 
 
-def test_progressive_raises_not_implemented():
+def test_mislabeled_sof2_fails_loudly():
+    """Progressive is real now; a BASELINE stream relabeled SOF2 is a
+    malformed progressive file (its scan says Ss=0..Se=63, illegal for a
+    DC scan) and must raise, never decode silently."""
     bad = _FROZEN.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(bad)
+
+
+def test_arithmetic_progressive_raises_not_implemented():
+    bad = _FROZEN.replace(b"\xff\xc0", b"\xff\xca", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg_gray(bad)
 
 
@@ -314,3 +323,280 @@ def test_neardup_banding_guarantees_radius_recall():
             elif not share:
                 rejected_no_share += 1
     assert checked > 0
+
+
+# --- progressive (SOF2): multi-scan decode + coefficient-domain encoder ------
+
+def _rand_blocks(rng, n, dc=60, ac=12, nac=8):
+    out = []
+    for _ in range(n):
+        zz = [0] * 64
+        zz[0] = rng.randint(-dc, dc)
+        for _ in range(rng.randint(0, nac)):
+            zz[rng.randint(1, 63)] = rng.randint(-ac, ac)
+        out.append(zz)
+    return out
+
+
+def test_progressive_equals_baseline_gray():
+    """A progressive carrier of given quantized coefficients must decode
+    to EXACTLY the pixels of the baseline carrier of the same
+    coefficients (coefficients accumulate losslessly across scans)."""
+    import random
+    rng = random.Random(1207)
+    for _ in range(25):
+        w, h = rng.randint(9, 40), rng.randint(9, 33)
+        blocks = _rand_blocks(rng, ((w + 7) // 8) * ((h + 7) // 8))
+        base = J.encode_jpeg_gray_coeffs(w, h, blocks)
+        prog = J.encode_jpeg_gray_coeffs_progressive(w, h, blocks)
+        assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+
+
+def test_progressive_equals_baseline_color_all_samplings():
+    import random
+    rng = random.Random(88)
+    for sampling in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        sh, sv = sampling
+        for _ in range(6):
+            w, h = rng.randint(9, 37), rng.randint(9, 30)
+            mx = (w + 8 * sh - 1) // (8 * sh)
+            my = (h + 8 * sv - 1) // (8 * sv)
+            yb = _rand_blocks(rng, mx * my * sh * sv)
+            cb = _rand_blocks(rng, mx * my, ac=6, nac=4)
+            cr = _rand_blocks(rng, mx * my, ac=6, nac=4)
+            base = J.encode_jpeg_color_coeffs(w, h, yb, cb, cr, sampling)
+            prog = J.encode_jpeg_color_coeffs_progressive(
+                w, h, yb, cb, cr, sampling)
+            assert J.decode_jpeg(prog) == J.decode_jpeg(base)
+            assert J.decode_jpeg_luma(prog) == J.decode_jpeg_luma(base)
+
+
+def test_progressive_restart_markers():
+    """RSTn between restart intervals in EVERY scan: DC predictors and
+    EOB runs reset; out-of-sequence markers raise."""
+    import random
+    rng = random.Random(5)
+    w, h = 33, 26
+    blocks = _rand_blocks(rng, ((w + 7) // 8) * ((h + 7) // 8))
+    base = J.decode_jpeg_gray(J.encode_jpeg_gray_coeffs(w, h, blocks))
+    for rst in (1, 2, 3, 7):
+        prog = J.encode_jpeg_gray_coeffs_progressive(
+            w, h, blocks, restart=rst)
+        assert J.decode_jpeg_gray(prog) == base
+    prog = J.encode_jpeg_gray_coeffs_progressive(w, h, blocks, restart=2)
+    i = prog.find(b"\xff\xd0")
+    assert i > 0
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(prog[:i] + b"\xff\xd4" + prog[i + 2:])
+
+
+def test_progressive_truncation_always_raises():
+    import random
+    rng = random.Random(9)
+    blocks = _rand_blocks(rng, 12)
+    prog = J.encode_jpeg_gray_coeffs_progressive(32, 24, blocks)
+    J.decode_jpeg_gray(prog)              # intact stream decodes
+    for cut in range(20, len(prog) - 1, 5):
+        with pytest.raises((ValueError, NotImplementedError)):
+            J.decode_jpeg_gray(prog[:cut])
+
+
+def test_progressive_ac_point_transform_truncates_toward_zero():
+    """T.81 G.1.1.1: the AC point transform is integer division by 2^Al
+    toward zero — NOT an arithmetic shift (they differ for negative odd
+    values).  A shift-coded encoder/decoder pair would still round-trip
+    (symmetric slip), so this pins the spec behavior directly."""
+    assert J._pt_ac(-5, 1) == -2 and (-5 >> 1) == -3
+    assert J._pt_ac(-7, 2) == -1 and (-7 >> 2) == -2
+    assert J._pt_ac(5, 1) == 2 and J._pt_ac(0, 3) == 0
+    # and end-to-end: a lone odd negative coefficient survives the
+    # Al=2 -> 1 -> 0 successive approximation exactly
+    zz = [0] * 64
+    zz[0], zz[3] = 4, -5
+    prog = J.encode_jpeg_gray_coeffs_progressive(8, 8, [zz])
+    base = J.encode_jpeg_gray_coeffs(8, 8, [zz])
+    assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+
+
+def test_progressive_zrl_and_deep_coefficient():
+    zz = [0] * 64
+    zz[0], zz[40] = 10, 9                 # 38 zero run inside band 1..63
+    prog = J.encode_jpeg_gray_coeffs_progressive(
+        8, 8, [zz], script=((0, 0, 0, 0), (1, 63, 0, 0)))
+    base = J.encode_jpeg_gray_coeffs(8, 8, [zz])
+    assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+
+
+def test_progressive_eobrun_spans_blocks():
+    """17 blocks whose 6..63 band is empty must compress to ONE EOBn
+    symbol for the whole scan (8-bit code + 4 extra bits -> 2 bytes of
+    entropy data), proving cross-block EOB runs are live, and decode
+    exactly."""
+    blocks = []
+    for nb in range(17):
+        zz = [0] * 64
+        zz[0], zz[1] = nb - 8, (nb % 3) - 1
+        blocks.append(zz)
+    script = ((0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+    prog = J.encode_jpeg_gray_coeffs_progressive(136, 8, blocks, script)
+    base = J.encode_jpeg_gray_coeffs(136, 8, blocks)
+    assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+    # the last scan's entropy bytes sit between the final SOS header and
+    # EOI: a 1-component SOS is 10 bytes (marker + length-8 payload)
+    last_sos = prog.rfind(b"\xff\xda")
+    entropy = prog[last_sos + 10:-2]
+    assert len(entropy) == 2              # EOB17 = code(8) + 4 extra bits
+
+
+def test_progressive_dc_refinement_two_complement_negative():
+    """DC refinement appends a magnitude bit to the two's-complement
+    value (coef |= 1<<Al); a sign-magnitude slip would mis-decode every
+    odd negative DC."""
+    for dc in (-13, -4, -1, 0, 1, 6, 13):
+        zz = [0] * 64
+        zz[0] = dc
+        prog = J.encode_jpeg_gray_coeffs_progressive(
+            8, 8, [zz], script=((0, 0, 0, 1), (1, 63, 0, 0), (0, 0, 1, 0)))
+        base = J.encode_jpeg_gray_coeffs(8, 8, [zz])
+        assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base), dc
+
+
+_FROZEN_PROG = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb004300100b0c0e0c0a10"
+    "0e0d0e1211101318281a181616183123251d283a333d3c3933383740485c4e40"
+    "4457453738506d51575f626768673e4d71797064785c656763ffc2000b08000b"
+    "000e01011100ffc4001f00000105010101010101000000000000000001020304"
+    "05060708090a0bffc400c31100000000000000b0000000000000000000010203"
+    "0405060708090a101112131415161718191a202122232425262728292a303132"
+    "333435363738393a404142434445464748494a505152535455565758595a6061"
+    "62636465666768696a707172737475767778797a808182838485868788898a90"
+    "9192939495969798999aa0a1a2a3a4a5a6a7a8a9aab0b1b2b3b4b5b6b7b8b9ba"
+    "c0c1c2c3c4c5c6c7c8c9cad0d1d2d3d4d5d6d7d8d9dae0e1e2e3e4e5e6e7e8e9"
+    "eaf0f1f2f3f4f5f6f7f8f9faffda0008010100000001825925ffda0008010101"
+    "010502163fffda0008010101063f0222d2cdc2e44a59c403ffda000801010101"
+    "3f21011100159d2cdc029695380003003fffda0008010101013f1000b0111000"
+    "01a700245801ffda0008010100000010afffd9"
+)
+
+
+def _frozen_prog_blocks():
+    blocks = []
+    for nb in range(4):
+        zz = [0] * 64
+        zz[0] = 9 * nb - 13
+        zz[1] = 2 * nb - 3
+        zz[5] = nb - 2
+        zz[9] = 5 - 3 * nb
+        zz[40] = 7 - 5 * nb
+        blocks.append(zz)
+    return blocks
+
+
+def test_progressive_frozen_stream_pins_decoder():
+    """The decoder against a FROZEN 435-byte progressive stream (6-scan
+    libjpeg-style script over a 14x11 plane), compared to the
+    INDEPENDENT integer recompute of the IDCT contract — the encoder is
+    not in the loop, so a symmetric encoder/decoder drift cannot hide."""
+    w, h, _ = J.decode_jpeg_gray(_FROZEN_PROG)[:3]
+    assert (w, h) == (14, 11)
+    got = J.decode_jpeg_gray(_FROZEN_PROG)[3]
+    assert got == _plane_from_blocks(14, 11, _frozen_prog_blocks())
+
+
+def test_progressive_frozen_stream_pins_encoder():
+    """And the encoder against the same literal: byte-identical output,
+    so neither side of the pair can drift."""
+    blob = J.encode_jpeg_gray_coeffs_progressive(
+        14, 11, _frozen_prog_blocks())
+    assert blob == _FROZEN_PROG
+
+
+def test_progressive_handbuilt_stream():
+    """A 3-scan stream over one 8x8 block assembled BY HAND in this test
+    (headers via struct, Huffman codes from an independent canonical-code
+    builder, bit packing inline) — decoder correctness without any module
+    encoder in the loop.  Case: DC=6 Al=1 first scan, full-band AC first
+    scan carrying -3 at zigzag 1, DC refinement bit 0."""
+    import struct as _s
+
+    def canonical(bits, vals):
+        # independent of jpegops._enc_table: spec Annex C two-pass build
+        sizes = []
+        for ln in range(1, 17):
+            sizes += [ln] * bits[ln - 1]
+        codes, code, prev = {}, 0, sizes[0] if sizes else 0
+        for sym, ln in zip(vals, sizes):
+            code <<= (ln - prev)
+            codes[sym] = (code, ln)
+            code += 1
+            prev = ln
+        return codes
+
+    dc = canonical(list(J.DC_LUM_BITS), list(J.DC_LUM_VALS))
+    ac = canonical(list(J.PROG_AC_BITS), list(J.PROG_AC_VALS))
+
+    class BW:
+        def __init__(self):
+            self.bits = ""
+
+        def put(self, v, n):
+            self.bits += format(v & ((1 << n) - 1), f"0{n}b")
+
+        def flushed(self):
+            pad = (8 - len(self.bits) % 8) % 8
+            s = self.bits + "1" * pad
+            out = bytearray()
+            for i in range(0, len(s), 8):
+                b = int(s[i:i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(
+        J.QTABLE_LUM[J.ZIGZAG[k]] for k in range(64)))
+    out += seg(0xC2, _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(J.DC_LUM_BITS)
+               + bytes(J.DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x11]) + bytes(J.PROG_AC_BITS)
+               + bytes(J.PROG_AC_VALS))
+    # scan 1: DC first, Al=1 -> v=3, diff=3, category 2, bits "11"
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    w1 = BW()
+    w1.put(*reversed(dc[2])) if False else w1.put(dc[2][0], dc[2][1])
+    w1.put(3, 2)
+    out += w1.flushed()
+    # scan 2: AC first, band 1..63, Al=0 -> (run0,size2) then value bits
+    # for -3 ("00"), then EOB (eobrun=1)
+    out += seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x00]))
+    w2 = BW()
+    w2.put(ac[0x02][0], ac[0x02][1])
+    w2.put(0, 2)                          # -3 encodes as 00
+    w2.put(ac[0x00][0], ac[0x00][1])
+    out += w2.flushed()
+    # scan 3: DC refine to Al=0 -> one raw bit = 6 & 1 = 0
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    w3 = BW()
+    w3.put(0, 1)
+    out += w3.flushed()
+    out += b"\xff\xd9"
+
+    zz = [0] * 64
+    zz[0], zz[1] = 6, -3
+    got = J.decode_jpeg_gray(bytes(out))
+    assert got[:3] == (8, 8, 1)
+    assert got[3] == _plane_from_blocks(8, 8, [zz])
+
+
+def test_progressive_missing_ac_table_raises():
+    blob = J.encode_jpeg_gray_coeffs_progressive(8, 8, [[1] + [0] * 63])
+    # strip the second DHT (the progressive AC table) out of the stream
+    i = blob.find(b"\xff\xc4", blob.find(b"\xff\xc4") + 2)
+    ln = int.from_bytes(blob[i + 2:i + 4], "big")
+    cut = blob[:i] + blob[i + 2 + ln:]
+    with pytest.raises(ValueError, match="missing AC table"):
+        J.decode_jpeg_gray(cut)

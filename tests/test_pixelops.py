@@ -154,3 +154,74 @@ def test_pixel_phash_groups(spark, sf_dir):
     for r in df.head(14).itertuples():
         w, h, px = P.synth_pixels(r.doc_id)
         assert (r.width, r.height, r.px_sum) == (w, h, sum(px))
+
+
+# --- progressive-JPEG tier ----------------------------------------------------
+
+def test_prog_corpus_twin_matches_decode():
+    """Every pixel of every base: multi-scan decode of the real
+    progressive bytes == the closed-form twin the oracle restates."""
+    from htmlgraft.jpegops import decode_jpeg_gray
+
+    for d in range(P.PHASH_BASES):
+        w, h, _ = P.synth_prog_coeffs(d)
+        px = decode_jpeg_gray(P.synth_prog_jpeg(d))[3]
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == P.prog_pixel(d, x, y), (d, x, y)
+
+
+def test_prog_corpus_exercises_every_scan_feature():
+    """The gated corpus must make each progressive mechanism live, not
+    vacuously pass: (a) some block's 1..5 band carries a coefficient at
+    the coarse Al=2 precision (first-pass content), (b) some block's
+    bands are EMPTY at Al=2 while others aren't (cross-block EOB runs),
+    (c) some coefficient is odd at a refined precision (correction
+    bits), (d) the deep zigzag-40 coefficient is nonzero somewhere with
+    zigzag 9 zero (a >16 zero run -> ZRL)."""
+    coarse_content = eob_mix_empty = eob_mix_full = corr = zrl = 0
+    for d in range(P.PHASH_BASES):
+        _, _, blocks = P.synth_prog_coeffs(d)
+        for zz in blocks:
+            if any(abs(v) >> 2 for v in zz[1:6]):
+                coarse_content += 1
+            band = [abs(v) >> 2 for v in zz[1:]]
+            if any(band):
+                eob_mix_full += 1
+            else:
+                eob_mix_empty += 1
+            if any(abs(v) & 1 for v in zz[1:] if v):
+                corr += 1
+            if zz[40] and not zz[9]:
+                zrl += 1
+    assert coarse_content and eob_mix_empty and eob_mix_full
+    assert corr and zrl
+
+
+def test_audit_lane_map_is_exhaustive():
+    """All 8 audit lanes produce the intended (fmt, ok) pairs through the
+    real dispatch (the oracle restates this table)."""
+    from htmlgraft.gifops import decode_gif_pixels
+    from htmlgraft.jpegops import decode_jpeg_luma
+    from htmlgraft.pixelops import _audit_synth, decode_png_pixels
+
+    expect = {0: ("png", 1), 1: ("jpeg", 1), 2: ("gif", 1),
+              3: ("jpeg", 1), 4: ("jpeg", 0), 5: ("gif", 0),
+              6: ("jpeg", 0), 7: ("unknown", 0)}
+    for d in range(8, 24):
+        blob = _audit_synth(d)
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            fmt = "png"
+        elif blob[:2] == b"\xff\xd8":
+            fmt = "jpeg"
+        elif blob[:4] == b"GIF8":
+            fmt = "gif"
+        else:
+            fmt = "unknown"
+        ok = 1
+        try:
+            {"png": decode_png_pixels, "jpeg": decode_jpeg_luma,
+             "gif": decode_gif_pixels}.get(fmt, lambda b: 1 / 0)(blob)
+        except (ValueError, NotImplementedError, ZeroDivisionError):
+            ok = 0
+        assert (fmt, ok) == expect[d % 8], d
