@@ -16,8 +16,8 @@ Clear/End-of-Information control codes, sub-block framing).  So the
 - ``decode_gif_pixels`` — real reader: signature check, LSD/GCT/LCT
   parsing, extension skipping, full LZW decode (variable width, Clear
   resets, the KwKwK code-not-yet-defined case), strict pixel-count and
-  framing validation.  Interlaced images raise ``NotImplementedError``
-  (documented scope bound); truncated streams, missing terminators, and
+  framing validation.  Interlaced images de-interlace for real (4-pass
+  row order); truncated streams, missing terminators, and
   out-of-palette indices raise ``ValueError`` — loud error lanes, never a
   silently short or wrong plane.
 
@@ -201,13 +201,27 @@ def _sub_blocks(data: bytes) -> bytes:
 _GREY_GCT = bytes(v for i in range(256) for v in (i, i, i))
 
 
+def interlace_rows(h: int):
+    """GIF 4-pass interlace row order (GIF89a spec appendix E): rows
+    0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5.."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
 def encode_gif(w: int, h: int, pixels: bytes,
-               clear_every: int | None = None) -> bytes:
+               clear_every: int | None = None,
+               interlace: bool = False) -> bytes:
     """Real GIF89a writer for an 8-bit greyscale plane (palette index ==
     grey value).  Includes a graphic-control extension and a comment
-    extension so decoders must handle extension skipping."""
+    extension so decoders must handle extension skipping.  ``interlace``
+    sets the image-descriptor flag and emits rows in the 4-pass order."""
     if len(pixels) != w * h:
         raise ValueError("pixel buffer does not match dimensions")
+    if interlace:
+        pixels = b"".join(pixels[r * w:(r + 1) * w]
+                          for r in interlace_rows(h))
     out = bytearray()
     out += _SIG89
     out += struct.pack("<HH", w, h)
@@ -215,7 +229,8 @@ def encode_gif(w: int, h: int, pixels: bytes,
     out += _GREY_GCT
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"            # GCE, no transparency
     out += b"\x21\xfe" + _sub_blocks(b"htmlgraft synthetic greyscale")
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x40 if interlace else 0x00])
     out += bytes([_MIN_CODE])
     out += _sub_blocks(_lzw_encode(pixels, clear_every=clear_every))
     out += b"\x3b"
@@ -250,8 +265,8 @@ def decode_gif_pixels(blob: bytes):
     """Decode the FIRST image frame of a GIF to a greyscale plane.
 
     Returns ``(width, height, 1, pixel_bytes)`` (same shape as
-    ``pixelops.decode_png_pixels``).  Interlace raises
-    ``NotImplementedError``; every malformed-framing case raises
+    ``pixelops.decode_png_pixels``).  Interlaced images (the 4-pass row
+    order) are de-interlaced; every malformed-framing case raises
     ``ValueError``."""
     if blob[:6] not in (_SIG87, _SIG89):
         raise ValueError("not a GIF")
@@ -286,8 +301,6 @@ def decode_gif_pixels(blob: bytes):
         iw, ih = struct.unpack("<HH", blob[pos + 4:pos + 8])
         iflags = blob[pos + 8]
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF not implemented here")
         palette = gct
         if iflags & 0x80:
             n = 3 * (2 << (iflags & 0x07))
@@ -308,4 +321,10 @@ def decode_gif_pixels(blob: bytes):
         if len(indices) != iw * ih:
             raise ValueError(
                 f"GIF LZW pixel count {len(indices)} != {iw}x{ih}")
+        if iflags & 0x40:                    # de-interlace the 4-pass rows
+            plane = bytearray(iw * ih)
+            for seq, row in enumerate(interlace_rows(ih)):
+                plane[row * iw:(row + 1) * iw] = indices[
+                    seq * iw:(seq + 1) * iw]
+            indices = bytes(plane)
         return iw, ih, 1, bytes(_grey(palette, i) for i in indices)

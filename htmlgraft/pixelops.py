@@ -709,9 +709,13 @@ def _gif_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         ids = [int(d) for d in pdf["doc_id"]]
+        # odd doc_ids carry the 4-pass INTERLACED row order (round 5):
+        # the oracle restates pixels from the formula, carrier-blind, so
+        # both row layouts sit under the same value gate
         yield pd.DataFrame({
             "doc_id": ids,
-            "gif": [encode_gif(*synth_gif_pixels(d)) for d in ids],
+            "gif": [encode_gif(*synth_gif_pixels(d), interlace=bool(d & 1))
+                    for d in ids],
         })
 
 

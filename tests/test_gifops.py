@@ -118,12 +118,6 @@ def test_error_lanes():
         G.decode_gif_pixels(blob[:-10])
     with pytest.raises(ValueError, match="no image data"):
         G.decode_gif_pixels(blob[:13 + 768] + b"\x3b")
-    # interlace flag is a documented scope bound, loudly
-    interlaced = bytearray(blob)
-    pos = blob.index(b"\x2c", 13 + 768)
-    interlaced[pos + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        G.decode_gif_pixels(bytes(interlaced))
     # index beyond a short local palette
     with pytest.raises(ValueError, match="beyond palette"):
         G.decode_gif_pixels(_lct_gif(2, 1, bytes([0, 3]),
@@ -174,11 +168,51 @@ def test_pixel_phash_gif_groups(spark, sf_dir):
 def test_decode_audit_lanes(spark, sf_dir):
     df = P.pixel_decode_audit(spark, sf_dir).toPandas()
     lanes = {0: ("png", 1), 1: ("jpeg", 1), 2: ("gif", 1),
-             3: ("jpeg", 0), 4: ("gif", 0), 5: ("unknown", 0)}
+             3: ("jpeg", 1), 4: ("jpeg", 0), 5: ("gif", 0),
+             6: ("jpeg", 0), 7: ("unknown", 0)}
     for r in df.itertuples():
-        fmt, ok = lanes[r.doc_id % 6]
+        fmt, ok = lanes[r.doc_id % 8]
         assert (r.fmt, r.ok) == (fmt, ok), r
         assert (r.px_sum == -1) == (ok == 0)
     # the healthy-GIF lane's sums match a pure-Python recompute
-    for r in df[df.doc_id % 6 == 2].head(7).itertuples():
+    for r in df[df.doc_id % 8 == 2].head(7).itertuples():
         assert r.px_sum == sum(P.synth_gif_pixels(r.doc_id)[2])
+    # and the progressive lane's sums match the closed-form twin
+    for r in df[df.doc_id % 8 == 3].head(7).itertuples():
+        w, h, _ = P.synth_prog_coeffs(r.doc_id)
+        assert r.px_sum == sum(P.prog_pixel(r.doc_id, x, y)
+                               for y in range(h) for x in range(w))
+
+
+def test_interlace_row_order_pinned():
+    # GIF89a appendix E example orders, h=10: pass1 0,8; pass2 4; pass3
+    # 2,6; pass4 odd rows
+    assert G.interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert G.interlace_rows(1) == [0]
+    assert G.interlace_rows(5) == [0, 4, 2, 1, 3]
+
+
+def test_interlaced_roundtrip_and_flag():
+    w, h, px = P.synth_gif_pixels(3)
+    blob = G.encode_gif(w, h, px, interlace=True)
+    pos = blob.index(b"\x2c", 13 + 768)
+    assert blob[pos + 9] & 0x40                     # flag actually set
+    assert G.decode_gif_pixels(blob) == (w, h, 1, px)
+    # and the bytes differ from the sequential carrier (rows really moved)
+    assert blob != G.encode_gif(w, h, px)
+    # the flag is load-bearing: stripping it yields the raw (permuted)
+    # row order, so encoder and decoder cannot both ignore it
+    stripped = bytearray(blob)
+    stripped[pos + 9] &= ~0x40
+    perm = G.decode_gif_pixels(bytes(stripped))[3]
+    rows = [px[r * w:(r + 1) * w] for r in G.interlace_rows(h)]
+    assert perm == b"".join(rows) != px
+
+
+def test_interlaced_deep_lzw():
+    # a 120x100 interlaced plane pushes LZW past 10-bit codes with the
+    # de-interlace in the loop
+    w, h = 120, 100
+    px = bytes((x * 7 + y * 13) % 251 for y in range(h) for x in range(w))
+    blob = G.encode_gif(w, h, px, interlace=True)
+    assert G.decode_gif_pixels(blob) == (w, h, 1, px)
