@@ -1198,3 +1198,28 @@ def encode_jpeg_color_coeffs_progressive(w: int, h: int, y_blocks,
                 out += bits.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_color(w: int, h: int, rgb: bytes) -> bytes:
+    """Pixel-domain COLOUR encoder at 4:4:4: JFIF forward colour
+    transform (ITU-R BT.601 weights), per-channel edge-padded forward
+    DCT + Annex-K quantization, interleaved entropy encode.  Lossy like
+    any JPEG pixel encoder; greyscale inputs (R=G=B) zero the chroma
+    planes exactly, so block-constant grey round trips match the grey
+    encoder's guarantees."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"need {w * h * 3} bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    comp_blocks = []
+    for p in (y, cb, cr):
+        plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        pad = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        comp_blocks.append([
+            forward_dct_quant(pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+            for by in range(bh) for bx in range(bw)])
+    return encode_jpeg_color_coeffs(w, h, *comp_blocks, sampling=(1, 1))

@@ -528,14 +528,13 @@ RESIZE_MAX_H = 512
 def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
     """Pixel-level resampling: REAL for PNG (full zlib decode, unfilter,
     nearest-neighbour sample, re-encode — see ``pixelops``, gated by a
-    formula oracle) and, since round 5, REAL for greyscale baseline JPEG
-    (``jpegops`` full entropy decode -> NN sample -> forward-DCT
-    re-encode; lossy by nature, so round trips are bounded-error rather
-    than exact — the exact-value gate for the JPEG chain is
-    ``pixel_resize_jpeg``, which re-encodes losslessly via PNG).  Colour
-    JPEG re-encode, GIF, and TIFF remain honest stubs: colour needs a
-    pixel-domain colour encoder and GIF's LZW / TIFF's codecs are absent
-    in this environment."""
+    formula oracle), for JPEG both greyscale and colour (``jpegops``
+    full entropy decode — baseline or progressive — -> NN sample ->
+    forward-DCT re-encode, colour at 4:4:4; lossy by nature, so round
+    trips are bounded-error rather than exact — the exact-value gate for
+    the JPEG chain is ``pixel_resize_jpeg``, which re-encodes losslessly
+    via PNG), and for GIF (LZW decode -> NN -> LZW re-encode, lossless).
+    TIFF remains an honest stub (no TIFF payload codec here)."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from htmlgraft import pixelops
 
@@ -544,17 +543,28 @@ def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
         from htmlgraft import jpegops
 
         w, h, channels, px = jpegops.decode_jpeg(blob)
-        if channels != 1:
-            raise NotImplementedError(
-                "colour JPEG re-encode needs a pixel-domain colour encoder")
+        out = bytearray(new_w * new_h * channels)
+        for y2 in range(new_h):
+            sy = y2 * h // new_h
+            for x2 in range(new_w):
+                src = (sy * w + (x2 * w // new_w)) * channels
+                dst = (y2 * new_w + x2) * channels
+                out[dst:dst + channels] = px[src:src + channels]
+        if channels == 1:
+            return jpegops.encode_jpeg_gray(new_w, new_h, bytes(out))
+        return jpegops.encode_jpeg_color(new_w, new_h, bytes(out))
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from htmlgraft import gifops
+
+        w, h, _, px = gifops.decode_gif_pixels(blob)
         out = bytearray(new_w * new_h)
         for y2 in range(new_h):
             sy = y2 * h // new_h
             for x2 in range(new_w):
                 out[y2 * new_w + x2] = px[sy * w + (x2 * w // new_w)]
-        return jpegops.encode_jpeg_gray(new_w, new_h, bytes(out))
+        return gifops.encode_gif(new_w, new_h, bytes(out))
     raise NotImplementedError(
-        "pixel resampling beyond PNG/greyscale-JPEG needs an image codec")
+        "pixel resampling beyond PNG/JPEG/GIF needs an image codec")
 
 
 def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):
@@ -673,11 +683,12 @@ def resize_images(media: DataFrame, max_batch_bytes: int = 1 << 26) -> DataFrame
     real PNG CRC), and fingerprint the payload AFTER the rewrite -- the
     emitted payload_md5 proves payload bytes survived byte-identical (the
     oracle knows the expected value independently).  Pixel resampling
-    itself is ``resample_pixels`` -- real for PNG via ``pixelops`` (gated
-    separately by pixel_resize over real-IDAT images; the synthetic blobs
-    here carry text payloads, so this pass stays header-level), a
-    documented stub for DCT/LZW formats.  Same Arrow-batched byte-capped
-    shape as extract_features."""
+    itself is ``resample_pixels`` -- real for PNG / JPEG (grey + colour,
+    baseline + progressive) / GIF (gated separately by the pixel_resize
+    queries over real-payload images; the synthetic blobs here carry
+    text payloads, so this pass stays header-level), a documented stub
+    for TIFF.  Same Arrow-batched byte-capped shape as
+    extract_features."""
     from functools import partial
 
     return media.where(F.col("media_type") == "image").select(

@@ -206,10 +206,11 @@ def test_rewrite_gif_and_jpeg_dims():
 
 
 def test_resample_and_decode_are_honest_stubs():
-    """GIF/TIFF resample and video frame decode stay honest stubs (PNG
-    and greyscale-JPEG resample are real — see test_pixelops).  The
-    synthetic header-only JPEG is a TRUNCATED stream to the real decoder
-    now, so it fails loudly as invalid data rather than as scope."""
+    """TIFF resample and video frame decode stay honest stubs (PNG, JPEG
+    greyscale + colour, and GIF resample are real — see test_pixelops
+    and the lanes below).  The synthetic header-only JPEG is a TRUNCATED
+    stream to the real decoder now, so it fails loudly as invalid data
+    rather than as scope."""
     import pytest
 
     with pytest.raises(NotImplementedError):
@@ -218,6 +219,47 @@ def test_resample_and_decode_are_honest_stubs():
         media.resample_pixels(_jpg(8, 8), 4, 4)
     with pytest.raises(NotImplementedError):
         media.decode_frame(b"", 0)
+
+
+def test_resample_gif_real():
+    """GIF resample: LZW decode -> NN -> LZW re-encode is LOSSLESS, so
+    the output plane is exactly the NN sample of the input plane."""
+    from htmlgraft import gifops
+
+    w, h = 11, 7
+    px = bytes((x * 9 + y * 17) % 251 for y in range(h) for x in range(w))
+    out = media.resample_pixels(gifops.encode_gif(w, h, px), 6, 4)
+    w2, h2, _, px2 = gifops.decode_gif_pixels(out)
+    assert (w2, h2) == (6, 4)
+    want = bytes(px[(y2 * h // 4) * w + (x2 * w // 6)]
+                 for y2 in range(4) for x2 in range(6))
+    assert px2 == want
+
+
+def test_resample_color_jpeg_real():
+    """Colour JPEG resample: decode -> per-channel NN -> 4:4:4 colour
+    re-encode.  Block-constant GREY RGB survives exactly (chroma zeroes,
+    Y carries through both lossy hops); a colour plane round-trips with
+    bounded error."""
+    from htmlgraft import jpegops
+
+    rgb = bytes([80, 80, 80] * (16 * 16))
+    blob = jpegops.encode_jpeg_color(16, 16, rgb)
+    out = media.resample_pixels(blob, 8, 8)
+    w2, h2, ch, px2 = jpegops.decode_jpeg(out)
+    assert (w2, h2, ch) == (8, 8, 3)
+    assert px2 == bytes([80] * (8 * 8 * 3))
+    # smooth colour gradient: bounded reconstruction error
+    grad = bytes(v for y in range(16) for x in range(16)
+                 for v in (8 * x + 60, 8 * y + 40, 120))
+    out = media.resample_pixels(jpegops.encode_jpeg_color(16, 16, grad),
+                                8, 8)
+    w2, h2, ch, px2 = jpegops.decode_jpeg(out)
+    assert (w2, h2, ch) == (8, 8, 3)
+    want = [grad[((y2 * 2) * 16 + x2 * 2) * 3 + c]
+            for y2 in range(8) for x2 in range(8) for c in range(3)]
+    err = max(abs(a - b) for a, b in zip(px2, want))
+    assert err <= 24, err   # two lossy hops at Annex-K quality
 
 
 def test_frame_sample_stride():
