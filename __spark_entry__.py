@@ -576,6 +576,8 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "mime_sniff",
+    "sample_priority",
     "pixel_phash_prog",
     "pixel_phash_jpeg",
     "pixel_resize_jpeg",
@@ -723,6 +725,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _textop(textops.winnow_fingerprint_sql),
         "keyword_extract": _textop(textops.keyword_extract_sql),
         "stratified_sample": _textop(textops.stratified_sample_sql),
+        "sample_priority": _textop(textops.sample_priority_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
         "lm_score": _textop(textops.lm_score_sql),
         "ppl_bucket": textops.run_ppl_bucket,
@@ -780,6 +783,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _eventop(eventops.funnel_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
+        "mime_sniff": media.mime_sniff,
         "media_resize": media.media_resize,
         "media_exif_scrub": media.media_exif_scrub,
         "media_frame_sample": media.media_frame_sample,
@@ -862,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint": textops.winnow_fingerprint_sql(duck=True),
             "keyword_extract": textops.keyword_extract_sql(duck=True),
             "stratified_sample": textops.stratified_sample_sql(duck=True),
+            "sample_priority": textops.sample_priority_sql(duck=True),
             "decontaminate": textops.decontaminate_sql(duck=True),
             "lm_score": textops.lm_score_sql(duck=True),
             "ppl_bucket": textops.ppl_bucket_sql(duck=True),
@@ -933,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
             "events_range_join": eventops.range_join_sql(duck=True),
             "events_funnel": eventops.funnel_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
+            "mime_sniff": media.mime_sniff_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
             "media_exif_scrub": media.media_exif_scrub_oracle_sql(),
             "media_frame_sample": media.media_frame_sample_oracle_sql(),

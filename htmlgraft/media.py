@@ -1279,3 +1279,195 @@ def audio_pcm_features_oracle_sql(docs: str = "documents") -> str:
       from smp group by doc_id
       order by doc_id
     """
+
+
+# --- WHATWG MIME sniffing (round 5) --------------------------------------------
+#
+# Crawl ingestion cannot trust Content-Type headers; the WHATWG MIME
+# Sniffing Standard (mimesniff.spec.whatwg.org, public spec) defines the
+# byte-pattern identification every browser runs.  This is the
+# "identify the computed MIME type of a resource" core: exact byte
+# signatures, the whitespace-skipped case-insensitive HTML tag table
+# (each tag must be terminated by 0x20 or 0x3E), BOMs, and the
+# binary-vs-text heuristic over the first 1445 bytes.
+
+#: (prefix, mask_spaces_skipped, mime) — exact-prefix signatures, spec §6.1/7.1.
+_SNIFF_SIGS = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"\x00\x00\x02\x00", "image/x-icon"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS\x00", "application/ogg"),
+    (b"MThd\x00\x00\x00\x06", "audio/midi"),
+    (b"\x1f\x8b\x08", "application/x-gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"Rar!\x1a\x07\x00", "application/x-rar-compressed"),
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS-Adobe-", "application/postscript"),
+    (b"ttcf", "font/collection"),
+    (b"OTTO", "font/otf"),
+    (b"wOFF", "font/woff"),
+    (b"wOF2", "font/woff2"),
+)
+
+#: HTML tag table (spec §7.1): matched case-insensitively after leading
+#: whitespace; the byte after the pattern must be 0x20 or 0x3E.
+_SNIFF_TAGS = (
+    b"<!DOCTYPE HTML", b"<HTML", b"<HEAD", b"<SCRIPT", b"<IFRAME",
+    b"<H1", b"<DIV", b"<FONT", b"<TABLE", b"<A", b"<STYLE", b"<TITLE",
+    b"<B", b"<BODY", b"<BR", b"<P", b"<!--",
+)
+
+#: spec §3: a binary data byte is 0x00-0x08, 0x0B, 0x0E-0x1A, or 0x1C-0x1F.
+_BINARY_BYTES = frozenset(
+    list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B))
+    + list(range(0x1C, 0x20)))
+
+SNIFF_HEADER_BYTES = 1445   # spec §5: the resource header length
+
+
+def sniff_mime(blob: bytes):
+    """(mime, method) per the WHATWG sniffing core over the resource
+    header.  ``method`` says which rule fired: ``signature`` (exact
+    byte pattern), ``riff``/``ftyp`` (parameterized container checks),
+    ``html``/``xml`` (tag table), ``bom``, ``text`` or ``binary``
+    (the byte-set heuristic)."""
+    hdr = blob[:SNIFF_HEADER_BYTES]
+    for pat, mime in _SNIFF_SIGS:
+        if hdr.startswith(pat):
+            return mime, "signature"
+    if hdr[:4] == b"RIFF" and len(hdr) >= 12:
+        if hdr[8:12] == b"WEBP":
+            return "image/webp", "riff"
+        if hdr[8:12] == b"WAVE":
+            return "audio/wave", "riff"
+        if hdr[8:12] == b"AVI ":
+            return "video/avi", "riff"
+    if len(hdr) >= 12 and hdr[4:8] == b"ftyp":
+        brand = hdr[8:12]
+        if brand[:3] == b"mp4" or brand in (b"isom", b"iso2", b"M4V "):
+            return "video/mp4", "ftyp"
+    if hdr[:2] in (b"\xfe\xff", b"\xff\xfe"):
+        return "text/plain", "bom"          # UTF-16BE/LE BOM
+    if hdr[:3] == b"\xef\xbb\xbf":
+        return "text/plain", "bom"          # UTF-8 BOM
+    ws = 0
+    while ws < len(hdr) and hdr[ws] in b"\t\n\x0c\r ":
+        ws += 1
+    up = hdr[ws:ws + 16].upper()
+    for tag in _SNIFF_TAGS:
+        if up.startswith(tag):
+            nxt = hdr[ws + len(tag):ws + len(tag) + 1]
+            if nxt in (b" ", b">"):
+                return "text/html", "html"
+    if hdr[ws:ws + 5] == b"<?xml":
+        return "text/xml", "xml"
+    if any(b in _BINARY_BYTES for b in hdr):
+        return "application/octet-stream", "binary"
+    return "text/plain", "text"
+
+
+MIME_LANES = 12
+
+
+def _mime_synth(doc_id: int) -> bytes:
+    """Deterministic per-doc resource bytes: 12 lane families; the HTML
+    lane varies leading whitespace (doc_id // 12 % 4) and tag choice /
+    case by doc_id, the heuristic lane flips binary on doc_id % 3 == 0."""
+    m = doc_id % MIME_LANES
+    if m == 0:
+        return b"\x89PNG\r\n\x1a\n" + b"x" * (doc_id % 7)
+    if m == 1:
+        return b"\xff\xd8\xff\xe0body"
+    if m == 2:
+        return (b"GIF89a" if doc_id % 2 else b"GIF87a") + b"rest"
+    if m == 3:
+        return b"RIFF\x10\x00\x00\x00WEBPVP8 "
+    if m == 4:
+        pad = b" \t\n\x0c"[: (doc_id // 12) % 4 + 1]
+        tag = b"<!doctype html>" if doc_id % 2 else b"<HtMl>"
+        return pad + tag + b"<body>hi</body>"
+    if m == 5:
+        return b"<?xml version=\"1.0\"?><root/>"
+    if m == 6:
+        return b"%PDF-1.7 obj"
+    if m == 7:
+        return b"\x1f\x8b\x08\x00payload"
+    if m == 8:
+        return b"PK\x03\x04zipdata"
+    if m == 9:
+        return b"ID3\x04tag"
+    if m == 10:
+        body = b"plain words " + str(doc_id).encode()
+        return body + (b"\x07" if doc_id % 3 == 0 else b".")
+    return b"RIFF\x24\x00\x00\x00WAVEfmt "
+
+
+def _mime_batch(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "mime": [], "method": []}
+        for doc_id in pdf["doc_id"]:
+            mime, method = sniff_mime(_mime_synth(int(doc_id)))
+            out["doc_id"].append(int(doc_id))
+            out["mime"].append(mime)
+            out["method"].append(method)
+        yield pd.DataFrame(out)
+
+
+def mime_sniff(spark, sf_dir: str):
+    """Gated query: WHATWG MIME sniffing over a 12-lane synthetic
+    resource corpus (signatures, RIFF/ftyp parameterized checks, the
+    whitespace/case-varied HTML tag table, XML, and the binary-vs-text
+    byte-set heuristic with both outcomes live).  Map-only — exactly the
+    shape of a crawl-ingestion type-dispatch pass."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("method", StringType()),
+    ])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_mime_batch, schema).orderBy("doc_id")
+
+
+def mime_sniff_oracle_sql(docs: str = "documents") -> str:
+    """Every lane's computed type restated, including the data-dependent
+    sub-cases (HTML regardless of case/whitespace, binary flip on
+    doc_id % 3)."""
+    return f"""
+      select doc_id,
+             case doc_id % {MIME_LANES}
+               when 0 then 'image/png'
+               when 1 then 'image/jpeg'
+               when 2 then 'image/gif'
+               when 3 then 'image/webp'
+               when 4 then 'text/html'
+               when 5 then 'text/xml'
+               when 6 then 'application/pdf'
+               when 7 then 'application/x-gzip'
+               when 8 then 'application/zip'
+               when 9 then 'audio/mpeg'
+               when 10 then case when doc_id % 3 = 0
+                 then 'application/octet-stream' else 'text/plain' end
+               else 'audio/wave'
+             end as mime,
+             case doc_id % {MIME_LANES}
+               when 3 then 'riff'
+               when 4 then 'html'
+               when 5 then 'xml'
+               when 10 then case when doc_id % 3 = 0
+                 then 'binary' else 'text' end
+               when 11 then 'riff'
+               else 'signature'
+             end as method
+      from {docs}
+      order by doc_id
+    """

@@ -1281,6 +1281,64 @@ def stratified_sample_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+PRIORITY_K = 32           # sample size
+PRIORITY_U = 4294967296   # 2^32 fixed-point denominator for u
+
+
+def sample_priority_sql(duck: bool, docs: str = "documents") -> str:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): weight w = token count (length-
+    proportional corpus subsampling), u = (h32(doc_id)+1)/2^32 as exact
+    fixed point, priority q = w/u computed as w*2^32 {div} (h+1) in pure
+    int64 (w*2^32 <= ~2^43, no overflow in either engine), keep the top
+    {k} priorities, and report the UNBIASED weight estimator
+    w_hat = max(w, tau) with tau = the (k+1)-th priority — the estimator
+    whose per-item variance priority sampling proves near-optimal.
+    Deterministic: no RNG, same hash both engines, ties broken by doc_id.
+
+    Scale shape: the per-row (w, q) computation is map-only; the global
+    top-(k+1) is an ORDER BY .. LIMIT, which Spark compiles to
+    ``TakeOrderedAndProject`` — per-partition partial top-(k+1) merged on
+    a single (k+1)-row task, NO window and NO global sort (plan-audited).
+    tau = min priority of the top-(k+1) set (sorted desc, the last row
+    has the set's min; 0 when the corpus has <= k rows, where the sample
+    is exhaustive and w_hat = w).  Exactly what a 10^12-doc weighted
+    subsample must do: one streaming pass, k rows of state."""
+    d = _d(duck)
+    div = "//" if duck else " div "
+    h = h32(f"cast(doc_id as {d['str']})", duck)
+    nw = "len(ws)" if duck else "size(ws)"
+    return f"""
+      with base as (
+        select doc_id, {d['split'].format('text')} as ws from {docs}
+      ),
+      prios as (
+        select doc_id, {nw} as w,
+               ({nw} * {PRIORITY_U}) {div} ({h} + 1) as q
+        from base
+      ),
+      topk1 as (
+        select doc_id, w, q from prios
+        order by q desc, doc_id asc limit {PRIORITY_K + 1}
+      ),
+      tau as (
+        select case when count(*) > {PRIORITY_K} then min(q) else 0 end
+               as tau
+        from topk1
+      ),
+      kept as (
+        select doc_id, w, q from topk1
+        order by q desc, doc_id asc limit {PRIORITY_K}
+      )
+      select doc_id,
+             cast(w as bigint) as w,
+             cast(q as bigint) as priority,
+             cast(greatest(w, tau) as bigint) as est_w
+      from kept cross join tau
+      order by doc_id
+    """
+
+
 DECONTAM_K = 13  # the classic 13-gram contamination window
 EVAL_MOD = 50    # fake benchmark set: every 50th document
 

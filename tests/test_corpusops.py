@@ -541,3 +541,42 @@ def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
     e0 = df[df.epoch == 0].sort_values("pos").doc_id.tolist()
     e1 = df[df.epoch == 1].sort_values("pos").doc_id.tolist()
     assert e0 != e1 and sorted(e0) == sorted(e1)
+
+
+def test_sample_priority_estimator_properties(spark, sf_dir):
+    """Priority sampling invariants (Duffield-Lund-Thorup): exactly K
+    rows, every priority >= its weight (u <= 1), est_w = max(w, tau)
+    with tau below every kept priority, and sum(est_w) is an unbiased
+    total-weight estimate — for a deterministic instance, within 3x of
+    the true total (sanity band, not a statistical claim)."""
+    from htmlgraft import textops as T
+    import duckdb
+
+    df = T.run(spark, sf_dir, T.sample_priority_sql).toPandas()
+    assert len(df) == T.PRIORITY_K
+    assert (df.priority >= df.w).all()
+    assert (df.est_w >= df.w).all()
+    # tau recompute: the (K+1)-th priority over the full relation,
+    # rebuilt in DuckDB straight from the formula (independent of the
+    # query's own topk1/tau CTEs)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"'{sf_dir}/documents.parquet'")
+    h = T.h32(f"cast(doc_id as {T._d(True)['str']})", True)
+    tau = con.execute(f"""
+        with prios as (
+          select doc_id, len(string_split(text, ' ')) as w,
+                 (len(string_split(text, ' ')) * {T.PRIORITY_U})
+                   // ({h} + 1) as q
+          from documents)
+        select q from prios order by q desc, doc_id asc
+        limit 1 offset {T.PRIORITY_K}
+    """).fetchone()[0]
+    # the kept rows all outrank tau, and est_w == max(w, tau) exactly
+    assert (df.priority >= tau).all()
+    assert (df.est_w == df.w.clip(lower=tau)).all()
+    total = con.execute(
+        "select sum(len(string_split(text, ' '))) from documents"
+    ).fetchone()[0]
+    est = df.est_w.sum()
+    assert 0.3 < est / total < 3.0, (est, total)

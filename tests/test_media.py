@@ -558,3 +558,81 @@ def test_wav_pcm_decode_error_lanes():
     blob[fmt_off + 14:fmt_off + 16] = _s.pack("<H", 8)
     with pytest.raises(NotImplementedError):
         media.decode_wav_pcm(bytes(blob))
+
+
+# --- WHATWG MIME sniffing ------------------------------------------------------
+
+def test_sniff_mime_signatures():
+    cases = {
+        b"\x89PNG\r\n\x1a\nrest": "image/png",
+        b"\xff\xd8\xff\xdbjpeg": "image/jpeg",
+        b"GIF87atail": "image/gif",
+        b"GIF89atail": "image/gif",
+        b"BMbitmap": "image/bmp",
+        b"ID3\x03tag": "audio/mpeg",
+        b"OggS\x00page": "application/ogg",
+        b"MThd\x00\x00\x00\x06midi": "audio/midi",
+        b"\x1f\x8b\x08gz": "application/x-gzip",
+        b"PK\x03\x04zip": "application/zip",
+        b"Rar!\x1a\x07\x00ar": "application/x-rar-compressed",
+        b"%PDF-1.4": "application/pdf",
+        b"wOF2font": "font/woff2",
+    }
+    for blob, want in cases.items():
+        assert media.sniff_mime(blob) == (want, "signature"), blob
+
+
+def test_sniff_mime_parameterized_containers():
+    assert media.sniff_mime(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == (
+        "image/webp", "riff")
+    assert media.sniff_mime(b"RIFF\x00\x00\x00\x00WAVEfmt ") == (
+        "audio/wave", "riff")
+    assert media.sniff_mime(b"RIFF\x00\x00\x00\x00AVI LIST") == (
+        "video/avi", "riff")
+    assert media.sniff_mime(b"\x00\x00\x00\x18ftypmp42x") == (
+        "video/mp4", "ftyp")
+    assert media.sniff_mime(b"\x00\x00\x00\x18ftypisom") == (
+        "video/mp4", "ftyp")
+    # RIFF with an unknown fourcc falls through to the heuristic
+    assert media.sniff_mime(b"RIFF\x00\x00\x00\x00WHAT")[0] == (
+        "application/octet-stream")
+
+
+def test_sniff_mime_html_tag_rules():
+    """Spec: leading whitespace skipped, case-insensitive, and the tag
+    MUST be terminated by 0x20 or 0x3E — '<htmlx' is NOT html."""
+    assert media.sniff_mime(b"<html>") == ("text/html", "html")
+    assert media.sniff_mime(b"  \t\n<HTML >x") == ("text/html", "html")
+    assert media.sniff_mime(b"<!doctype html><p>") == ("text/html", "html")
+    assert media.sniff_mime(b"<HtMl attr=1>") == ("text/html", "html")
+    assert media.sniff_mime(b"<!-- c -->") == ("text/html", "html")
+    assert media.sniff_mime(b"<htmlx>") == ("text/plain", "text")
+    assert media.sniff_mime(b"<?xml version='1.0'?>") == ("text/xml", "xml")
+
+
+def test_sniff_mime_bom_and_heuristic():
+    assert media.sniff_mime(b"\xef\xbb\xbf<html>") == ("text/plain", "bom")
+    assert media.sniff_mime(b"\xfe\xff\x00h") == ("text/plain", "bom")
+    assert media.sniff_mime(b"\xff\xfeh\x00") == ("text/plain", "bom")
+    # binary byte set boundaries: 0x0B binary, but 0x09/0x0A/0x0C/0x0D
+    # are whitespace-class and stay text
+    assert media.sniff_mime(b"ok\x0bx") == (
+        "application/octet-stream", "binary")
+    assert media.sniff_mime(b"ok\x09\x0a\x0c\x0dx") == ("text/plain", "text")
+    # the heuristic only reads the 1445-byte resource header
+    long_text = b"a" * media.SNIFF_HEADER_BYTES + b"\x00"
+    assert media.sniff_mime(long_text) == ("text/plain", "text")
+
+
+def test_mime_lane_map_matches_oracle_table():
+    for d in range(24, 72):
+        mime, method = media.sniff_mime(media._mime_synth(d))
+        m = d % media.MIME_LANES
+        want = ["image/png", "image/jpeg", "image/gif", "image/webp",
+                "text/html", "text/xml", "application/pdf",
+                "application/x-gzip", "application/zip", "audio/mpeg",
+                None, "audio/wave"][m]
+        if m == 10:
+            want = ("application/octet-stream" if d % 3 == 0
+                    else "text/plain")
+        assert mime == want, (d, mime)

@@ -52,6 +52,9 @@ ALLOWLIST = {
     "robots_optout",
     # 16-row bucket literal cross join densifying per-host registers
     "hll_by_host",
+    # 1-row tau (the (k+1)-th priority scalar aggregate) cross-joined onto
+    # the K kept rows — constant build side, audited r5s4
+    "sample_priority",
 }
 
 PATTERNS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
