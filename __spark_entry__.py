@@ -576,6 +576,7 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "host_hyperball",
     "mime_sniff",
     "sample_priority",
     "pixel_phash_prog",
@@ -675,6 +676,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": linkops.run_hits_hosts,
         "host_components": linkops.run_host_components,
         "host_triangles": linkops.run_host_triangles,
+        "host_hyperball": linkops.run_host_hyperball,
         "host_cocitation": linkops.run_host_cocitation,
         "crawl_schedule": linkops.run_crawl_schedule,
         "anchor_text": linkops.run_anchor_text,
@@ -915,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
             "hits_hosts": linkops.hits_oracle_sql(),
             "host_components": linkops.host_components_oracle_sql(),
             "host_triangles": linkops.host_triangles_oracle_sql(),
+            "host_hyperball": linkops.host_hyperball_oracle_sql(),
             "host_cocitation": linkops.host_cocitation_oracle_sql(),
             "crawl_schedule": linkops.crawl_schedule_oracle_sql(),
             "anchor_text": linkops.anchor_text_oracle_sql(),

@@ -1391,3 +1391,162 @@ def crawl_schedule_oracle_sql() -> str:
       from ranked
       order by frontier_url
     """
+
+
+# --- HyperBall neighborhood function (round 5) ------------------------------
+#
+# Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+# HyperBall" (2013, public paper; the HyperANF line of work): the
+# neighborhood function N(h, r) = |{hosts reachable from h in <= r hops}|
+# for every host AT ONCE, by propagating per-host HyperLogLog registers
+# along edges with register-wise max — the only known way to get
+# reachability/centrality profiles over a 10^9-host web graph without
+# materializing pairs (exact BFS per host is O(V*E); this is O(E*M) per
+# radius with a mergeable M-integer state per host, and the register max
+# is associative, so every round map-side combines).
+#
+# Same float-free register geometry as urlops.hll_by_host (M=16, alpha_16
+# fixed point, rho over the 28-bit suffix); the raw estimate is reported
+# in bigint fixed point with the zero-register count alongside so a
+# consumer can apply linear counting, exactly like the other HLL tiers.
+
+HB_M = 16
+HB_ALPHA_NUM = int(0.673 * HB_M * HB_M * (1 << 32))
+HB_ROUNDS = 2  # radii 0, 1, 2
+
+
+def hyperball_sql(duck: bool, edges: str = "hedges") -> str:
+    """HyperBall over ``{edges}(src_host, dst_host)``: per-host HLL
+    registers of the radius-r out-ball, for r = 0..{HB_ROUNDS}.  Round 0
+    sketches {{h}} itself; round t+1 takes the register-wise max of a
+    host's own registers and its out-neighbors' round-t registers (one
+    equi-join + one group-by max per round — never a transitive-closure
+    materialization).  The exact radius-2 ball size is computed alongside
+    by an unrolled distinct join as the eval pin (cheap at gate scale,
+    NOT part of the production pattern — the sketch is the product).
+
+    Outputs (all bigint/string): the exact pin, the raw fixed-point HLL
+    estimates at each radius (monotone non-decreasing by construction),
+    the radius-2 zero-register count + register sum, and the densified
+    radius-2 register vector md5."""
+    from .textops import _d, h32
+
+    d = _d(duck)
+    div = "//" if duck else "div"
+    M = HB_M
+    blen = ("length(printf('%b', suffix))" if duck
+            else "length(bin(suffix))")
+    rng = d["range_incl"].format("0", str(M - 1))
+    allb = (f"select unnest({rng}) as bucket" if duck
+            else f"select explode({rng}) as bucket")
+    regs_join = (
+        "md5(string_agg(cast(r as varchar), ',' order by bucket))" if duck
+        else "md5(array_join(transform(array_sort(collect_list("
+             "struct(bucket, r))), x -> cast(x.r as string)), ','))"
+    )
+
+    def _agg(t: int) -> str:
+        return f"""
+      agg{t} as (
+        select host,
+               sum({d['shl1'].format('(32 - r)')})
+                 + ({M} - count(*)) * 4294967296 as den
+        from sk{t} group by host
+      )"""
+
+    def _round(t: int) -> str:
+        return f"""
+      sk{t} as (
+        select host, bucket, max(r) as r from (
+          select host, bucket, r from sk{t - 1}
+          union all
+          select e.src as host, s.bucket, s.r
+          from uedges e join sk{t - 1} s on s.host = e.dst
+        ) u{t} group by host, bucket
+      )"""
+
+    return f"""
+      uedges as (
+        select distinct src_host as src, dst_host as dst
+        from {edges} where src_host <> dst_host
+      ),
+      hosts as (
+        select distinct host from (
+          select src as host from uedges
+          union all select dst from uedges
+        ) hh
+      ),
+      hh as (select host, ({h32('host', duck)}) as hv from hosts),
+      sk0 as (
+        select host, hv % {M} as bucket,
+               case when suffix = 0 then 29 else 29 - {blen} end as r
+        from (select host, hv, hv {div} {M} as suffix from hh) s0
+      ),{_round(1)},{_round(2)},{_agg(0)},{_agg(1)},{_agg(2)},
+      fin2 as (
+        select h.host, a.bucket, coalesce(sk2.r, 0) as r
+        from hosts h
+        cross join ({allb}) a
+        left join sk2 on sk2.host = h.host and sk2.bucket = a.bucket
+      ),
+      fagg2 as (
+        select host,
+               sum(case when r = 0 then 1 else 0 end) as v0,
+               sum(r) as register_sum,
+               {regs_join} as regs_md5
+        from fin2 group by host
+      ),
+      b1 as (
+        select host, host as member from hosts
+        union
+        select src, dst from uedges
+      ),
+      b2 as (
+        select host, member from b1
+        union
+        select e.src as host, b.member
+        from uedges e join b1 b on b.host = e.dst
+      ),
+      exact as (
+        select host, cast(count(*) as bigint) as n_exact from b2
+        group by host
+      )
+      select x.host,
+             x.n_exact as n_exact_r2,
+             cast({HB_ALPHA_NUM} {div} a0.den as bigint) as n_est_raw_r0,
+             cast({HB_ALPHA_NUM} {div} a1.den as bigint) as n_est_raw_r1,
+             cast({HB_ALPHA_NUM} {div} a2.den as bigint) as n_est_raw_r2,
+             cast(f.v0 as bigint) as zero_regs_r2,
+             cast(f.register_sum as bigint) as register_sum_r2,
+             f.regs_md5 as regs_md5_r2
+      from exact x
+      join agg0 a0 on a0.host = x.host
+      join agg1 a1 on a1.host = x.host
+      join agg2 a2 on a2.host = x.host
+      join fagg2 f on f.host = x.host
+      order by x.host
+    """
+
+
+def run_host_hyperball(spark, sf_dir: str) -> DataFrame:
+    # localCheckpoint: the SQL references the edge relation five times
+    # (two propagation rounds, the hosts base, both exact-pin rounds) and
+    # Catalyst inlines CTEs — without this the mapInPandas PARSE would
+    # re-run per reference (host_triangles pattern)
+    hostgraph_df(links_df(pages_df(spark, sf_dir))).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("hedges")
+    return spark.sql("with " + hyperball_sql(duck=False))
+
+
+def host_hyperball_oracle_sql() -> str:
+    return (
+        pages_oracle_cte()
+        + ","
+        + _links_cte()
+        + ","
+        + _RESOLVED_CTE
+        + """,
+      hedges as (select src as src_host, dst as dst_host from resolved),
+"""
+        + hyperball_sql(duck=True)
+    )

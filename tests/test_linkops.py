@@ -559,3 +559,91 @@ def test_host_cocitation_pure_python_recompute(spark, sf_dir):
     hub = max(by_dst, key=lambda d: len(by_dst[d]))
     dropped = {s for s, _ in by_dst[hub]} - set(capped[hub])
     assert dropped
+
+
+def test_host_hyperball_full_recompute(spark, sf_dir):
+    """Full Python recompute of the HyperBall output from the hedges
+    relation: registers (md5-based h32, rho over the 28-bit suffix),
+    two rounds of register-wise max propagation along edges, the
+    fixed-point raw estimates, and the exact radius-2 out-balls by BFS.
+    Also pins corpus liveness: propagation must actually move registers
+    (some host's radius-1 estimate differs from radius 0) and radius 2
+    must reach past radius 1 for at least one host."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+    from htmlgraft import linkops as L
+
+    qs = entrymod.queries()
+    hg = qs["link_hostgraph"](spark, sf_dir).toPandas()
+    got = qs["host_hyperball"](spark, sf_dir).toPandas()
+
+    edges = {
+        (s, d)
+        for s, d in zip(hg.src_host, hg.dst_host)
+        if s != d
+    }
+    hosts = sorted({h for e in edges for h in e})
+    out = {h: set() for h in hosts}
+    for s, d in edges:
+        out[s].add(d)
+
+    M = L.HB_M
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def sketch_self(h: str) -> dict:
+        hv = h32(h)
+        suffix = hv // M
+        rho = 29 if suffix == 0 else 29 - suffix.bit_length()
+        return {hv % M: rho}
+
+    regs = {h: sketch_self(h) for h in hosts}
+    per_radius = [dict((h, dict(r)) for h, r in regs.items())]
+    for _ in range(L.HB_ROUNDS):
+        nxt = {}
+        for h in hosts:
+            merged = dict(regs[h])
+            for n in out[h]:
+                for b, r in regs[n].items():
+                    if merged.get(b, 0) < r:
+                        merged[b] = r
+            nxt[h] = merged
+        regs = nxt
+        per_radius.append(dict((h, dict(r)) for h, r in regs.items()))
+
+    def est(sk: dict) -> int:
+        den = sum(1 << (32 - r) for r in sk.values())
+        den += (M - len(sk)) * (1 << 32)
+        return L.HB_ALPHA_NUM // den
+
+    # exact radius-2 balls by BFS
+    exact = {}
+    for h in hosts:
+        ball = {h}
+        frontier = {h}
+        for _ in range(L.HB_ROUNDS):
+            frontier = {n for f in frontier for n in out[f]} - ball
+            ball |= frontier
+        exact[h] = len(ball)
+
+    assert list(got.host) == hosts
+    for _, row in got.iterrows():
+        h = row.host
+        assert row.n_exact_r2 == exact[h], h
+        for t in range(3):
+            assert row[f"n_est_raw_r{t}"] == est(per_radius[t][h]), (h, t)
+        sk2 = per_radius[2][h]
+        assert row.zero_regs_r2 == M - len(sk2), h
+        assert row.register_sum_r2 == sum(sk2.values()), h
+        vec = ",".join(str(sk2.get(b, 0)) for b in range(M))
+        assert row.regs_md5_r2 == hashlib.md5(vec.encode()).hexdigest(), h
+    # monotone by construction, and the corpus must exercise both hops
+    assert (got.n_est_raw_r1 >= got.n_est_raw_r0).all()
+    assert (got.n_est_raw_r2 >= got.n_est_raw_r1).all()
+    assert (got.n_est_raw_r1 > got.n_est_raw_r0).any(), "radius-1 dead"
+    assert (got.n_exact_r2 > 1).any(), "graph has no edges?"
+    assert (
+        got.n_est_raw_r2 > got.n_est_raw_r1
+    ).any(), "radius-2 propagation dead — 2-hop reach adds nothing"

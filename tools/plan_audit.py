@@ -52,6 +52,8 @@ ALLOWLIST = {
     "robots_optout",
     # 16-row bucket literal cross join densifying per-host registers
     "hll_by_host",
+    # same 16-row bucket literal densify on the final HyperBall radius
+    "host_hyperball",
     # 1-row tau (the (k+1)-th priority scalar aggregate) cross-joined onto
     # the K kept rows — constant build side, audited r5s4
     "sample_priority",
