@@ -576,6 +576,7 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "script_mix",
     "host_hyperball",
     "mime_sniff",
     "sample_priority",
@@ -727,6 +728,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _textop(textops.winnow_fingerprint_sql),
         "keyword_extract": _textop(textops.keyword_extract_sql),
         "stratified_sample": _textop(textops.stratified_sample_sql),
+        "script_mix": _textop(textops.script_mix_sql),
         "sample_priority": _textop(textops.sample_priority_sql),
         "decontaminate": _textop(textops.decontaminate_sql),
         "lm_score": _textop(textops.lm_score_sql),
@@ -868,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint": textops.winnow_fingerprint_sql(duck=True),
             "keyword_extract": textops.keyword_extract_sql(duck=True),
             "stratified_sample": textops.stratified_sample_sql(duck=True),
+            "script_mix": textops.script_mix_sql(duck=True),
             "sample_priority": textops.sample_priority_sql(duck=True),
             "decontaminate": textops.decontaminate_sql(duck=True),
             "lm_score": textops.lm_score_sql(duck=True),

@@ -1339,6 +1339,105 @@ def sample_priority_sql(duck: bool, docs: str = "documents") -> str:
     """
 
 
+SCRIPT_LANES = 6
+#: (lane name, body) — non-ASCII bodies exercise each Unicode script
+#: class; lane 4 is the classic homoglyph attack (Cyrillic а/е/о inside
+#: Latin words), the signal mixed-script spam filters exist for.
+_SCRIPT_BODIES = (
+    ("latin", "the quick brown fox jumps over the lazy dog"),
+    ("cyrillic", "съешь же ещё этих мягких французских булок"),
+    ("han", "天地玄黄 宇宙洪荒 日月盈昃 辰宿列张"),
+    ("arabic", "النص العربي لتحليل جودة البيانات"),
+    ("confusable", "pаypаl аccount sеcurе lоgin vеrify"),
+    ("greek", "ελληνικό κείμενο για ανάλυση"),
+)
+
+
+def _script_cls(name: str, duck: bool) -> str:
+    """Unicode script character class for each engine's regex dialect:
+    RE2 spells it \\p{Cyrillic}, Java \\p{IsCyrillic}; Spark SQL string
+    literals additionally process backslash escapes (_pii_pat note)."""
+    return f"\\p{{{name}}}" if duck else f"\\\\p{{Is{name}}}"
+
+
+def script_mix_sql(duck: bool, docs: str = "documents") -> str:
+    """Unicode SCRIPT histogram + mixed-script spam signal — the
+    script-level language filter multilingual corpus pipelines run
+    (CCNet/mC4 lineage) and the homoglyph detector abuse pipelines run:
+    per-document counts of Latin / Cyrillic / Han / Arabic / Greek
+    letters, the dominant script, how many scripts appear, and the count
+    of Latin-Cyrillic ADJACENT bigrams (inside-word confusables — the
+    phishing/spam fingerprint; digits are script-Common and stay out of
+    every count).
+
+    The corpus is synthesized in-SQL ({SCRIPT_LANES} script lanes,
+    repeat factor doc_id %% 3) so both engines build identical strings;
+    the oracle twin is genuinely independent here — Java's and RE2's
+    Unicode script tables must agree character by character.
+
+    Scale shape: pure regexp projection, map-only, no shuffle — a
+    10^12-doc script audit is one codegen'd pass."""
+    d = _d(duck)
+    s = d["str"]
+    g = ", 'g'" if duck else ""
+    lanes = " ".join(
+        f"when {i} then '{body}'" for i, (_, body) in enumerate(_SCRIPT_BODIES)
+    )
+
+    def cnt(name: str) -> str:
+        cls = _script_cls(name if duck else name, duck)
+        return (f"(length(stext) - length(regexp_replace(stext, "
+                f"'[{cls}]', ''{g})))")
+
+    la = _script_cls("Latin", duck)
+    cy = _script_cls("Cyrillic", duck)
+    conf_pat = f"'[{la}][{cy}]|[{cy}][{la}]'"
+    n_conf = d["re_count"].format("stext", conf_pat)
+    return f"""
+      with sdocs as (
+        select doc_id,
+               concat(repeat(concat(case doc_id % {SCRIPT_LANES} {lanes}
+                                    end, ' '), 1 + doc_id % 3),
+                      cast(doc_id as {s})) as stext
+        from {docs}
+      ),
+      counted as (
+        select doc_id,
+               cast(length(stext) as bigint) as n_chars,
+               cast({cnt('Latin')} as bigint) as n_latin,
+               cast({cnt('Cyrillic')} as bigint) as n_cyrillic,
+               cast({cnt('Han')} as bigint) as n_han,
+               cast({cnt('Arabic')} as bigint) as n_arabic,
+               cast({cnt('Greek')} as bigint) as n_greek,
+               cast({n_conf} as bigint) as n_confusable_bigrams
+        from sdocs
+      )
+      select doc_id, n_chars, n_latin, n_cyrillic, n_han, n_arabic,
+             n_greek,
+             cast((case when n_latin > 0 then 1 else 0 end)
+                + (case when n_cyrillic > 0 then 1 else 0 end)
+                + (case when n_han > 0 then 1 else 0 end)
+                + (case when n_arabic > 0 then 1 else 0 end)
+                + (case when n_greek > 0 then 1 else 0 end)
+                as bigint) as n_scripts,
+             n_confusable_bigrams,
+             case
+               when n_latin >= n_cyrillic and n_latin >= n_han
+                    and n_latin >= n_arabic and n_latin >= n_greek
+                 then 'latin'
+               when n_cyrillic >= n_han and n_cyrillic >= n_arabic
+                    and n_cyrillic >= n_greek then 'cyrillic'
+               when n_han >= n_arabic and n_han >= n_greek then 'han'
+               when n_arabic >= n_greek then 'arabic'
+               else 'greek'
+             end as dominant_script,
+             cast(case when n_confusable_bigrams > 0 then 1 else 0 end
+                  as bigint) as confusable_flag
+      from counted
+      order by doc_id
+    """
+
+
 DECONTAM_K = 13  # the classic 13-gram contamination window
 EVAL_MOD = 50    # fake benchmark set: every 50th document
 

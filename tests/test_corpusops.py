@@ -580,3 +580,52 @@ def test_sample_priority_estimator_properties(spark, sf_dir):
     ).fetchone()[0]
     est = df.est_w.sum()
     assert 0.3 < est / total < 3.0, (est, total)
+
+
+def test_script_mix_python_recompute(spark, sf_dir):
+    """Third-implementation pin for script_mix: the per-char script
+    classification recomputed via unicodedata character names (neither
+    Java's nor RE2's script tables), the confusable bigram count via the
+    same leftmost non-overlapping scan a regex engine does, and the lane
+    semantics (dominant script per lane, the homoglyph lane is the only
+    confusable/mixed one, ASCII digits pollute no count)."""
+    import unicodedata
+
+    from htmlgraft import textops as T
+
+    df = T.run(spark, sf_dir, T.script_mix_sql).toPandas()
+
+    def script(ch: str) -> str:
+        if ch in " 0123456789":
+            return "common"
+        n = unicodedata.name(ch)
+        for key, tag in (("LATIN", "latin"), ("CYRILLIC", "cyrillic"),
+                         ("CJK", "han"), ("ARABIC", "arabic"),
+                         ("GREEK", "greek")):
+            if n.startswith(key):
+                return tag
+        return "other"
+
+    for _, row in df.iterrows():
+        d = int(row.doc_id)
+        lane, body = T._SCRIPT_BODIES[d % T.SCRIPT_LANES]
+        stext = (body + " ") * (1 + d % 3) + str(d)
+        assert row.n_chars == len(stext), d
+        cls = [script(c) for c in stext]
+        for tag in ("latin", "cyrillic", "han", "arabic", "greek"):
+            assert row[f"n_{tag}"] == cls.count(tag), (d, tag)
+        # leftmost non-overlapping latin<->cyrillic adjacency scan
+        n_conf, i = 0, 0
+        while i < len(cls) - 1:
+            if {cls[i], cls[i + 1]} == {"latin", "cyrillic"}:
+                n_conf += 1
+                i += 2
+            else:
+                i += 1
+        assert row.n_confusable_bigrams == n_conf, d
+        if lane == "confusable":
+            assert row.confusable_flag == 1 and row.n_scripts == 2, d
+            assert row.dominant_script == "latin", d
+        else:
+            assert row.confusable_flag == 0 and row.n_scripts == 1, d
+            assert row.dominant_script == lane, d
