@@ -533,7 +533,8 @@ def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
     forward-DCT re-encode, colour at 4:4:4; lossy by nature, so round
     trips are bounded-error rather than exact — the exact-value gate for
     the JPEG chain is ``pixel_resize_jpeg``, which re-encodes losslessly
-    via PNG), and for GIF (LZW decode -> NN -> LZW re-encode, lossless).
+    via PNG), for GIF (LZW decode -> NN -> LZW re-encode, lossless), and
+    for BMP (``bmpops`` decode -> NN -> 8-bit grey re-encode, lossless).
     TIFF remains an honest stub (no TIFF payload codec here)."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from htmlgraft import pixelops
@@ -563,8 +564,12 @@ def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
             for x2 in range(new_w):
                 out[y2 * new_w + x2] = px[sy * w + (x2 * w // new_w)]
         return gifops.encode_gif(new_w, new_h, bytes(out))
+    if blob[:2] == b"BM":
+        from htmlgraft import bmpops
+
+        return bmpops.resample_bmp(blob, new_w, new_h)
     raise NotImplementedError(
-        "pixel resampling beyond PNG/JPEG/GIF needs an image codec")
+        "pixel resampling beyond PNG/JPEG/GIF/BMP needs an image codec")
 
 
 def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):

@@ -829,7 +829,7 @@ def _truncated_gif(doc_id: int) -> bytes:
 
 
 def _audit_synth(doc_id: int) -> bytes:
-    m = doc_id % 8
+    m = doc_id % 10
     if m == 0:
         return encode_png(*synth_pixels(doc_id))
     if m == 1:
@@ -848,10 +848,17 @@ def _audit_synth(doc_id: int) -> bytes:
         # a progressive stream cut mid-scan: the multi-scan walker must
         # raise (either inside entropy data or at the missing marker)
         return synth_prog_jpeg(doc_id)[:-10]
+    if m == 7:
+        return synth_bmp(doc_id)
+    if m == 8:
+        # a BMP cut inside its pixel array: the stride*height bound check
+        # must raise, never read past the blob or pad silently
+        return synth_bmp(doc_id)[:-10]
     return b"JUNK" + str(doc_id).encode()
 
 
 def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.bmpops import decode_bmp_pixels
     from htmlgraft.gifops import decode_gif_pixels
     from htmlgraft.jpegops import decode_jpeg_luma
 
@@ -865,6 +872,8 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 fmt = "jpeg"
             elif blob[:4] == b"GIF8":
                 fmt = "gif"
+            elif blob[:2] == b"BM":
+                fmt = "bmp"
             else:
                 fmt = "unknown"
             ok, px_sum = 0, -1
@@ -878,6 +887,9 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif fmt == "gif":
                     w, h, _, px = decode_gif_pixels(blob)
                     ok, px_sum = 1, sum(px)
+                elif fmt == "bmp":
+                    w, h, _, px = decode_bmp_pixels(blob)
+                    ok, px_sum = 1, sum(px)
             except (ValueError, NotImplementedError):
                 ok, px_sum = 0, -1
             out["doc_id"].append(int(doc_id))
@@ -890,11 +902,11 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
     """Gated query: the crawl-reality lane — a mixed corpus (PNG,
     baseline JPEG, GIF, PROGRESSIVE JPEG, truncated JPEG, truncated GIF,
-    truncated-progressive, junk bytes) through magic-byte dispatch and
-    all three real decoders, reporting per-doc
-    format/status/pixel-sum.  Pins that a corrupt member yields a loud
-    per-row error status, never a silently wrong plane (the property that
-    matters when 10^12 hostile documents flow through mapInPandas).
+    truncated-progressive, BMP, truncated BMP, junk bytes — 10 lanes)
+    through magic-byte dispatch and all four real decoders, reporting
+    per-doc format/status/pixel-sum.  Pins that a corrupt member yields a
+    loud per-row error status, never a silently wrong plane (the property
+    that matters when 10^12 hostile documents flow through mapInPandas).
     Map-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(_audit_batch, _AUDIT_SCHEMA).orderBy("doc_id")
@@ -904,58 +916,70 @@ def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
     """Every lane restated: PNG sums from the pixel formula, baseline
     JPEG sums from the coefficient/IDCT formula, GIF sums from the
     GIF-tier formula, progressive sums from the progressive-tier
-    formulas, error lanes pinned to (0, -1)."""
+    formulas, BMP sums from the BMP-tier formula, error lanes pinned
+    to (0, -1)."""
     png_sum = "(b * 37 + x * 7 + y * 13) % 251"
     gif_sum = "(b * 41 + x * 11 + y * 5) % 247"
+    bmp_sum = "(4 + (b * 43 + x * 9 + y * 3) % 241)"
     jpg_sum = _jpix_sql("x", "y")
     prg_sum = _ppix_sql("x", "y")
     return f"""
       with imgs as (
         select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
-               {_GW} as gw, {_GH} as gh
+               {_GW} as gw, {_GH} as gh, {_BMW} as bw, {_BMH} as bh
         from {docs}
       ),
       psums as (
         select im.doc_id, sum({png_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 8 = 0
+        where im.doc_id % 10 = 0
         group by im.doc_id
       ),
       jsums as (
         select im.doc_id, sum({jpg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 8 = 1
+        where im.doc_id % 10 = 1
         group by im.doc_id
       ),
       gsums as (
         select im.doc_id, sum({gif_sum}) as s
         from imgs im, unnest(range(0, gw)) as tx(x),
              unnest(range(0, gh)) as ty(y)
-        where im.doc_id % 8 = 2
+        where im.doc_id % 10 = 2
         group by im.doc_id
       ),
       rsums as (
         select im.doc_id, sum({prg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 8 = 3
+        where im.doc_id % 10 = 3
+        group by im.doc_id
+      ),
+      bsums as (
+        select im.doc_id, sum({bmp_sum}) as s
+        from imgs im, unnest(range(0, bw)) as tx(x),
+             unnest(range(0, bh)) as ty(y)
+        where im.doc_id % 10 = 7
         group by im.doc_id
       )
       select im.doc_id,
-             case when im.doc_id % 8 = 0 then 'png'
-                  when im.doc_id % 8 in (1, 3, 4, 6) then 'jpeg'
-                  when im.doc_id % 8 in (2, 5) then 'gif'
+             case when im.doc_id % 10 = 0 then 'png'
+                  when im.doc_id % 10 in (1, 3, 4, 6) then 'jpeg'
+                  when im.doc_id % 10 in (2, 5) then 'gif'
+                  when im.doc_id % 10 in (7, 8) then 'bmp'
                   else 'unknown' end as fmt,
-             cast(case when im.doc_id % 8 <= 3 then 1 else 0 end as bigint)
-               as ok,
-             cast(coalesce(p.s, j.s, g.s, r.s, -1) as bigint) as px_sum
+             cast(case when im.doc_id % 10 <= 3 or im.doc_id % 10 = 7
+                  then 1 else 0 end as bigint) as ok,
+             cast(coalesce(p.s, j.s, g.s, r.s, bm.s, -1) as bigint)
+               as px_sum
       from imgs im
       left join psums p on p.doc_id = im.doc_id
       left join jsums j on j.doc_id = im.doc_id
       left join gsums g on g.doc_id = im.doc_id
       left join rsums r on r.doc_id = im.doc_id
+      left join bsums bm on bm.doc_id = im.doc_id
       order by im.doc_id
     """
 
@@ -1317,6 +1341,148 @@ def pixel_phash_prog_oracle_sql(docs: str = "documents") -> str:
       ),
       sums as (
         select im.doc_id, sum({pix}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """
+
+
+# --- BMP tier: real uncompressed DIB codec (bmpops.py), round 5 --------------
+#
+# BMP needs no entropy coding, so this tier's value is in the CONTAINER
+# corners hostile crawls hit: 4-byte row padding (the width range covers
+# all four mod-4 classes), bottom-up vs top-down row order (negative
+# height), 8-bit palette vs 24-bit BGR carriers.  The 24-bit channels are
+# (L+2, L, L-4) — exact under the integer luma transform, but a BGR/RGB
+# channel-order slip shifts luma by 1, so byte order is value-pinned.
+# A DISTINCT pixel formula (43/9/3 mod 241, +4 offset) from the other
+# tiers so a formula copy-paste slip in any oracle mismatches.
+
+_BMW = f"(13 + ({_BASE} * 5) % 21)"    # 13..33 (all mod-4 padding classes)
+_BMH = f"(9 + ({_BASE} * 3) % 13)"     # 9..21
+_BMPIX = "(4 + ({b} * 43 + {x} * 9 + {y} * 3) % 241)"
+
+
+def _bpix(base: int, x: int, y: int) -> int:
+    return 4 + (base * 43 + x * 9 + y * 3) % 241
+
+
+def synth_bmp_pixels(doc_id: int):
+    """(width, height, greyscale bytes) for the BMP-tier image of doc_id."""
+    base = doc_id % PHASH_BASES
+    w, h = 13 + (base * 5) % 21, 9 + (base * 3) % 13
+    return w, h, bytes(_bpix(base, x, y) for y in range(h) for x in range(w))
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Real BMP bytes: odd doc_ids carry 24-bit BGR with the exact-luma
+    channel split, even doc_ids the 8-bit greyscale palette; every third
+    doc is stored top-down — all under one carrier-blind oracle."""
+    from htmlgraft.bmpops import encode_bmp
+
+    w, h, lum = synth_bmp_pixels(doc_id)
+    top_down = doc_id % 3 == 0
+    if doc_id % 2:
+        rgb = b"".join(bytes((v + 2, v, v - 4)) for v in lum)
+        return encode_bmp(w, h, rgb, bits=24, top_down=top_down)
+    return encode_bmp(w, h, lum, bits=8, top_down=top_down)
+
+
+_BMP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("bmp", BinaryType()),
+])
+
+
+def _bmp_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "bmp": [synth_bmp(d) for d in ids],
+        })
+
+
+def bmp_corpus(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_bmp_synth_batch, _BMP_SCHEMA)
+
+
+def _bphash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.bmpops import decode_bmp_pixels
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "phash")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["bmp"]):
+            w, h, bpp, px = decode_bmp_pixels(bytes(blob))
+            assert bpp == 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_phash_bmp(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real BMPs (both bit depths, both row orders,
+    live row padding) -> decode the actual bytes -> dHash -> hash-group
+    keeper.  The oracle recomputes pixels from the closed-form formula,
+    carrier-blind, so a slip in padding arithmetic, row-order
+    normalization, palette lookup, or BGR channel order shows up as a
+    value mismatch."""
+    decoded = bmp_corpus(spark, sf_dir).mapInPandas(
+        _bphash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_bmp_oracle_sql(docs: str = "documents") -> str:
+    """The BMP-tier pixel plane, sum, and dHash restated straight from
+    the synthesis formula — no BMP bytes anywhere, so padding / row
+    order / palette / channel order are pinned by value."""
+    g = "(4 + (b * 43 + {x} * 9 + {y} * 3) % 241)"
+    samp = g.format(x="(gx * w) // 9", y="(gy * h) // 8")
+    samp1 = g.format(x="((gx + 1) * w) // 9", y="(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_BMW} as w, {_BMH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
         group by im.doc_id
