@@ -576,6 +576,7 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "pixel_phash_tiff",
     "pixel_phash_bmp",
     "script_mix",
     "host_hyperball",
@@ -799,6 +800,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_decode_audit": pixelops.pixel_decode_audit,
         "pixel_neardup": pixelops.pixel_neardup,
         "pixel_phash_bmp": pixelops.pixel_phash_bmp,
+        "pixel_phash_tiff": pixelops.pixel_phash_tiff,
         "pixel_phash_gif": pixelops.pixel_phash_gif,
         "pixel_phash_prog": pixelops.pixel_phash_prog,
         "audio_pcm_features": media.audio_pcm_features,
@@ -957,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
             "pixel_decode_audit": pixelops.pixel_decode_audit_oracle_sql(),
             "pixel_neardup": pixelops.pixel_neardup_oracle_sql(),
             "pixel_phash_bmp": pixelops.pixel_phash_bmp_oracle_sql(),
+            "pixel_phash_tiff": pixelops.pixel_phash_tiff_oracle_sql(),
             "pixel_phash_gif": pixelops.pixel_phash_gif_oracle_sql(),
             "pixel_phash_prog": pixelops.pixel_phash_prog_oracle_sql(),
             "audio_pcm_features": media.audio_pcm_features_oracle_sql(),

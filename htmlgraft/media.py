@@ -533,9 +533,11 @@ def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
     forward-DCT re-encode, colour at 4:4:4; lossy by nature, so round
     trips are bounded-error rather than exact — the exact-value gate for
     the JPEG chain is ``pixel_resize_jpeg``, which re-encodes losslessly
-    via PNG), for GIF (LZW decode -> NN -> LZW re-encode, lossless), and
-    for BMP (``bmpops`` decode -> NN -> 8-bit grey re-encode, lossless).
-    TIFF remains an honest stub (no TIFF payload codec here)."""
+    via PNG), for GIF (LZW decode -> NN -> LZW re-encode, lossless), for
+    BMP (``bmpops`` decode -> NN -> 8-bit grey re-encode, lossless), and
+    for TIFF (``tiffops`` strip decode -> NN -> single-strip grey
+    re-encode, lossless).  Video frames remain the honest stub (no
+    video codec here)."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from htmlgraft import pixelops
 
@@ -568,8 +570,12 @@ def resample_pixels(blob: bytes, new_w: int, new_h: int) -> bytes:
         from htmlgraft import bmpops
 
         return bmpops.resample_bmp(blob, new_w, new_h)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from htmlgraft import tiffops
+
+        return tiffops.resample_tiff(blob, new_w, new_h)
     raise NotImplementedError(
-        "pixel resampling beyond PNG/JPEG/GIF/BMP needs an image codec")
+        "pixel resampling beyond PNG/JPEG/GIF/BMP/TIFF needs an image codec")
 
 
 def _rewrite_image_header(blob: bytes, new_w: int, new_h: int):

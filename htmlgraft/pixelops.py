@@ -829,7 +829,7 @@ def _truncated_gif(doc_id: int) -> bytes:
 
 
 def _audit_synth(doc_id: int) -> bytes:
-    m = doc_id % 10
+    m = doc_id % 12
     if m == 0:
         return encode_png(*synth_pixels(doc_id))
     if m == 1:
@@ -854,6 +854,12 @@ def _audit_synth(doc_id: int) -> bytes:
         # a BMP cut inside its pixel array: the stride*height bound check
         # must raise, never read past the blob or pad silently
         return synth_bmp(doc_id)[:-10]
+    if m == 9:
+        return synth_tiff(doc_id)
+    if m == 10:
+        # a TIFF cut at the tail removes (part of) the trailing IFD: the
+        # IFD/value-array bound checks must raise, never guess geometry
+        return synth_tiff(doc_id)[:-10]
     return b"JUNK" + str(doc_id).encode()
 
 
@@ -861,6 +867,7 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from htmlgraft.bmpops import decode_bmp_pixels
     from htmlgraft.gifops import decode_gif_pixels
     from htmlgraft.jpegops import decode_jpeg_luma
+    from htmlgraft.tiffops import decode_tiff_pixels
 
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "fmt", "ok", "px_sum")}
@@ -874,6 +881,8 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 fmt = "gif"
             elif blob[:2] == b"BM":
                 fmt = "bmp"
+            elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+                fmt = "tiff"
             else:
                 fmt = "unknown"
             ok, px_sum = 0, -1
@@ -890,6 +899,9 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif fmt == "bmp":
                     w, h, _, px = decode_bmp_pixels(blob)
                     ok, px_sum = 1, sum(px)
+                elif fmt == "tiff":
+                    w, h, _, px = decode_tiff_pixels(blob)
+                    ok, px_sum = 1, sum(px)
             except (ValueError, NotImplementedError):
                 ok, px_sum = 0, -1
             out["doc_id"].append(int(doc_id))
@@ -902,12 +914,12 @@ def _audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def pixel_decode_audit(spark, sf_dir: str) -> DataFrame:
     """Gated query: the crawl-reality lane — a mixed corpus (PNG,
     baseline JPEG, GIF, PROGRESSIVE JPEG, truncated JPEG, truncated GIF,
-    truncated-progressive, BMP, truncated BMP, junk bytes — 10 lanes)
-    through magic-byte dispatch and all four real decoders, reporting
-    per-doc format/status/pixel-sum.  Pins that a corrupt member yields a
-    loud per-row error status, never a silently wrong plane (the property
-    that matters when 10^12 hostile documents flow through mapInPandas).
-    Map-only."""
+    truncated-progressive, BMP, truncated BMP, TIFF, truncated TIFF,
+    junk bytes — 12 lanes) through magic-byte dispatch and all five real
+    decoders, reporting per-doc format/status/pixel-sum.  Pins that a
+    corrupt member yields a loud per-row error status, never a silently
+    wrong plane (the property that matters when 10^12 hostile documents
+    flow through mapInPandas).  Map-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(_audit_batch, _AUDIT_SCHEMA).orderBy("doc_id")
 
@@ -916,63 +928,73 @@ def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
     """Every lane restated: PNG sums from the pixel formula, baseline
     JPEG sums from the coefficient/IDCT formula, GIF sums from the
     GIF-tier formula, progressive sums from the progressive-tier
-    formulas, BMP sums from the BMP-tier formula, error lanes pinned
-    to (0, -1)."""
+    formulas, BMP sums from the BMP-tier formula, TIFF sums from the
+    TIFF-tier formula, error lanes pinned to (0, -1)."""
     png_sum = "(b * 37 + x * 7 + y * 13) % 251"
     gif_sum = "(b * 41 + x * 11 + y * 5) % 247"
     bmp_sum = "(4 + (b * 43 + x * 9 + y * 3) % 241)"
+    tif_sum = "(6 + (b * 53 + x * 11 + y * 7) % 233)"
     jpg_sum = _jpix_sql("x", "y")
     prg_sum = _ppix_sql("x", "y")
     return f"""
       with imgs as (
         select doc_id, {_BASE} as b, {_PW} as w, {_PH} as h,
-               {_GW} as gw, {_GH} as gh, {_BMW} as bw, {_BMH} as bh
+               {_GW} as gw, {_GH} as gh, {_BMW} as bw, {_BMH} as bh,
+               {_TFW} as tw, {_TFH} as th
         from {docs}
       ),
       psums as (
         select im.doc_id, sum({png_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 10 = 0
+        where im.doc_id % 12 = 0
         group by im.doc_id
       ),
       jsums as (
         select im.doc_id, sum({jpg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 10 = 1
+        where im.doc_id % 12 = 1
         group by im.doc_id
       ),
       gsums as (
         select im.doc_id, sum({gif_sum}) as s
         from imgs im, unnest(range(0, gw)) as tx(x),
              unnest(range(0, gh)) as ty(y)
-        where im.doc_id % 10 = 2
+        where im.doc_id % 12 = 2
         group by im.doc_id
       ),
       rsums as (
         select im.doc_id, sum({prg_sum}) as s
         from imgs im, unnest(range(0, w)) as tx(x),
              unnest(range(0, h)) as ty(y)
-        where im.doc_id % 10 = 3
+        where im.doc_id % 12 = 3
         group by im.doc_id
       ),
       bsums as (
         select im.doc_id, sum({bmp_sum}) as s
         from imgs im, unnest(range(0, bw)) as tx(x),
              unnest(range(0, bh)) as ty(y)
-        where im.doc_id % 10 = 7
+        where im.doc_id % 12 = 7
+        group by im.doc_id
+      ),
+      tsums as (
+        select im.doc_id, sum({tif_sum}) as s
+        from imgs im, unnest(range(0, tw)) as tx(x),
+             unnest(range(0, th)) as ty(y)
+        where im.doc_id % 12 = 9
         group by im.doc_id
       )
       select im.doc_id,
-             case when im.doc_id % 10 = 0 then 'png'
-                  when im.doc_id % 10 in (1, 3, 4, 6) then 'jpeg'
-                  when im.doc_id % 10 in (2, 5) then 'gif'
-                  when im.doc_id % 10 in (7, 8) then 'bmp'
+             case when im.doc_id % 12 = 0 then 'png'
+                  when im.doc_id % 12 in (1, 3, 4, 6) then 'jpeg'
+                  when im.doc_id % 12 in (2, 5) then 'gif'
+                  when im.doc_id % 12 in (7, 8) then 'bmp'
+                  when im.doc_id % 12 in (9, 10) then 'tiff'
                   else 'unknown' end as fmt,
-             cast(case when im.doc_id % 10 <= 3 or im.doc_id % 10 = 7
+             cast(case when im.doc_id % 12 <= 3 or im.doc_id % 12 in (7, 9)
                   then 1 else 0 end as bigint) as ok,
-             cast(coalesce(p.s, j.s, g.s, r.s, bm.s, -1) as bigint)
+             cast(coalesce(p.s, j.s, g.s, r.s, bm.s, tf.s, -1) as bigint)
                as px_sum
       from imgs im
       left join psums p on p.doc_id = im.doc_id
@@ -980,6 +1002,7 @@ def pixel_decode_audit_oracle_sql(docs: str = "documents") -> str:
       left join gsums g on g.doc_id = im.doc_id
       left join rsums r on r.doc_id = im.doc_id
       left join bsums bm on bm.doc_id = im.doc_id
+      left join tsums tf on tf.doc_id = im.doc_id
       order by im.doc_id
     """
 
@@ -1480,6 +1503,158 @@ def pixel_phash_bmp_oracle_sql(docs: str = "documents") -> str:
     return f"""
       with imgs as (
         select doc_id, {_BASE} as b, {_BMW} as w, {_BMH} as h from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """
+
+
+# --- TIFF tier: real baseline TIFF 6.0 codec (tiffops.py), round 5 -----------
+#
+# TIFF's hostile-crawl corners differ from BMP's: TWO byte orders for
+# every header/IFD/value field ('II' vs 'MM'), pixel data split across
+# STRIPS whose offsets/counts live in external value arrays, and a
+# photometric POLARITY axis (WhiteIsZero stores the inverted plane).
+# The synthetic carriers sweep all three axes plus RGB-vs-grey sample
+# layout under one carrier-blind oracle; the RGB channels are
+# (L+2, L, L-4) — exact under the integer luma transform, but an
+# R/B channel-order slip shifts luma by 1, so sample order is
+# value-pinned.  A DISTINCT pixel formula (53/11/7 mod 233, +6 offset)
+# from every other tier so a formula copy-paste slip in any oracle
+# mismatches.
+
+_TFW = f"(11 + ({_BASE} * 9) % 23)"    # 11..33
+_TFH = f"(8 + ({_BASE} * 5) % 15)"     # 8..22
+_TFPIX = "(6 + ({b} * 53 + {x} * 11 + {y} * 7) % 233)"
+
+
+def _tpix(base: int, x: int, y: int) -> int:
+    return 6 + (base * 53 + x * 11 + y * 7) % 233
+
+
+def synth_tiff_pixels(doc_id: int):
+    """(width, height, greyscale bytes) for the TIFF-tier image of
+    doc_id."""
+    base = doc_id % PHASH_BASES
+    w, h = 11 + (base * 9) % 23, 8 + (base * 5) % 15
+    return w, h, bytes(_tpix(base, x, y) for y in range(h) for x in range(w))
+
+
+def synth_tiff(doc_id: int) -> bytes:
+    """Real TIFF bytes sweeping the carrier axes: byte order by doc_id
+    parity, sample layout by doc_id % 3 (RGB with the exact-luma channel
+    split / grey BlackIsZero / grey WhiteIsZero inverted storage), and
+    strip granularity by doc_id % 4 (1-row strips / 5-row strips /
+    single strip) — all under one carrier-blind oracle."""
+    from htmlgraft.tiffops import encode_tiff
+
+    w, h, lum = synth_tiff_pixels(doc_id)
+    big_endian = doc_id % 2 == 1
+    rps = {0: 1, 1: 5}.get(doc_id % 4)
+    if doc_id % 3 == 0:
+        rgb = b"".join(bytes((v + 2, v, v - 4)) for v in lum)
+        return encode_tiff(w, h, rgb, rgb=True, big_endian=big_endian,
+                           rows_per_strip=rps)
+    return encode_tiff(w, h, lum, big_endian=big_endian, rows_per_strip=rps,
+                       white_is_zero=doc_id % 3 == 2)
+
+
+_TIFF_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("tiff", BinaryType()),
+])
+
+
+def _tiff_synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "tiff": [synth_tiff(d) for d in ids],
+        })
+
+
+def tiff_corpus(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_tiff_synth_batch, _TIFF_SCHEMA)
+
+
+def _tphash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.tiffops import decode_tiff_pixels
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "phash")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["tiff"]):
+            w, h, bpp, px = decode_tiff_pixels(bytes(blob))
+            assert bpp == 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_phash_tiff(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real TIFFs (both byte orders, three strip
+    granularities, RGB + both greyscale polarities) -> decode the actual
+    bytes -> dHash -> hash-group keeper.  The oracle recomputes pixels
+    from the closed-form formula, carrier-blind, so a slip in the IFD
+    walk, external value arrays, strip reassembly, endianness handling,
+    WhiteIsZero inversion, or RGB sample order shows up as a value
+    mismatch."""
+    decoded = tiff_corpus(spark, sf_dir).mapInPandas(
+        _tphash_batch, _PHASH_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_phash_tiff_oracle_sql(docs: str = "documents") -> str:
+    """The TIFF-tier pixel plane, sum, and dHash restated straight from
+    the synthesis formula — no TIFF bytes anywhere, so endianness /
+    strips / polarity / sample order are pinned by value."""
+    g = "(6 + (b * 53 + {x} * 11 + {y} * 7) % 233)"
+    samp = g.format(x="(gx * w) // 9", y="(gy * h) // 8")
+    samp1 = g.format(x="((gx + 1) * w) // 9", y="(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_TFW} as w, {_TFH} as h from {docs}
       ),
       sums as (
         select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum

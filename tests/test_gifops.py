@@ -170,22 +170,25 @@ def test_decode_audit_lanes(spark, sf_dir):
     lanes = {0: ("png", 1), 1: ("jpeg", 1), 2: ("gif", 1),
              3: ("jpeg", 1), 4: ("jpeg", 0), 5: ("gif", 0),
              6: ("jpeg", 0), 7: ("bmp", 1), 8: ("bmp", 0),
-             9: ("unknown", 0)}
+             9: ("tiff", 1), 10: ("tiff", 0), 11: ("unknown", 0)}
     for r in df.itertuples():
-        fmt, ok = lanes[r.doc_id % 10]
+        fmt, ok = lanes[r.doc_id % 12]
         assert (r.fmt, r.ok) == (fmt, ok), r
         assert (r.px_sum == -1) == (ok == 0)
     # the healthy-GIF lane's sums match a pure-Python recompute
-    for r in df[df.doc_id % 10 == 2].head(7).itertuples():
+    for r in df[df.doc_id % 12 == 2].head(7).itertuples():
         assert r.px_sum == sum(P.synth_gif_pixels(r.doc_id)[2])
     # the progressive lane's sums match the closed-form twin
-    for r in df[df.doc_id % 10 == 3].head(7).itertuples():
+    for r in df[df.doc_id % 12 == 3].head(7).itertuples():
         w, h, _ = P.synth_prog_coeffs(r.doc_id)
         assert r.px_sum == sum(P.prog_pixel(r.doc_id, x, y)
                                for y in range(h) for x in range(w))
-    # and the healthy-BMP lane's sums match the BMP-tier formula
-    for r in df[df.doc_id % 10 == 7].head(7).itertuples():
+    # the healthy-BMP lane's sums match the BMP-tier formula
+    for r in df[df.doc_id % 12 == 7].head(7).itertuples():
         assert r.px_sum == sum(P.synth_bmp_pixels(r.doc_id)[2])
+    # and the healthy-TIFF lane's sums match the TIFF-tier formula
+    for r in df[df.doc_id % 12 == 9].head(7).itertuples():
+        assert r.px_sum == sum(P.synth_tiff_pixels(r.doc_id)[2])
 
 
 def test_interlace_row_order_pinned():

@@ -206,11 +206,12 @@ def test_rewrite_gif_and_jpeg_dims():
 
 
 def test_resample_and_decode_are_honest_stubs():
-    """TIFF resample and video frame decode stay honest stubs (PNG, JPEG
-    greyscale + colour, and GIF resample are real — see test_pixelops
-    and the lanes below).  The synthetic header-only JPEG is a TRUNCATED
-    stream to the real decoder now, so it fails loudly as invalid data
-    rather than as scope."""
+    """Video frame decode and unknown-container resample stay honest
+    stubs (PNG, JPEG greyscale + colour, GIF, BMP, and TIFF resample are
+    real — see test_pixelops/test_bmpops/test_tiffops and the lanes
+    below).  The synthetic header-only JPEG is a TRUNCATED stream to the
+    real decoder now, so it fails loudly as invalid data rather than as
+    scope."""
     import pytest
 
     with pytest.raises(NotImplementedError):
@@ -219,6 +220,21 @@ def test_resample_and_decode_are_honest_stubs():
         media.resample_pixels(_jpg(8, 8), 4, 4)
     with pytest.raises(NotImplementedError):
         media.decode_frame(b"", 0)
+
+
+def test_resample_tiff_real():
+    """TIFF resample through the media dispatch: strip decode -> NN ->
+    lossless grey re-encode, exact by construction."""
+    from htmlgraft.tiffops import decode_tiff_pixels, encode_tiff
+
+    w, h = 10, 6
+    px = bytes((x * 11 + y * 7 + 6) % 233 for y in range(h) for x in range(w))
+    blob = encode_tiff(w, h, px, big_endian=True, rows_per_strip=2)
+    out = media.resample_pixels(blob, 5, 3)
+    nw, nh, _, rpx = decode_tiff_pixels(out)
+    assert (nw, nh) == (5, 3)
+    assert rpx == bytes(px[((y * h) // 3) * w + (x * w) // 5]
+                        for y in range(3) for x in range(5))
 
 
 def test_resample_gif_real():

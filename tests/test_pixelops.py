@@ -199,18 +199,19 @@ def test_prog_corpus_exercises_every_scan_feature():
 
 
 def test_audit_lane_map_is_exhaustive():
-    """All 10 audit lanes produce the intended (fmt, ok) pairs through
+    """All 12 audit lanes produce the intended (fmt, ok) pairs through
     the real dispatch (the oracle restates this table)."""
     from htmlgraft.bmpops import decode_bmp_pixels
     from htmlgraft.gifops import decode_gif_pixels
     from htmlgraft.jpegops import decode_jpeg_luma
     from htmlgraft.pixelops import _audit_synth, decode_png_pixels
+    from htmlgraft.tiffops import decode_tiff_pixels
 
     expect = {0: ("png", 1), 1: ("jpeg", 1), 2: ("gif", 1),
               3: ("jpeg", 1), 4: ("jpeg", 0), 5: ("gif", 0),
               6: ("jpeg", 0), 7: ("bmp", 1), 8: ("bmp", 0),
-              9: ("unknown", 0)}
-    for d in range(10, 30):
+              9: ("tiff", 1), 10: ("tiff", 0), 11: ("unknown", 0)}
+    for d in range(12, 36):
         blob = _audit_synth(d)
         if blob[:8] == b"\x89PNG\r\n\x1a\n":
             fmt = "png"
@@ -220,13 +221,15 @@ def test_audit_lane_map_is_exhaustive():
             fmt = "gif"
         elif blob[:2] == b"BM":
             fmt = "bmp"
+        elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+            fmt = "tiff"
         else:
             fmt = "unknown"
         ok = 1
         try:
             {"png": decode_png_pixels, "jpeg": decode_jpeg_luma,
-             "gif": decode_gif_pixels,
-             "bmp": decode_bmp_pixels}.get(fmt, lambda b: 1 / 0)(blob)
+             "gif": decode_gif_pixels, "bmp": decode_bmp_pixels,
+             "tiff": decode_tiff_pixels}.get(fmt, lambda b: 1 / 0)(blob)
         except (ValueError, NotImplementedError, ZeroDivisionError):
             ok = 0
-        assert (fmt, ok) == expect[d % 10], d
+        assert (fmt, ok) == expect[d % 12], d
