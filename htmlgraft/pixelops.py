@@ -13,8 +13,11 @@ stub closes honestly here:
   any unfilter wrong cannot round-trip), IEND, correct CRC32s throughout.
 - ``decode_png_pixels`` — real reader: chunk walk with CRC verification,
   multi-IDAT concatenation, inflate, and the five unfilters, for 8-bit
-  greyscale / RGB / grey+alpha / RGBA.  Palette, 16-bit, and Adam7
-  interlace raise ``NotImplementedError`` (documented scope, not a fake).
+  greyscale / RGB / grey+alpha / RGBA / indexed (PLTE expansion), both
+  sequential and Adam7-interlaced (seven independent pass sub-images,
+  each with its own filter chain, scattered back onto the grid).
+  16-bit depth raises ``NotImplementedError`` (documented scope, not a
+  fake).
 - ``resample_png`` — nearest-neighbour resample (src = dst * src_dim div
   dst_dim, pure integer index math so the oracle can restate it) through
   a real decode -> sample -> re-encode chain.
@@ -151,41 +154,113 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
             raise NotImplementedError(f"unknown PNG filter type {ftype}")
 
 
-def encode_png(w: int, h: int, pixels: bytes, color_type: int = 0) -> bytes:
-    """Write a real, spec-conformant 8-bit PNG.  The row filter cycles
-    y % 5 so every filter type appears in any image at least 9 rows tall —
-    a decoder with any unfilter wrong cannot round-trip this output."""
-    bpp = _CHANNELS[color_type]
-    stride = w * bpp
-    if len(pixels) != stride * h:
-        raise ValueError(f"need {stride * h} bytes, got {len(pixels)}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+# Adam7 pass grid (x0, y0, dx, dy) — PNG spec §8.2 (public W3C/ISO text).
+# Each pass is an INDEPENDENT sub-image: its own row filters, its own
+# zero prior row; a pass whose sub-image is empty contributes no bytes.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_image(rows: list[bytes], bpp: int) -> bytearray:
+    """Serialize rows with the y % 5 filter cycle (prev restarts at the
+    zero row — callers pass one pass's rows at a time)."""
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(h):
-        row = pixels[y * stride:(y + 1) * stride]
+    prev = bytes(len(rows[0])) if rows else b""
+    for y, row in enumerate(rows):
         ftype = y % 5
         raw.append(ftype)
         raw += _filter_row(ftype, row, prev, bpp)
         prev = row
-    return (_SIG + _chunk(b"IHDR", ihdr)
+    return raw
+
+
+def encode_png(
+    w: int,
+    h: int,
+    pixels: bytes,
+    color_type: int = 0,
+    interlace: bool = False,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Write a real, spec-conformant 8-bit PNG.  The row filter cycles
+    y % 5 so every filter type appears in any image at least 9 rows tall —
+    a decoder with any unfilter wrong cannot round-trip this output.
+    ``interlace=True`` writes the seven Adam7 passes (each its own
+    filter chain).  ``color_type=3`` writes a PLTE chunk from ``palette``
+    and stores ``pixels`` as indexes."""
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("color_type 3 needs a palette")
+        bpp = 1
+    else:
+        if palette is not None:
+            raise ValueError("palette only valid for color_type 3")
+        bpp = _CHANNELS[color_type]
+    stride = w * bpp
+    if len(pixels) != stride * h:
+        raise ValueError(f"need {stride * h} bytes, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            rows = []
+            for y in range(y0, h, dy):
+                row = bytearray()
+                for x in range(x0, w, dx):
+                    row += pixels[(y * w + x) * bpp:(y * w + x) * bpp + bpp]
+                if row:
+                    rows.append(bytes(row))
+            raw += _filter_image(rows, bpp)
+    else:
+        rows = [pixels[y * stride:(y + 1) * stride] for y in range(h)]
+        raw = _filter_image(rows, bpp)
+    plte = b""
+    if color_type == 3:
+        plte = _chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
+    return (_SIG + _chunk(b"IHDR", ihdr) + plte
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
+
+
+def _unfilter_image(raw: bytes, pos: int, pw: int, ph: int, bpp: int):
+    """Unfilter one (sub-)image of ph rows of pw pixels starting at byte
+    ``pos`` of the inflated stream; returns (rows bytes, next pos)."""
+    stride = pw * bpp
+    end = pos + ph * (stride + 1)
+    if end > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * ph)
+    prev = bytes(stride)
+    for y in range(ph):
+        ftype = raw[pos + y * (stride + 1)]
+        row = bytearray(
+            raw[pos + y * (stride + 1) + 1:pos + (y + 1) * (stride + 1)])
+        _unfilter_row(ftype, row, prev, bpp)
+        out[y * stride:(y + 1) * stride] = row
+        prev = bytes(row)
+    return bytes(out), end
 
 
 def decode_png_pixels(blob: bytes):
     """Full pixel decode: (width, height, channels, pixel bytes).
 
     Real chunk walk (CRCs verified — a corrupt chunk raises), IDAT
-    concatenation across chunks, zlib inflate, and per-row unfiltering.
-    Scope: 8-bit depth, color types 0/2/4/6, no interlace; palette,
-    16-bit, and Adam7 raise ``NotImplementedError`` (absent codec tables,
-    not silently wrong output)."""
+    concatenation across chunks, zlib inflate, per-row unfiltering,
+    Adam7 de-interlacing (seven independent pass sub-images scattered
+    back onto the full grid), and PLTE expansion for color type 3
+    (indexed pixels decode to their RGB triples, so channels == 3).
+    Scope: 8-bit depth, color types 0/2/3/4/6, interlace methods 0/1;
+    16-bit raises ``NotImplementedError`` (absent codec tables, not
+    silently wrong output)."""
     if blob[:8] != _SIG:
         raise ValueError("not a PNG")
     i, n = 8, len(blob)
     w = h = depth = ctype = interlace = None
     idat = bytearray()
+    plte = None
     while i + 8 <= n:
         clen = struct.unpack(">I", blob[i:i + 4])[0]
         typ = blob[i + 4:i + 8]
@@ -196,6 +271,10 @@ def decode_png_pixels(blob: bytes):
         if typ == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise ValueError("bad PLTE length")
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -203,25 +282,46 @@ def decode_png_pixels(blob: bytes):
         i += 12 + clen
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or ctype not in _CHANNELS:
+    if depth != 8 or (ctype not in _CHANNELS and ctype != 3):
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={ctype} needs palette/16-bit "
+            f"PNG depth={depth} color_type={ctype} needs 16-bit "
             "support not implemented here")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not implemented here")
-    bpp = _CHANNELS[ctype]
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if ctype == 3 and plte is None:
+        raise ValueError("color type 3 without PLTE")
+    bpp = 1 if ctype == 3 else _CHANNELS[ctype]
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(stride * h)
-    prev = bytes(stride)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        _unfilter_row(ftype, row, prev, bpp)
-        out[y * stride:(y + 1) * stride] = row
-        prev = bytes(row)
+    if interlace:
+        out = bytearray(stride * h)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, pos = _unfilter_image(raw, pos, pw, ph, bpp)
+            for py in range(ph):
+                for px_i in range(pw):
+                    dst = ((y0 + py * dy) * w + (x0 + px_i * dx)) * bpp
+                    src = (py * pw + px_i) * bpp
+                    out[dst:dst + bpp] = sub[src:src + bpp]
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        out = bytes(out)
+    else:
+        out, pos = _unfilter_image(raw, 0, w, h, bpp)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if ctype == 3:
+        n_pal = len(plte) // 3
+        rgb = bytearray(3 * w * h)
+        for j, idx in enumerate(out):
+            if idx >= n_pal:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * j:3 * j + 3] = plte[3 * idx:3 * idx + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, bpp, bytes(out)
 
 
@@ -287,18 +387,58 @@ _RESIZE_SCHEMA = StructType([
 ])
 
 
+# The permuted-palette pair: stored index = v * 3 mod 256, palette entry
+# i = the grey triple (i*171 % 256, ...) — 171 * 3 = 513 ≡ 1 (mod 256),
+# so PLTE lookup reconstructs v exactly.  The permutation makes the
+# lookup LOAD-BEARING: an index-pass-through bug yields the permuted
+# plane, not the formula plane, and fails the value oracle.
+_PAL_PERM = [((i * 171) % 256,) * 3 for i in range(256)]
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Real PNG bytes for the formula plane, sweeping the container axes
+    the oracle is blind to: doc_id % 3 == 0 -> Adam7 interlaced grey,
+    == 1 -> plain greyscale (the classic carrier), == 2 -> indexed
+    (color type 3) through the permuted grey palette."""
+    w, h, px = synth_pixels(doc_id)
+    m = doc_id % 3
+    if m == 0:
+        return encode_png(w, h, px, interlace=True)
+    if m == 2:
+        idx = bytes((v * 3) % 256 for v in px)
+        return encode_png(w, h, idx, color_type=3, palette=_PAL_PERM)
+    return encode_png(w, h, px)
+
+
+def grey_plane(bpp: int, px: bytes) -> bytes:
+    """Collapse a decoded plane to greyscale: bpp 1 passes through; RGB
+    maps through the shared integer luma transform (exact on the grey
+    triples the palette carriers decode to); grey+alpha drops alpha."""
+    if bpp == 1:
+        return px
+    if bpp == 2:
+        return px[0::2]
+    if bpp == 3:
+        from htmlgraft.bmpops import _luma
+
+        return bytes(_luma(px[3 * j], px[3 * j + 1], px[3 * j + 2])
+                     for j in range(len(px) // 3))
+    raise NotImplementedError(f"grey collapse for {bpp} channels")
+
+
 def _synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids = [int(d) for d in pdf["doc_id"]]
         yield pd.DataFrame({
             "doc_id": ids,
-            "png": [encode_png(*synth_pixels(d)) for d in ids],
+            "png": [synth_png(d) for d in ids],
         })
 
 
 def png_corpus(spark, sf_dir: str) -> DataFrame:
     """Deterministic real-PNG corpus keyed by doc_id (pixels from the
-    closed-form formula, container from the real encoder)."""
+    closed-form formula, container from the real encoder across the
+    interlace/palette/plain carrier axes — see ``synth_png``)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(_synth_batch, _PNG_SCHEMA)
 
@@ -307,8 +447,8 @@ def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "phash")}
         for doc_id, blob in zip(pdf["doc_id"], pdf["png"]):
-            w, h, bpp, px = decode_png_pixels(bytes(blob))
-            assert bpp == 1
+            w, h, bpp, raw = decode_png_pixels(bytes(blob))
+            px = grey_plane(bpp, raw)
             out["doc_id"].append(int(doc_id))
             out["width"].append(w)
             out["height"].append(h)
@@ -319,6 +459,9 @@ def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def pixel_phash(spark, sf_dir: str) -> DataFrame:
     """Gated query: encode -> decode -> dHash -> hash-group keeper.  The
+    corpus sweeps the carrier axes the oracle is blind to (plain grey /
+    Adam7 interlaced / permuted-palette indexed — ``synth_png``), so the
+    de-interlace scatter and the PLTE lookup are value-pinned.  The
     only shuffle is the phash-keyed window (64-bit hash keys, balanced);
     everything upstream is map-only."""
     decoded = png_corpus(spark, sf_dir).mapInPandas(
@@ -390,7 +533,10 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             new_w, new_h = max(1, w * 2 // 3), max(1, h * 2 // 3)
             resized = resample_png(raw, new_w, new_h)
             w2, h2, bpp2, px2 = decode_png_pixels(resized)
-            assert (w2, h2, bpp2) == (new_w, new_h, 1)
+            assert (w2, h2) == (new_w, new_h)
+            # palette carriers decode to grey RGB triples and resample as
+            # 3-channel; the grey collapse restores the formula plane
+            px2 = grey_plane(bpp2, px2)
             out["doc_id"].append(int(doc_id))
             out["width"].append(w)
             out["height"].append(h)

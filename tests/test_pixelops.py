@@ -62,16 +62,89 @@ def test_decode_multi_idat_and_crc_guard():
 
 
 def test_decode_rejects_out_of_scope_shapes():
-    with pytest.raises(NotImplementedError):
-        P.decode_png_pixels(_png(1, 1, 3, bytes([0, 0])))  # palette
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)   # Adam7
+    # color type 3 WITHOUT its PLTE is invalid data, not scope
+    with pytest.raises(ValueError, match="PLTE"):
+        P.decode_png_pixels(_png(1, 1, 3, bytes([0, 0])))
+    # 16-bit depth is the remaining scope boundary
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
             + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         P.decode_png_pixels(blob)
     with pytest.raises(ValueError):
         P.decode_png_pixels(b"GIF89a")
+
+
+@pytest.mark.parametrize("ctype,bpp", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (7, 5), (8, 8), (9, 10),
+                                  (5, 1), (1, 9), (28, 21)])
+def test_adam7_roundtrip_all_shapes(ctype, bpp, dims):
+    """Adam7 across dims that leave some passes EMPTY (w or h < the pass
+    origin) and dims spanning multiple 8x8 tiles."""
+    w, h = dims
+    px = bytes((i * 37 + 11) % 251 for i in range(w * h * bpp))
+    blob = P.encode_png(w, h, px, ctype, interlace=True)
+    assert P.decode_png_pixels(blob) == (w, h, bpp, px)
+
+
+def test_adam7_interlace_flag_is_load_bearing():
+    """The interlaced stream is NOT sequential data under another flag:
+    pass-ordered framing has a different byte count (more filter bytes —
+    one per pass-row) and different filter-byte positions, so clearing
+    the IHDR interlace bit on an interlaced stream must fail LOUDLY
+    (length mismatch or an out-of-range filter type), never decode to a
+    silently permuted plane."""
+    w = h = 8
+    px = bytes((i * 29 + 5) % 251 for i in range(w * h))
+    blob = bytearray(P.encode_png(w, h, px, interlace=True))
+    assert P.decode_png_pixels(bytes(blob))[3] == px
+    ihdr_at = blob.index(b"IHDR")
+    assert blob[ihdr_at + 16] == 1
+    blob[ihdr_at + 16] = 0
+    import zlib as _z
+    blob[ihdr_at + 17:ihdr_at + 21] = struct.pack(
+        ">I", _z.crc32(blob[ihdr_at:ihdr_at + 17]) & 0xFFFFFFFF)
+    with pytest.raises((ValueError, NotImplementedError)):
+        P.decode_png_pixels(bytes(blob))
+    # ... and the two encodings of the same plane genuinely differ
+    assert bytes(blob) != P.encode_png(w, h, px)
+
+
+def test_palette_roundtrip_and_permutation_load_bearing():
+    w, h = 12, 9
+    lum = bytes((x * 7 + y * 13) % 251 for y in range(h) for x in range(w))
+    idx = bytes((v * 3) % 256 for v in lum)
+    blob = P.encode_png(w, h, idx, color_type=3, palette=P._PAL_PERM)
+    ww, hh, c, px = P.decode_png_pixels(blob)
+    assert (ww, hh, c) == (w, h, 3)
+    assert P.grey_plane(c, px) == lum
+    # an index-pass-through bug would yield the PERMUTED plane
+    assert idx != lum
+    # out-of-range index against a short palette raises
+    short = P.encode_png(1, 1, bytes([1]), color_type=3,
+                         palette=[(0, 0, 0)] * 256)
+    trimmed = P.encode_png(1, 1, bytes([3]), color_type=3,
+                           palette=[(9, 9, 9)] * 2)
+    assert P.decode_png_pixels(short)[3] == bytes([0, 0, 0])
+    with pytest.raises(ValueError, match="palette index"):
+        P.decode_png_pixels(trimmed)
+
+
+def test_synth_png_carrier_axes_live():
+    """The gated PNG corpus sweeps plain / Adam7 / permuted-palette
+    carriers, and every carrier decodes (after grey collapse) to the
+    formula plane."""
+    seen = set()
+    for d in range(21):
+        blob = P.synth_png(d)
+        ihdr_at = blob.index(b"IHDR")
+        ctype, il = blob[ihdr_at + 13], blob[ihdr_at + 16]
+        seen.add((ctype, il))
+        w, h, bpp, px = P.decode_png_pixels(blob)
+        ww, hh, want = P.synth_pixels(d)
+        assert (w, h, P.grey_plane(bpp, px)) == (ww, hh, want), d
+    assert seen == {(0, 1), (0, 0), (3, 0)}
 
 
 @pytest.mark.parametrize("ctype,bpp", [(0, 1), (2, 3), (4, 2), (6, 4)])
