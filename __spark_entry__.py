@@ -576,6 +576,8 @@ def _urlop(builder):
 # driver evidence is r2/r1.  Queries green in r4/r3 go to the back.
 _GATE_FIRST = [
     # new in round 5
+    "content_density",
+    "dom_template",
     "pixel_phash_tiff",
     "pixel_phash_bmp",
     "script_mix",
@@ -705,6 +707,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt": _urlop(urlops.url_surt_sql),
         "warc_cdxj": warcops.run_warc_cdxj,
         "dom_select": domops.run_dom_select,
+        "content_density": domops.run_content_density,
+        "dom_template": domops.run_dom_template,
         "url_canon_dedup": _urlop(urlops.url_canon_dedup_sql),
         "robots_filter": _urlop(urlops.robots_filter_sql),
         "robots_parse": _urlop(urlops.robots_parse_sql),
@@ -855,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
             "url_surt": urlops.url_surt_sql(duck=True),
             "warc_cdxj": warcops.warc_cdxj_oracle_sql(),
             "dom_select": domops.dom_select_oracle_sql(),
+            "content_density": domops.content_density_oracle_sql(),
+            "dom_template": domops.dom_template_oracle_sql(),
             "url_canon_dedup": urlops.url_canon_dedup_sql(duck=True),
             "robots_filter": urlops.robots_filter_sql(duck=True),
             "robots_parse": urlops.robots_parse_sql(duck=True),

@@ -12,12 +12,13 @@ stub closes honestly here:
   the row filter CYCLING through all five types (so a decoder that gets
   any unfilter wrong cannot round-trip), IEND, correct CRC32s throughout.
 - ``decode_png_pixels`` — real reader: chunk walk with CRC verification,
-  multi-IDAT concatenation, inflate, and the five unfilters, for 8-bit
-  greyscale / RGB / grey+alpha / RGBA / indexed (PLTE expansion), both
-  sequential and Adam7-interlaced (seven independent pass sub-images,
-  each with its own filter chain, scattered back onto the grid).
-  16-bit depth raises ``NotImplementedError`` (documented scope, not a
-  fake).
+  multi-IDAT concatenation, inflate, and the five unfilters, for 8- and
+  16-bit greyscale / RGB / grey+alpha / RGBA plus 8-bit indexed (PLTE
+  expansion), both sequential and Adam7-interlaced (seven independent
+  pass sub-images, each with its own filter chain, scattered back onto
+  the grid).  16-bit samples reduce to their high byte (exact for the
+  v*257 planes 8-bit sources upscale to); packed 1/2/4-bit depths raise
+  ``NotImplementedError`` (documented scope, not a fake).
 - ``resample_png`` — nearest-neighbour resample (src = dst * src_dim div
   dst_dim, pure integer index math so the oracle can restate it) through
   a real decode -> sample -> re-encode chain.
@@ -183,25 +184,32 @@ def encode_png(
     color_type: int = 0,
     interlace: bool = False,
     palette: list[tuple[int, int, int]] | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Write a real, spec-conformant 8-bit PNG.  The row filter cycles
+    """Write a real, spec-conformant PNG.  The row filter cycles
     y % 5 so every filter type appears in any image at least 9 rows tall —
     a decoder with any unfilter wrong cannot round-trip this output.
     ``interlace=True`` writes the seven Adam7 passes (each its own
     filter chain).  ``color_type=3`` writes a PLTE chunk from ``palette``
-    and stores ``pixels`` as indexes."""
+    and stores ``pixels`` as indexes.  ``depth=16`` stores ``pixels`` as
+    big-endian 2-byte samples (filtering operates on bytes with the
+    doubled pixel offset, per the spec)."""
+    if depth not in (8, 16):
+        raise ValueError(f"bit depth {depth}")
     if color_type == 3:
         if palette is None:
             raise ValueError("color_type 3 needs a palette")
+        if depth != 8:
+            raise ValueError("indexed PNGs here are 8-bit")
         bpp = 1
     else:
         if palette is not None:
             raise ValueError("palette only valid for color_type 3")
-        bpp = _CHANNELS[color_type]
+        bpp = _CHANNELS[color_type] * (depth // 8)
     stride = w * bpp
     if len(pixels) != stride * h:
         raise ValueError(f"need {stride * h} bytes, got {len(pixels)}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
                        1 if interlace else 0)
     if interlace:
         raw = bytearray()
@@ -282,15 +290,17 @@ def decode_png_pixels(blob: bytes):
         i += 12 + clen
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or (ctype not in _CHANNELS and ctype != 3):
+    if ctype not in _CHANNELS and ctype != 3:
+        raise NotImplementedError(f"PNG color_type={ctype}")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={ctype} needs 16-bit "
-            "support not implemented here")
+            f"PNG depth={depth} color_type={ctype} (1/2/4-bit packed "
+            "samples not implemented here)")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
     if ctype == 3 and plte is None:
         raise ValueError("color type 3 without PLTE")
-    bpp = 1 if ctype == 3 else _CHANNELS[ctype]
+    bpp = 1 if ctype == 3 else _CHANNELS[ctype] * (depth // 8)
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace:
@@ -322,6 +332,11 @@ def decode_png_pixels(blob: bytes):
                 raise ValueError(f"palette index {idx} out of range")
             rgb[3 * j:3 * j + 3] = plte[3 * idx:3 * idx + 3]
         return w, h, 3, bytes(rgb)
+    if depth == 16:
+        # reduce big-endian 16-bit samples to their high bytes — the
+        # standard 16 -> 8 presentation, and EXACT for the v * 257
+        # planes that 8-bit sources upscale to
+        return w, h, bpp // 2, bytes(out)[0::2]
     return w, h, bpp, bytes(out)
 
 
@@ -397,16 +412,22 @@ _PAL_PERM = [((i * 171) % 256,) * 3 for i in range(256)]
 
 def synth_png(doc_id: int) -> bytes:
     """Real PNG bytes for the formula plane, sweeping the container axes
-    the oracle is blind to: doc_id % 3 == 0 -> Adam7 interlaced grey,
+    the oracle is blind to: doc_id % 4 == 0 -> Adam7 interlaced grey,
     == 1 -> plain greyscale (the classic carrier), == 2 -> indexed
-    (color type 3) through the permuted grey palette."""
+    (color type 3) through the permuted grey palette, == 3 -> 16-bit
+    greyscale storing v * 257 (so the high-byte reduction is exact and a
+    byte-offset slip in the 2-byte filter arithmetic shows up as a value
+    mismatch)."""
     w, h, px = synth_pixels(doc_id)
-    m = doc_id % 3
+    m = doc_id % 4
     if m == 0:
         return encode_png(w, h, px, interlace=True)
     if m == 2:
         idx = bytes((v * 3) % 256 for v in px)
         return encode_png(w, h, idx, color_type=3, palette=_PAL_PERM)
+    if m == 3:
+        px16 = b"".join(struct.pack(">H", v * 257) for v in px)
+        return encode_png(w, h, px16, depth=16)
     return encode_png(w, h, px)
 
 
@@ -460,8 +481,9 @@ def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def pixel_phash(spark, sf_dir: str) -> DataFrame:
     """Gated query: encode -> decode -> dHash -> hash-group keeper.  The
     corpus sweeps the carrier axes the oracle is blind to (plain grey /
-    Adam7 interlaced / permuted-palette indexed — ``synth_png``), so the
-    de-interlace scatter and the PLTE lookup are value-pinned.  The
+    Adam7 interlaced / permuted-palette indexed / 16-bit upscaled —
+    ``synth_png``), so the de-interlace scatter, the PLTE lookup, and
+    the 2-byte filter arithmetic are value-pinned.  The
     only shuffle is the phash-keyed window (64-bit hash keys, balanced);
     everything upstream is map-only."""
     decoded = png_corpus(spark, sf_dir).mapInPandas(

@@ -95,3 +95,100 @@ def test_spark_operator_document_order(spark, sf_dir):
         doc_id = url.rsplit("/", 1)[1]
         assert g.text.iloc[0] == doc_id
         assert g.text.iloc[2] == "more like this"
+
+
+# --- content_density (readability-style block scoring) ------------------------
+
+def _density(spark, pages):
+    from htmlgraft.domops import content_density_df
+
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary")
+    out = content_density_df(df, num_parts=2).toPandas()
+    return out.sort_values(["url", "block_pos"]).reset_index(drop=True)
+
+
+def test_density_winner_is_data_dependent(spark):
+    """The winner follows the text - 3*links score, not a fixed slot: a
+    page whose div is link-heavy loses to a text-rich footer."""
+    rich = ("<body><div><a href=/x>click click click</a> hi</div>"
+            "<footer>plain prose long enough to win here</footer></body>")
+    divwin = ("<body><div>substantial article text body</div>"
+              "<footer><a href=/y>links links links links</a></footer></body>")
+    out = _density(spark, [("u1", rich), ("u2", divwin)])
+    u1 = {r.tag: r for r in out[out.url == "u1"].itertuples()}
+    assert (u1["div"].winner, u1["footer"].winner) == (0, 1)
+    # div: text 20 chars ("click click click hi"), links 17
+    assert (u1["div"].text_chars, u1["div"].link_chars) == (20, 17)
+    assert u1["div"].link_permille == (1000 * 17) // 20
+    u2 = {r.tag: r for r in out[out.url == "u2"].itertuples()}
+    assert (u2["div"].winner, u2["footer"].winner) == (1, 0)
+
+
+def test_density_tie_breaks_by_document_order(spark):
+    html = "<body><nav>same text</nav><aside>same text</aside></body>"
+    out = _density(spark, [("u", html)])
+    assert list(out.winner) == [1, 0]
+    assert list(out.block_pos) == [1, 2]
+
+
+def test_density_counts_and_empty_blocks(spark):
+    html = ("<body><div><p>one</p><p>two</p><p></p></div>"
+            "<aside></aside></body>")
+    out = _density(spark, [("u", html)])
+    d = {r.tag: r for r in out[out.url == "u"].itertuples()}
+    assert d["div"].p_count == 3
+    assert d["div"].text_chars == len("onetwo")
+    # empty block: zero text, permille pinned to 0 (no division)
+    assert (d["aside"].text_chars, d["aside"].link_permille) == (0, 0)
+
+
+def test_density_nested_blocks_both_counted(spark):
+    html = ("<body><div>outer <table><tr><td>inner cell</table>"
+            " tail</div></body>")
+    out = _density(spark, [("u", html)])
+    tags = list(out.tag)
+    assert tags == ["div", "table"]
+    d = {r.tag: r for r in out.itertuples()}
+    # the nested table's text is part of the outer div's subtree...
+    assert d["div"].text_chars == len("outer inner cell tail")
+    # ...and also counted on its own
+    assert d["table"].text_chars == len("inner cell")
+
+
+# --- dom_template (per-host structural template clustering) -------------------
+
+def test_dom_template_clusters_by_structure(spark):
+    from htmlgraft.domops import dom_template_df
+
+    pages = [
+        # host a: two pages share a shape, one differs (extra <em>)
+        ("https://a.example/x/1", "<body><div><p>one</p></div></body>"),
+        ("https://a.example/x/2", "<body><div><p>two words</p></div></body>"),
+        ("https://a.example/x/3", "<body><div><p><em>three</em></p></div></body>"),
+        # host b: a single page
+        ("https://b.example/y/1", "<body><p>solo</p></body>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary")
+    out = dom_template_df(df, num_parts=2).toPandas()
+    rows = {r.host: r for r in out.itertuples()}
+    a, b = rows["a.example"], rows["b.example"]
+    assert (a.n_pages, a.n_templates, a.top_share_permille) == (3, 2, 666)
+    assert (b.n_pages, b.n_templates, b.top_share_permille) == (1, 1, 1000)
+
+
+def test_dom_template_fp_sees_reparented_wrappers():
+    """Foster-parented content produces a '#reparented' wrapper in our
+    tree; the fingerprint includes it, so a page whose table fosters text
+    clusters separately from its well-formed twin."""
+    from htmlgraft.domops import _tag_walk_fp
+    from htmlgraft.linkops import _parse_doc
+
+    fostered = _parse_doc(b"<body><table><b>x</b><tr><td>c</table></body>")
+    before = _parse_doc(b"<body><b>x</b><table><tr><td>c</table></body>")
+    assert _tag_walk_fp(fostered) != _tag_walk_fp(before)
+    # text-only differences do NOT split a template
+    t1 = _parse_doc(b"<body><p>alpha</p></body>")
+    t2 = _parse_doc(b"<body><p>a much longer beta text here</p></body>")
+    assert _tag_walk_fp(t1) == _tag_walk_fp(t2)

@@ -65,10 +65,11 @@ def test_decode_rejects_out_of_scope_shapes():
     # color type 3 WITHOUT its PLTE is invalid data, not scope
     with pytest.raises(ValueError, match="PLTE"):
         P.decode_png_pixels(_png(1, 1, 3, bytes([0, 0])))
-    # 16-bit depth is the remaining scope boundary
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    # packed sub-byte depths are the remaining scope boundary (16-bit is
+    # real as of round 5)
+    ihdr = struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0)
     blob = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
             + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         P.decode_png_pixels(blob)
@@ -132,19 +133,20 @@ def test_palette_roundtrip_and_permutation_load_bearing():
 
 
 def test_synth_png_carrier_axes_live():
-    """The gated PNG corpus sweeps plain / Adam7 / permuted-palette
-    carriers, and every carrier decodes (after grey collapse) to the
-    formula plane."""
+    """The gated PNG corpus sweeps plain / Adam7 / permuted-palette /
+    16-bit carriers, and every carrier decodes (after grey collapse) to
+    the formula plane."""
     seen = set()
-    for d in range(21):
+    for d in range(28):
         blob = P.synth_png(d)
         ihdr_at = blob.index(b"IHDR")
-        ctype, il = blob[ihdr_at + 13], blob[ihdr_at + 16]
-        seen.add((ctype, il))
+        depth, ctype, il = (blob[ihdr_at + 12], blob[ihdr_at + 13],
+                            blob[ihdr_at + 16])
+        seen.add((depth, ctype, il))
         w, h, bpp, px = P.decode_png_pixels(blob)
         ww, hh, want = P.synth_pixels(d)
         assert (w, h, P.grey_plane(bpp, px)) == (ww, hh, want), d
-    assert seen == {(0, 1), (0, 0), (3, 0)}
+    assert seen == {(8, 0, 1), (8, 0, 0), (8, 3, 0), (16, 0, 0)}
 
 
 @pytest.mark.parametrize("ctype,bpp", [(0, 1), (2, 3), (4, 2), (6, 4)])
