@@ -578,6 +578,7 @@ _GATE_FIRST = [
     # new in round 5
     "content_density",
     "dom_template",
+    "media_webp",
     "pixel_phash_tiff",
     "pixel_phash_bmp",
     "script_mix",
@@ -793,6 +794,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _eventop(eventops.funnel_sql),
         # multimodal plumbing (binary column -> mapInPandas feature extract)
         "media_features": media.media_features,
+        "media_webp": media.media_webp,
         "mime_sniff": media.mime_sniff,
         "media_resize": media.media_resize,
         "media_exif_scrub": media.media_exif_scrub,
@@ -954,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
             "events_range_join": eventops.range_join_sql(duck=True),
             "events_funnel": eventops.funnel_sql(duck=True),
             "media_features": media.media_features_oracle_sql(),
+            "media_webp": media.media_webp_oracle_sql(),
             "mime_sniff": media.mime_sniff_oracle_sql(),
             "media_resize": media.media_resize_oracle_sql(),
             "media_exif_scrub": media.media_exif_scrub_oracle_sql(),

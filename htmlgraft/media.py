@@ -452,7 +452,7 @@ def decode_header(media_type: str, blob: bytes):
     MP4 ISO-BMFF boxes, WebM EBML); unknown media types or unparseable
     blobs raise ``NotImplementedError``."""
     if media_type == "image":
-        parsers = (parse_png, parse_gif, parse_jpeg, parse_tiff)
+        parsers = (parse_png, parse_gif, parse_jpeg, parse_tiff, parse_webp)
     elif media_type == "audio":
         parsers = (parse_wav,)
     elif media_type == "video":
@@ -1479,6 +1479,154 @@ def mime_sniff_oracle_sql(docs: str = "documents") -> str:
                when 11 then 'riff'
                else 'signature'
              end as method
+      from {docs}
+      order by doc_id
+    """
+
+
+# --- WebP: the fourth major web image format (RIFF container) -----------------
+#
+# Header facts (public: the RIFF container layout, the VP8 frame header in
+# RFC 6386 §9.1, the WebP lossless signature/dimension packing, and the
+# VP8X extended-header layout from the WebP container spec):
+#
+# * RIFF: 'RIFF' u32le riff-size 'WEBP', then chunks of
+#   fourcc + u32le size + payload (+ 1 pad byte when size is odd).
+# * 'VP8 ' (lossy): 3-byte frame tag (bit 0 of byte 0 = 0 for a key
+#   frame), the start code 9D 01 2A, then u16le & 0x3FFF width and
+#   u16le & 0x3FFF height (upper 2 bits are scaling hints).
+# * 'VP8L' (lossless): signature byte 0x2F, then 28 bits little-endian:
+#   (width-1) in bits 0..13, (height-1) in bits 14..27; bits 29..31 are
+#   a version that MUST be 0.
+# * 'VP8X' (extended): 4 flag/reserved bytes, then 24-bit little-endian
+#   (canvas width - 1) and (canvas height - 1).
+
+
+def parse_webp(blob: bytes):
+    """WebP: RIFF walk to the first VP8 /VP8L/VP8X chunk; returns
+    (width, height, 1, payload_off) or None.  Dimension bit-packing per
+    variant is exercised by the ``media_webp`` gate; malformed start
+    codes / signatures / truncation return None (the shared header-parser
+    contract — decode_header turns that into a loud error)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        return None
+    i, n = 12, len(blob)
+    while i + 8 <= n:
+        fourcc = blob[i:i + 4]
+        size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        body = blob[i + 8:i + 8 + size]
+        if len(body) < size:
+            return None
+        if fourcc == b"VP8 ":
+            if size < 10 or body[3:6] != b"\x9d\x01\x2a" or body[0] & 1:
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h, 1, i + 8 + 10
+        if fourcc == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                return None
+            bits = struct.unpack("<I", body[1:5])[0]
+            if bits >> 29:
+                return None  # nonzero version
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 1, i + 8 + 5
+        if fourcc == b"VP8X":
+            if size < 10:
+                return None
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, 1, i + 8 + 10
+        i += 8 + size + (size & 1)
+    return None
+
+
+def _riff_webp(chunk: bytes, fourcc: bytes) -> bytes:
+    pad = b"\x00" if len(chunk) & 1 else b""
+    inner = fourcc + struct.pack("<I", len(chunk)) + chunk + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
+def synth_webp(doc_id: int) -> bytes:
+    """Real WebP container bytes by doc_id % 4: lossy VP8 (14-bit dims),
+    lossless VP8L (packed 28-bit dims), extended VP8X (24-bit canvas —
+    dims beyond 14 bits exercised), and a corrupt lane (VP8 with a wrong
+    start code) that must parse as None, never as garbage dims."""
+    m = doc_id % 4
+    w = 1 + (doc_id * 17) % 16383
+    h = 1 + (doc_id * 29) % 16383
+    if m == 0 or m == 3:
+        tag = bytes((0x30, 0x01, 0x00))  # key frame, show_frame-ish tag
+        start = b"\x9d\x01\x2a" if m == 0 else b"\x9d\x01\x2b"
+        body = (tag + start + struct.pack("<H", w) + struct.pack("<H", h)
+                + b"\x88" * 6)
+        return _riff_webp(body, b"VP8 ")
+    if m == 1:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits) + b"\x77" * 5
+        return _riff_webp(body, b"VP8L")
+    wx = 1 + (doc_id * 17) % 100000
+    hx = 1 + (doc_id * 29) % 100000
+    body = (b"\x00\x00\x00\x00" + (wx - 1).to_bytes(3, "little")
+            + (hx - 1).to_bytes(3, "little"))
+    return _riff_webp(body, b"VP8X")
+
+
+_WEBP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("variant", StringType()),
+    StructField("ok", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def _webp_batch(batches) -> "Iterator[pd.DataFrame]":
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "variant", "ok", "width", "height")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            blob = synth_webp(d)
+            got = parse_webp(blob)
+            out["doc_id"].append(d)
+            out["variant"].append(("vp8", "vp8l", "vp8x", "corrupt")[d % 4])
+            if got is None:
+                out["ok"].append(0)
+                out["width"].append(-1)
+                out["height"].append(-1)
+            else:
+                out["ok"].append(1)
+                out["width"].append(got[0])
+                out["height"].append(got[1])
+        yield pd.DataFrame(out)
+
+
+def media_webp(spark, sf_dir: str) -> DataFrame:
+    """Gated query: synthesize all three WebP header variants plus a
+    corrupt-start-code lane, parse the actual container bytes, report
+    per-doc dims — pins the RIFF walk and each variant's dimension
+    bit-packing by value.  Map-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_webp_batch, _WEBP_SCHEMA).orderBy("doc_id")
+
+
+def media_webp_oracle_sql(docs: str = "documents") -> str:
+    """Every lane's dims restated straight from the synthesis formulas;
+    the corrupt lane pinned to (0, -1, -1)."""
+    return f"""
+      select doc_id,
+             case doc_id % 4 when 0 then 'vp8' when 1 then 'vp8l'
+                             when 2 then 'vp8x' else 'corrupt' end as variant,
+             cast(case when doc_id % 4 = 3 then 0 else 1 end as bigint) as ok,
+             cast(case doc_id % 4
+                  when 0 then 1 + (doc_id * 17) % 16383
+                  when 1 then 1 + (doc_id * 17) % 16383
+                  when 2 then 1 + (doc_id * 17) % 100000
+                  else -1 end as bigint) as width,
+             cast(case doc_id % 4
+                  when 0 then 1 + (doc_id * 29) % 16383
+                  when 1 then 1 + (doc_id * 29) % 16383
+                  when 2 then 1 + (doc_id * 29) % 100000
+                  else -1 end as bigint) as height
       from {docs}
       order by doc_id
     """

@@ -652,3 +652,71 @@ def test_mime_lane_map_matches_oracle_table():
             want = ("application/octet-stream" if d % 3 == 0
                     else "text/plain")
         assert mime == want, (d, mime)
+
+
+# --- WebP (RIFF container; VP8 / VP8L / VP8X dimension packings) --------------
+
+def test_parse_webp_frozen_vectors():
+    """Each variant pinned by hand-assembled literal bytes, independent
+    of synth_webp."""
+    import struct
+
+    # VP8 lossy, 640x480: tag, start code 9D 01 2A, u16le dims
+    vp8 = (b"RIFF" + struct.pack("<I", 4 + 8 + 10) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", 10)
+           + b"\x30\x01\x00\x9d\x01\x2a"
+           + struct.pack("<HH", 640, 480))
+    assert media.parse_webp(vp8) == (640, 480, 1, 30)
+    # the upper 2 bits of each u16 are scaling hints, masked out
+    scaled = vp8[:26] + struct.pack("<HH", 640 | 0xC000, 480 | 0x4000)
+    assert media.parse_webp(scaled)[:2] == (640, 480)
+    # VP8L lossless, 1x1: 0x2F then 28 packed bits of (w-1, h-1)
+    vp8l = (b"RIFF" + struct.pack("<I", 4 + 8 + 5) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+            + struct.pack("<I", 0) + b"\x00")
+    assert media.parse_webp(vp8l) == (1, 1, 1, 25)
+    # VP8L 16384x16384 (max 14-bit field)
+    bits = 16383 | (16383 << 14)
+    vp8l_max = vp8l[:21] + struct.pack("<I", bits) + b"\x00"
+    assert media.parse_webp(vp8l_max)[:2] == (16384, 16384)
+    # VP8X canvas 100000x70000 (needs the 24-bit fields)
+    vp8x = (b"RIFF" + struct.pack("<I", 4 + 8 + 10) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+            + (99999).to_bytes(3, "little") + (69999).to_bytes(3, "little"))
+    assert media.parse_webp(vp8x) == (100000, 70000, 1, 30)
+
+
+def test_parse_webp_skips_leading_chunks_and_pads_odd_sizes():
+    import struct
+
+    # an odd-sized alien chunk before VP8L: the walk must add the pad byte
+    alien = b"ALPH" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    vp8l = (b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+            + struct.pack("<I", 2 | (4 << 14)) + b"\x00")
+    blob = (b"RIFF" + struct.pack("<I", 4 + len(alien) + len(vp8l))
+            + b"WEBP" + alien + vp8l)
+    assert media.parse_webp(blob)[:2] == (3, 5)
+
+
+def test_parse_webp_error_lanes():
+    import struct
+
+    from htmlgraft.media import synth_webp
+
+    good = synth_webp(4)  # vp8 lane
+    assert media.parse_webp(good) is not None
+    assert media.parse_webp(b"RIFX" + good[4:]) is None
+    assert media.parse_webp(good[:8] + b"WAVE" + good[12:]) is None
+    assert media.parse_webp(good[:-12]) is None           # chunk overrun
+    assert media.parse_webp(synth_webp(3)) is None        # bad start code
+    # interframe (bit 0 of the frame tag set) carries no dims -> None
+    inter = bytearray(good)
+    inter[20] |= 1
+    assert media.parse_webp(bytes(inter)) is None
+    # nonzero VP8L version bits -> None
+    l = synth_webp(1)
+    bad = bytearray(l)
+    bad[24] |= 0xE0  # top 3 bits of the packed u32 (little-endian byte 4)
+    assert media.parse_webp(bytes(bad)) is None
+    # decode_header dispatches webp as an image now
+    assert media.decode_header("image", good)[:2] == (69, 117)
