@@ -1857,3 +1857,167 @@ def pixel_phash_tiff_oracle_sql(docs: str = "documents") -> str:
       join hashes hh on hh.doc_id = im.doc_id
       order by im.doc_id
     """
+
+
+# --- EXIF/TIFF orientation-normalized perceptual dedup (round 5) --------------
+#
+# Real crawls carry rotated duplicates: cameras store sensor-native
+# planes and set Orientation (tag 274) instead of rotating pixels, so a
+# pipeline that hashes un-normalized planes misses every rotated dup.
+# This tier stores ONE canonical scene under all eight orientation
+# codes (the stored plane is pre-permuted so that normalizing by the
+# tag recovers the scene exactly — TIFF is lossless, so the recovery is
+# byte-exact) and pins that the normalizer collapses all eight carriers
+# of a scene into one dHash group.  px_sum alone is permutation-blind;
+# the dHash grid and the (width, height) restatement are what make a
+# wrong transform (or an ignored tag) a value mismatch.
+# A DISTINCT formula (59/89/41 mod 227, +9) from every other tier;
+# the large x/y coefficients wrap mod 227 INSIDE every row/column, so
+# the plane is non-monotone and dHash is discriminative (a monotone
+# gradient hashes to all-zero bits in every orientation).
+
+_ORW = f"(10 + ({_BASE} * 7) % 19)"    # 10..28
+_ORH = f"(9 + ({_BASE} * 4) % 11)"     # 9..19
+
+
+def _opix(base: int, x: int, y: int) -> int:
+    return 9 + (base * 59 + x * 89 + y * 41) % 227
+
+
+def synth_orient_canonical(doc_id: int):
+    """(width, height, canonical upright plane) for doc_id's scene —
+    orientation-independent (the same for all 8 carriers of a base)."""
+    base = doc_id % PHASH_BASES
+    w, h = 10 + (base * 7) % 19, 9 + (base * 4) % 11
+    return w, h, bytes(_opix(base, x, y) for y in range(h) for x in range(w))
+
+
+def synth_orient_tiff(doc_id: int) -> bytes:
+    """A real TIFF whose stored plane is the canonical scene
+    pre-permuted for orientation 1 + doc_id % 8, carrying that code in
+    tag 274 — normalizing by the tag recovers the canonical plane
+    exactly."""
+    from htmlgraft.tiffops import encode_tiff, orient_map
+
+    w, h, canon = synth_orient_canonical(doc_id)
+    o = 1 + doc_id % 8
+    sw, sh = (h, w) if o >= 5 else (w, h)
+    stored = bytearray(sw * sh)
+    for sy in range(sh):
+        for sx in range(sw):
+            cx, cy, cw, _ch = orient_map(o, sw, sh, sx, sy)
+            assert cw == w
+            stored[sy * sw + sx] = canon[cy * w + cx]
+    return encode_tiff(sw, sh, bytes(stored), orientation=o,
+                       big_endian=doc_id % 2 == 1)
+
+
+_ORIENT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ori", LongType()),
+    StructField("stored_w", LongType()),
+    StructField("stored_h", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("phash", StringType()),
+])
+
+
+def _orient_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.tiffops import (
+        apply_orientation,
+        decode_tiff_pixels,
+        read_orientation,
+    )
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "ori", "stored_w", "stored_h",
+                               "width", "height", "px_sum", "phash")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            blob = synth_orient_tiff(d)
+            sw, sh, _, stored = decode_tiff_pixels(blob)
+            o = read_orientation(blob)
+            w, h, px = apply_orientation(sw, sh, stored, o)
+            out["doc_id"].append(d)
+            out["ori"].append(o)
+            out["stored_w"].append(sw)
+            out["stored_h"].append(sh)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(sum(px))
+            out["phash"].append(dhash_gray(w, h, px))
+        yield pd.DataFrame(out)
+
+
+def pixel_orient(spark, sf_dir: str) -> DataFrame:
+    """Gated query: decode real TIFFs carrying all eight Orientation
+    codes -> normalize by the tag -> dHash -> hash-group keeper.  All
+    eight carriers of a scene MUST collapse into one group (the oracle
+    keeps keeper/dup orientation-blind), and the canonical dims/dHash
+    are restated from the formula — a wrong transform, a swapped axis,
+    or an ignored tag mismatches.  Map-only + the bounded hash window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    decoded = docs.mapInPandas(_orient_batch, _ORIENT_SCHEMA)
+    grp = Window.partitionBy("phash")
+    return (
+        decoded
+        .withColumn("keeper", F.min("doc_id").over(grp))
+        .withColumn(
+            "dup", (F.col("doc_id") != F.col("keeper")).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def pixel_orient_oracle_sql(docs: str = "documents") -> str:
+    """Canonical plane, dims, and dHash restated from the formula,
+    orientation-blind; stored dims transpose for codes 5-8; keeper =
+    min doc_id over the scene's dHash group."""
+    g = "(9 + (b * 59 + {x} * 89 + {y} * 41) % 227)"
+    samp = g.format(x="(gx * w) // 9", y="(gy * h) // 8")
+    samp1 = g.format(x="((gx + 1) * w) // 9", y="(gy * h) // 8")
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_ORW} as w, {_ORH} as h,
+               1 + doc_id % 8 as ori
+        from {docs}
+      ),
+      sums as (
+        select im.doc_id, sum({g.format(x="x", y="y")}) as px_sum
+        from imgs im, unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      bits as (
+        select im.doc_id, ti.gy as row,
+               sum(case when ({samp}) > ({samp1})
+                   then 1 << tj.gx else 0 end) as rowbyte
+        from imgs im, unnest(range(0, 8)) as ti(gy),
+             unnest(range(0, 8)) as tj(gx)
+        group by im.doc_id, ti.gy
+      ),
+      hashes as (
+        select doc_id,
+               string_agg(printf('%02x', cast(rowbyte as int)),
+                          '' order by row) as phash
+        from bits group by doc_id
+      )
+      select im.doc_id, cast(im.ori as bigint) as ori,
+             cast(case when im.ori >= 5 then im.h else im.w end as bigint)
+               as stored_w,
+             cast(case when im.ori >= 5 then im.w else im.h end as bigint)
+               as stored_h,
+             cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(s.px_sum as bigint) as px_sum, hh.phash,
+             cast(min(im.doc_id) over (partition by hh.phash) as bigint)
+               as keeper,
+             cast(case when im.doc_id <> min(im.doc_id)
+                    over (partition by hh.phash) then 1 else 0 end as bigint)
+               as dup
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join hashes hh on hh.doc_id = im.doc_id
+      order by im.doc_id
+    """

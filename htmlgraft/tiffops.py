@@ -158,6 +158,7 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     white_is_zero: bool = False,
+    orientation: int | None = None,
 ) -> bytes:
     """Encode a plane as a real baseline TIFF.  ``rgb=False``: ``pixels``
     are w*h greyscale bytes (``white_is_zero`` stores the inverted plane
@@ -208,6 +209,11 @@ def encode_tiff(
         (278, 4, [rps]),
         (279, 4, cnts),
     ]
+    if orientation is not None:
+        if not 1 <= orientation <= 8:
+            raise ValueError(f"orientation {orientation}")
+        # keep entries sorted by tag: 274 sits between 273 and 277
+        entries.insert(6, (274, 3, [orientation]))
     packed = []
     for tag, typ, vals in entries:
         packed.append(
@@ -229,3 +235,58 @@ def resample_tiff(blob: bytes, new_w: int, new_h: int) -> bytes:
         for x in range(new_w)
     )
     return encode_tiff(new_w, new_h, out)
+
+
+def read_orientation(blob: bytes) -> int:
+    """TIFF Orientation (tag 274); 1 (top-left, the identity) when
+    absent, per the spec default."""
+    if blob[:2] == b"II":
+        fmt = "<"
+    elif blob[:2] == b"MM":
+        fmt = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    tags = _read_ifd_values(blob, fmt)
+    o = tags.get(274, [1])
+    if not o or not 1 <= o[0] <= 8:
+        raise ValueError(f"bad orientation {o}")
+    return o[0]
+
+
+# EXIF/TIFF orientation semantics (tag 274, public TIFF 6 / EXIF spec):
+# the value names WHERE the stored row-0/column-0 sit in the scene.  The
+# normalizer maps a stored plane back to orientation 1 (row 0 = visual
+# top, column 0 = visual left).  For each stored coordinate (sx, sy) on
+# a sw x sh plane the table gives the canonical coordinate (cx, cy) on
+# the (possibly transposed) cw x ch output.
+def orient_map(o: int, sw: int, sh: int, sx: int, sy: int):
+    """(cx, cy, cw, ch): canonical position of stored pixel (sx, sy)."""
+    if o == 1:
+        return sx, sy, sw, sh
+    if o == 2:                      # mirrored horizontally
+        return sw - 1 - sx, sy, sw, sh
+    if o == 3:                      # rotated 180
+        return sw - 1 - sx, sh - 1 - sy, sw, sh
+    if o == 4:                      # mirrored vertically
+        return sx, sh - 1 - sy, sw, sh
+    if o == 5:                      # transposed (mirror along TL-BR)
+        return sy, sx, sh, sw
+    if o == 6:                      # stored = scene rotated 90 CW
+        return sh - 1 - sy, sx, sh, sw
+    if o == 7:                      # anti-transposed
+        return sh - 1 - sy, sw - 1 - sx, sh, sw
+    if o == 8:                      # stored = scene rotated 90 CCW
+        return sy, sw - 1 - sx, sh, sw
+    raise ValueError(f"orientation {o}")
+
+
+def apply_orientation(w: int, h: int, px: bytes, o: int):
+    """Normalize a greyscale plane to orientation 1; returns
+    (width, height, pixels) of the upright scene."""
+    _, _, cw, ch = orient_map(o, w, h, 0, 0)
+    out = bytearray(cw * ch)
+    for sy in range(h):
+        for sx in range(w):
+            cx, cy, _, _ = orient_map(o, w, h, sx, sy)
+            out[cy * cw + cx] = px[sy * w + sx]
+    return cw, ch, bytes(out)

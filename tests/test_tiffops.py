@@ -208,3 +208,69 @@ def test_synth_carrier_axes_live():
     assert orders == {b"II", b"MM"}
     assert layouts == {0, 1, 2}
     assert 1 in strips and max(strips) > 2  # single- and many-strip carriers
+
+
+# --- orientation (tag 274) ----------------------------------------------------
+
+def test_orientation_known_answers():
+    """All eight codes pinned on the 3x2 plane [1 2 3 / 4 5 6] —
+    hand-derived from the TIFF/EXIF 'where do stored row 0 / column 0
+    sit in the scene' semantics."""
+    from htmlgraft.tiffops import apply_orientation
+
+    px = bytes([1, 2, 3, 4, 5, 6])
+    want = {
+        1: (3, 2, bytes([1, 2, 3, 4, 5, 6])),
+        2: (3, 2, bytes([3, 2, 1, 6, 5, 4])),    # mirrored horizontally
+        3: (3, 2, bytes([6, 5, 4, 3, 2, 1])),    # rotated 180
+        4: (3, 2, bytes([4, 5, 6, 1, 2, 3])),    # mirrored vertically
+        5: (2, 3, bytes([1, 4, 2, 5, 3, 6])),    # transposed
+        6: (2, 3, bytes([4, 1, 5, 2, 6, 3])),    # stored = scene rot 90 CW
+        7: (2, 3, bytes([6, 3, 5, 2, 4, 1])),    # anti-transposed
+        8: (2, 3, bytes([3, 6, 2, 5, 1, 4])),    # stored = scene rot 90 CCW
+    }
+    for o, exp in want.items():
+        assert apply_orientation(3, 2, px, o) == exp, o
+
+
+def test_orientation_tag_roundtrip_and_default():
+    from htmlgraft.tiffops import encode_tiff, read_orientation
+
+    px = _plane(4, 3)
+    assert read_orientation(encode_tiff(4, 3, px)) == 1   # spec default
+    for o in range(1, 9):
+        blob = encode_tiff(4, 3, px, orientation=o, big_endian=o % 2 == 0)
+        assert read_orientation(blob) == o
+        assert decode_tiff_pixels(blob)[3] == px  # tag does not touch pixels
+    with pytest.raises(ValueError, match="orientation"):
+        encode_tiff(4, 3, px, orientation=9)
+
+
+def test_orient_corpus_collapses_all_eight_codes():
+    """Every carrier normalizes to its base's canonical plane, all eight
+    codes occur, and the UN-normalized plane of a rotated carrier hashes
+    DIFFERENTLY — the tag is load-bearing for dedup."""
+    from htmlgraft.pixelops import (
+        dhash_gray,
+        synth_orient_canonical,
+        synth_orient_tiff,
+    )
+    from htmlgraft.tiffops import (
+        apply_orientation,
+        decode_tiff_pixels,
+        read_orientation,
+    )
+
+    seen = set()
+    for d in range(24):
+        blob = synth_orient_tiff(d)
+        sw, sh, _, stored = decode_tiff_pixels(blob)
+        o = read_orientation(blob)
+        seen.add(o)
+        w, h, px = apply_orientation(sw, sh, stored, o)
+        cw, ch, canon = synth_orient_canonical(d)
+        assert (w, h, px) == (cw, ch, canon), d
+        if o >= 5:
+            # ignoring the tag keeps the transposed plane: different hash
+            assert dhash_gray(sw, sh, stored) != dhash_gray(w, h, px), d
+    assert seen == set(range(1, 9))
