@@ -328,3 +328,134 @@ def decode_gif_pixels(blob: bytes):
                     seq * iw:(seq + 1) * iw]
             indices = bytes(plane)
         return iw, ih, 1, bytes(_grey(palette, i) for i in indices)
+
+
+# --- animation: multi-frame streams (GIF89a) ----------------------------------
+#
+# Animated GIFs are a large share of crawled GIF bytes.  Layout facts
+# (public GIF89a spec + the de-facto NETSCAPE2.0 application extension):
+# each frame is its own image descriptor (+ optional local colour table
+# + LZW data), normally preceded by a graphic-control extension whose
+# bytes 2-3 carry the frame delay in centiseconds; the loop count rides
+# an application extension labelled 'NETSCAPE2.0' whose data sub-block
+# is 01 <u16le loops> (0 = forever).
+#
+# Scope: full-canvas frames decode for real (delays, loop count, per-
+# frame planes, interlace per frame); frames with a sub-canvas geometry
+# would need disposal-method compositing, which raises a loud
+# NotImplementedError rather than returning a wrongly-composed plane.
+
+
+def encode_gif_anim(w: int, h: int, frames, delays_cs, loop: int = 0) -> bytes:
+    """Real animated GIF89a: NETSCAPE2.0 loop extension, then per frame
+    a GCE carrying its centisecond delay + a full-canvas image
+    descriptor (odd frame indexes interlaced) + real LZW data."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames/delays mismatch")
+    out = bytearray()
+    out += _SIG89
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])
+    out += _GREY_GCT
+    out += (b"\x21\xff" + bytes([11]) + b"NETSCAPE2.0"
+            + bytes([3, 1]) + struct.pack("<H", loop) + b"\x00")
+    for k, (plane, delay) in enumerate(zip(frames, delays_cs)):
+        if len(plane) != w * h:
+            raise ValueError(f"frame {k} size mismatch")
+        interlace = bool(k & 1)
+        px = plane
+        if interlace:
+            px = b"".join(plane[r * w:(r + 1) * w]
+                          for r in interlace_rows(h))
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+            [0x40 if interlace else 0x00])
+        out += bytes([_MIN_CODE])
+        out += _sub_blocks(_lzw_encode(px))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes):
+    """(width, height, loop, [(delay_cs, greyscale plane), ...]) for an
+    animated (or single-frame) GIF; every frame's LZW stream decodes for
+    real and interlaced frames de-interlace.  Malformed framing raises
+    ValueError; sub-canvas frames raise NotImplementedError (compositing
+    is out of scope, silence is not)."""
+    if blob[:6] not in (_SIG87, _SIG89):
+        raise ValueError("not a GIF")
+    if len(blob) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    w, h = struct.unpack("<HH", blob[6:10])
+    flags = blob[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = blob[pos:pos + n]
+        if len(gct) < n:
+            raise ValueError("GIF truncated inside global colour table")
+        pos += n
+    loop = None
+    delay = 0
+    frames = []
+    while True:
+        if pos >= len(blob):
+            raise ValueError("GIF truncated before trailer")
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            if pos >= len(blob):
+                raise ValueError("GIF truncated inside extension")
+            label = blob[pos]
+            pos += 1
+            data, pos = _read_sub_blocks(blob, pos)
+            if label == 0xF9 and len(data) >= 4:
+                delay = struct.unpack("<H", data[1:3])[0]
+            elif label == 0xFF and data[:11] == b"NETSCAPE2.0" \
+                    and len(data) >= 14 and data[11] == 1:
+                loop = struct.unpack("<H", data[12:14])[0]
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("GIF truncated in image descriptor")
+        ix, iy, iw, ih = struct.unpack("<HHHH", blob[pos:pos + 8])
+        iflags = blob[pos + 8]
+        pos += 9
+        if (ix, iy, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError(
+                "sub-canvas GIF frame needs disposal compositing")
+        palette = gct
+        if iflags & 0x80:
+            n = 3 * (2 << (iflags & 0x07))
+            palette = blob[pos:pos + n]
+            if len(palette) < n:
+                raise ValueError("GIF truncated inside local colour table")
+            pos += n
+        if not palette:
+            raise ValueError("GIF image has no colour table")
+        if pos >= len(blob):
+            raise ValueError("GIF truncated before LZW minimum code size")
+        min_code = blob[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError("GIF LZW minimum code size out of range")
+        data, pos = _read_sub_blocks(blob, pos)
+        indices, _ = _lzw_decode(data, min_code)
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"GIF LZW pixel count {len(indices)} != {iw}x{ih}")
+        if iflags & 0x40:
+            plane = bytearray(iw * ih)
+            for seq, row in enumerate(interlace_rows(ih)):
+                plane[row * iw:(row + 1) * iw] = indices[
+                    seq * iw:(seq + 1) * iw]
+            indices = bytes(plane)
+        frames.append((delay, bytes(_grey(palette, i) for i in indices)))
+        delay = 0
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return w, h, loop if loop is not None else -1, frames

@@ -2021,3 +2021,121 @@ def pixel_orient_oracle_sql(docs: str = "documents") -> str:
       join hashes hh on hh.doc_id = im.doc_id
       order by im.doc_id
     """
+
+
+# --- animated GIF tier (round 5): multi-frame decode --------------------------
+#
+# A large share of crawled GIF bytes are animations; a pipeline that
+# sees only frame 0 under-counts pixels and mis-keys perceptual dedup.
+# The corpus varies frame count (2..5), per-frame centisecond delays,
+# and the NETSCAPE loop count, with odd frame indexes interlaced —
+# carrier-blind oracle over the per-frame formula
+# (b*61 + x*17 + y*7 + k*29) % 223 (distinct from every other tier).
+
+_AGW = f"(9 + ({_BASE} * 6) % 17)"     # 9..25
+_AGH = f"(8 + ({_BASE} * 3) % 9)"      # 8..16
+
+
+def _agpix(base: int, k: int, x: int, y: int) -> int:
+    return (base * 61 + x * 17 + y * 7 + k * 29) % 223
+
+
+def synth_gif_anim(doc_id: int):
+    """(width, height, n_frames, delays, loop, frame planes) for the
+    animated-GIF tier of doc_id."""
+    base = doc_id % PHASH_BASES
+    w, h = 9 + (base * 6) % 17, 8 + (base * 3) % 9
+    nf = 2 + doc_id % 4
+    delays = [4 + (doc_id + k) % 11 for k in range(nf)]
+    loop = doc_id % 3
+    frames = [
+        bytes(_agpix(base, k, x, y) for y in range(h) for x in range(w))
+        for k in range(nf)
+    ]
+    return w, h, nf, delays, loop, frames
+
+
+_ANIM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("loop_cnt", LongType()),
+    StructField("total_delay_cs", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("f0_sum", LongType()),
+])
+
+
+def _anim_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.gifops import decode_gif_frames, encode_gif_anim
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "n_frames",
+                               "loop_cnt", "total_delay_cs", "px_sum",
+                               "f0_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, nf, delays, loop, frames = synth_gif_anim(d)
+            blob = encode_gif_anim(w, h, frames, delays, loop=loop)
+            ww, hh, got_loop, got = decode_gif_frames(blob)
+            out["doc_id"].append(d)
+            out["width"].append(ww)
+            out["height"].append(hh)
+            out["n_frames"].append(len(got))
+            out["loop_cnt"].append(got_loop)
+            out["total_delay_cs"].append(sum(dl for dl, _ in got))
+            out["px_sum"].append(sum(sum(p) for _, p in got))
+            out["f0_sum"].append(sum(got[0][1]))
+        yield pd.DataFrame(out)
+
+
+def pixel_gif_anim(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real animated GIFs (varying frame counts,
+    per-frame delays, NETSCAPE loop counts, interlaced odd frames) ->
+    decode every frame's actual LZW bytes -> per-doc frame count, loop
+    count, total delay, all-frames pixel sum, first-frame sum.  The
+    oracle restates all of it from the per-frame formula, so frame
+    iteration, extension parsing, and per-frame de-interlace are
+    value-pinned.  Map-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_anim_batch, _ANIM_SCHEMA).orderBy("doc_id")
+
+
+def pixel_gif_anim_oracle_sql(docs: str = "documents") -> str:
+    """Frame sums via a correlated triple unnest over (k, x, y); delays
+    and loop restated arithmetically."""
+    g = "((b * 61 + x * 17 + y * 7 + k * 29) % 223)"
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_AGW} as w, {_AGH} as h,
+               2 + doc_id % 4 as nf
+        from {docs}
+      ),
+      sums as (
+        select im.doc_id,
+               sum({g}) as all_sum,
+               sum(case when k = 0 then {g} else 0 end) as f0
+        from imgs im,
+             unnest(range(0, nf)) as tk(k),
+             unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      delays as (
+        select im.doc_id, sum(4 + (im.doc_id + k) % 11) as total
+        from imgs im, unnest(range(0, nf)) as tk(k)
+        group by im.doc_id
+      )
+      select im.doc_id, cast(im.w as bigint) as width,
+             cast(im.h as bigint) as height,
+             cast(im.nf as bigint) as n_frames,
+             cast(im.doc_id % 3 as bigint) as loop_cnt,
+             cast(d.total as bigint) as total_delay_cs,
+             cast(s.all_sum as bigint) as px_sum,
+             cast(s.f0 as bigint) as f0_sum
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join delays d on d.doc_id = im.doc_id
+      order by im.doc_id
+    """

@@ -223,3 +223,102 @@ def test_interlaced_deep_lzw():
     px = bytes((x * 7 + y * 13) % 251 for y in range(h) for x in range(w))
     blob = G.encode_gif(w, h, px, interlace=True)
     assert G.decode_gif_pixels(blob) == (w, h, 1, px)
+
+
+# --- animation (multi-frame, delays, loop, sub-canvas scope) ------------------
+
+
+def _descriptor_positions(blob):
+    """Structural walk to each image separator (0x2C also occurs as a
+    DATA byte inside the grey GCT and LZW streams, so .index() lies)."""
+    flags = blob[10]
+    pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    out = []
+    while blob[pos] != 0x3B:
+        if blob[pos] == 0x21:
+            pos += 2
+            _, pos = G._read_sub_blocks(blob, pos)
+            continue
+        assert blob[pos] == 0x2C
+        out.append(pos)
+        iflags = blob[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1
+        _, pos = G._read_sub_blocks(blob, pos)
+    return out
+
+
+def test_anim_roundtrip_and_metadata():
+    from htmlgraft.gifops import decode_gif_frames, encode_gif_anim
+
+    w, h = 7, 5
+    frames = [bytes((x * 3 + y * 5 + 40 * k) % 251
+                    for y in range(h) for x in range(w)) for k in range(3)]
+    blob = encode_gif_anim(w, h, frames, [10, 25, 7], loop=4)
+    ww, hh, loop, got = decode_gif_frames(blob)
+    assert (ww, hh, loop) == (w, h, 4)
+    assert [d for d, _ in got] == [10, 25, 7]
+    assert [p for _, p in got] == frames
+    # odd frame indexes are stored interlaced: stripping frame 1's
+    # interlace flag yields the permuted rows, so the flag is live
+    desc2 = _descriptor_positions(blob)[1]
+    assert blob[desc2 + 9] == 0x40
+    doctored = bytearray(blob)
+    doctored[desc2 + 9] = 0
+    _, _, _, perm = decode_gif_frames(bytes(doctored))
+    assert perm[1][1] != frames[1]
+
+
+def test_anim_single_frame_and_no_netscape():
+    from htmlgraft.gifops import decode_gif_frames, encode_gif
+
+    w, h = 4, 3
+    px = bytes(range(12))
+    ww, hh, loop, got = decode_gif_frames(encode_gif(w, h, px))
+    assert (ww, hh, loop) == (w, h, -1)  # -1 = no loop extension present
+    assert got == [(0, px)]
+
+
+def test_anim_subcanvas_frame_is_loud_scope():
+    import struct as _s
+
+    from htmlgraft.gifops import decode_gif_frames, encode_gif_anim
+    import pytest
+
+    w, h = 6, 4
+    frames = [bytes((x + y) % 251 for y in range(h) for x in range(w))] * 2
+    blob = bytearray(encode_gif_anim(w, h, frames, [1, 1]))
+    # shrink frame 1's descriptor to a sub-canvas geometry
+    desc2 = _descriptor_positions(bytes(blob))[1]
+    _s.pack_into("<HHHH", blob, desc2 + 1, 1, 1, w - 1, h - 1)
+    with pytest.raises(NotImplementedError, match="sub-canvas"):
+        decode_gif_frames(bytes(blob))
+
+
+def test_anim_truncation_raises():
+    from htmlgraft.gifops import decode_gif_frames, encode_gif_anim
+    import pytest
+
+    w, h = 5, 4
+    frames = [bytes((x * 7 + y) % 251 for y in range(h) for x in range(w))] * 2
+    blob = encode_gif_anim(w, h, frames, [3, 3])
+    with pytest.raises(ValueError):
+        decode_gif_frames(blob[:-6])
+
+
+def test_anim_synth_axes_live():
+    from htmlgraft.pixelops import synth_gif_anim
+
+    nfs, loops, delays = set(), set(), set()
+    for d in range(24):
+        w, h, nf, dl, loop, frames = synth_gif_anim(d)
+        nfs.add(nf)
+        loops.add(loop)
+        delays.update(dl)
+        assert len(frames) == nf and len(dl) == nf
+        assert frames[0] != frames[1]  # frames genuinely differ
+    assert nfs == {2, 3, 4, 5}
+    assert loops == {0, 1, 2}
+    assert len(delays) > 5
