@@ -581,6 +581,7 @@ _GATE_FIRST = [
     "media_webp",
     "pixel_orient",
     "pixel_gif_anim",
+    "pixel_ico",
     "pixel_phash_tiff",
     "pixel_phash_bmp",
     "script_mix",
@@ -811,6 +812,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_phash_tiff": pixelops.pixel_phash_tiff,
         "pixel_orient": pixelops.pixel_orient,
         "pixel_gif_anim": pixelops.pixel_gif_anim,
+        "pixel_ico": pixelops.pixel_ico,
         "pixel_phash_gif": pixelops.pixel_phash_gif,
         "pixel_phash_prog": pixelops.pixel_phash_prog,
         "audio_pcm_features": media.audio_pcm_features,
@@ -975,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
             "pixel_phash_tiff": pixelops.pixel_phash_tiff_oracle_sql(),
             "pixel_orient": pixelops.pixel_orient_oracle_sql(),
             "pixel_gif_anim": pixelops.pixel_gif_anim_oracle_sql(),
+            "pixel_ico": pixelops.pixel_ico_oracle_sql(),
             "pixel_phash_gif": pixelops.pixel_phash_gif_oracle_sql(),
             "pixel_phash_prog": pixelops.pixel_phash_prog_oracle_sql(),
             "audio_pcm_features": media.audio_pcm_features_oracle_sql(),

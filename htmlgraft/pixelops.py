@@ -2139,3 +2139,109 @@ def pixel_gif_anim_oracle_sql(docs: str = "documents") -> str:
       join delays d on d.doc_id = im.doc_id
       order by im.doc_id
     """
+
+
+# --- ICO (favicon) tier (round 5) ---------------------------------------------
+#
+# Favicons are fetched for effectively every crawled host; the ICO
+# container mixes PNG members with doubled-height DIB members (XOR plane
+# + AND mask) in one file — icoops.py.  Distinct formulas per member
+# kind (67/19/11 mod 229 + 5 for the DIB, 71/23/3 mod 211 + 7 for the
+# PNG) so a member-dispatch slip mismatches.
+
+_ICW1 = f"(9 + ({_BASE} * 5) % 15)"    # DIB member dims 9..23
+_ICH1 = f"(7 + ({_BASE} * 3) % 11)"
+_ICW2 = f"(10 + ({_BASE} * 7) % 13)"   # PNG member dims 10..22
+_ICH2 = f"(8 + ({_BASE} * 5) % 9)"
+
+
+def synth_ico(doc_id: int) -> bytes:
+    """Real two-member ICO: one 8-bit DIB (doubled-height header, grey
+    palette, bottom-up XOR plane, AND mask) + one PNG member."""
+    from htmlgraft.icoops import encode_ico
+
+    b = doc_id % PHASH_BASES
+    w1, h1 = 9 + (b * 5) % 15, 7 + (b * 3) % 11
+    w2, h2 = 10 + (b * 7) % 13, 8 + (b * 5) % 9
+    p1 = bytes((b * 67 + x * 19 + y * 11 + 5) % 229
+               for y in range(h1) for x in range(w1))
+    p2 = bytes((b * 71 + x * 23 + y * 3 + 7) % 211
+               for y in range(h2) for x in range(w2))
+    return encode_ico([(w1, h1, "dib", p1), (w2, h2, "png", p2)])
+
+
+_ICO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_members", LongType()),
+    StructField("dib_w", LongType()),
+    StructField("dib_h", LongType()),
+    StructField("dib_sum", LongType()),
+    StructField("png_w", LongType()),
+    StructField("png_h", LongType()),
+    StructField("png_sum", LongType()),
+])
+
+
+def _ico_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from htmlgraft.icoops import decode_ico
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_members", "dib_w", "dib_h",
+                               "dib_sum", "png_w", "png_h", "png_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            members = decode_ico(synth_ico(d))
+            kinds = {k: (w, h, sum(px)) for w, h, k, px in members}
+            out["doc_id"].append(d)
+            out["n_members"].append(len(members))
+            out["dib_w"].append(kinds["dib"][0])
+            out["dib_h"].append(kinds["dib"][1])
+            out["dib_sum"].append(kinds["dib"][2])
+            out["png_w"].append(kinds["png"][0])
+            out["png_h"].append(kinds["png"][1])
+            out["png_sum"].append(kinds["png"][2])
+        yield pd.DataFrame(out)
+
+
+def pixel_ico(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real two-member ICOs -> decode every member's
+    actual bytes (doubled-height DIB with AND mask + embedded PNG) ->
+    per-doc member dims and pixel sums.  The oracle restates both
+    members from their formulas, so the directory walk, the 0-means-256
+    rule, DIB height halving, bottom-up XOR rows, and the PNG-vs-DIB
+    dispatch are value-pinned.  Map-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_ico_batch, _ICO_SCHEMA).orderBy("doc_id")
+
+
+def pixel_ico_oracle_sql(docs: str = "documents") -> str:
+    d = "((b * 67 + x * 19 + y * 11 + 5) % 229)"
+    p = "((b * 71 + x * 23 + y * 3 + 7) % 211)"
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_ICW1} as w1, {_ICH1} as h1,
+               {_ICW2} as w2, {_ICH2} as h2
+        from {docs}
+      ),
+      dsums as (
+        select im.doc_id, sum({d}) as s
+        from imgs im, unnest(range(0, w1)) as tx(x),
+             unnest(range(0, h1)) as ty(y)
+        group by im.doc_id
+      ),
+      psums as (
+        select im.doc_id, sum({p}) as s
+        from imgs im, unnest(range(0, w2)) as tx(x),
+             unnest(range(0, h2)) as ty(y)
+        group by im.doc_id
+      )
+      select im.doc_id, cast(2 as bigint) as n_members,
+             cast(im.w1 as bigint) as dib_w, cast(im.h1 as bigint) as dib_h,
+             cast(ds.s as bigint) as dib_sum,
+             cast(im.w2 as bigint) as png_w, cast(im.h2 as bigint) as png_h,
+             cast(ps.s as bigint) as png_sum
+      from imgs im
+      join dsums ds on ds.doc_id = im.doc_id
+      join psums ps on ps.doc_id = im.doc_id
+      order by im.doc_id
+    """
