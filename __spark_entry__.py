@@ -813,6 +813,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_orient": pixelops.pixel_orient,
         "pixel_gif_anim": pixelops.pixel_gif_anim,
         "pixel_ico": pixelops.pixel_ico,
+        "pixel_apng": pixelops.pixel_apng,
         "pixel_phash_gif": pixelops.pixel_phash_gif,
         "pixel_phash_prog": pixelops.pixel_phash_prog,
         "audio_pcm_features": media.audio_pcm_features,
@@ -978,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
             "pixel_orient": pixelops.pixel_orient_oracle_sql(),
             "pixel_gif_anim": pixelops.pixel_gif_anim_oracle_sql(),
             "pixel_ico": pixelops.pixel_ico_oracle_sql(),
+            "pixel_apng": pixelops.pixel_apng_oracle_sql(),
             "pixel_phash_gif": pixelops.pixel_phash_gif_oracle_sql(),
             "pixel_phash_prog": pixelops.pixel_phash_prog_oracle_sql(),
             "audio_pcm_features": media.audio_pcm_features_oracle_sql(),

@@ -2245,3 +2245,226 @@ def pixel_ico_oracle_sql(docs: str = "documents") -> str:
       join psums ps on ps.doc_id = im.doc_id
       order by im.doc_id
     """
+
+
+# --- APNG: animated PNG (acTL / fcTL / fdAT) ----------------------------------
+#
+# Chunk facts (public: the APNG specification, folded into the PNG
+# third-edition spec): ``acTL`` (before the first IDAT) carries u32
+# frame count + u32 play count; each frame is announced by an ``fcTL``
+# (u32 sequence, u32 w, u32 h, u32 x, u32 y, u16 delay_num, u16
+# delay_den, u8 dispose, u8 blend); frame 0's pixels ride the normal
+# IDAT when its fcTL precedes IDAT, later frames ride ``fdAT`` chunks
+# (u32 sequence + deflate data).  fcTL and fdAT share ONE sequence
+# counter starting at 0 — a gap or reorder is hostile input.
+#
+# Scope mirrors the GIF-anim tier: full-canvas frames decode for real;
+# sub-canvas frames (needing dispose/blend compositing) raise a loud
+# NotImplementedError.
+
+
+def encode_apng(w: int, h: int, frames, delays, plays: int = 0) -> bytes:
+    """Real APNG: greyscale full-canvas frames; ``delays`` are
+    (num, den) pairs.  Frame 0 rides IDAT, the rest ride fdAT; the
+    shared fcTL/fdAT sequence counter is emitted per spec."""
+    if len(frames) != len(delays) or not frames:
+        raise ValueError("frames/delays mismatch")
+    for k, f in enumerate(frames):
+        if len(f) != w * h:
+            raise ValueError(f"frame {k} size mismatch")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    out = bytearray(_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), plays))
+    seq = 0
+    for k, (plane, (dn, dd)) in enumerate(zip(frames, delays)):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, dn, dd, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = bytes(_filter_image(
+            [plane[y * w:(y + 1) * w] for y in range(h)], 1))
+        z = zlib.compress(raw, 6)
+        if k == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(blob: bytes):
+    """(width, height, plays, [((delay_num, delay_den), plane), ...]) —
+    every frame's deflate stream inflates and unfilters for real; CRCs
+    verified; sequence-number gaps, sub-canvas frames, and frame-count
+    mismatches are loud."""
+    if blob[:8] != _SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(blob)
+    w = h = None
+    n_frames = plays = None
+    pending_fctl = None
+    frames = []
+    idat = bytearray()
+    fdat = bytearray()
+    expect_seq = 0
+
+    def _flush(data, fctl):
+        sw, sh = fctl[1], fctl[2]
+        if (fctl[3], fctl[4]) != (0, 0) or (sw, sh) != (w, h):
+            raise NotImplementedError(
+                "sub-canvas APNG frame needs dispose/blend compositing")
+        raw = zlib.decompress(bytes(data))
+        plane, pos = _unfilter_image(raw, 0, sw, sh, 1)
+        if pos != len(raw):
+            raise ValueError("APNG frame data length mismatch")
+        frames.append(((fctl[5], fctl[6]), plane))
+
+    while i + 8 <= n:
+        clen = struct.unpack(">I", blob[i:i + 4])[0]
+        typ = blob[i + 4:i + 8]
+        data = blob[i + 8:i + 8 + clen]
+        crc = struct.unpack(">I", blob[i + 8 + clen:i + 12 + clen])[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _c, _f, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or ctype != 0 or inter != 0:
+                raise NotImplementedError(
+                    "APNG here covers 8-bit grey sequential streams")
+        elif typ == b"acTL":
+            n_frames, plays = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            seq = struct.unpack(">I", data[:4])[0]
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence gap: fcTL {seq} != {expect_seq}")
+            expect_seq += 1
+            if pending_fctl is not None:
+                raise ValueError("fcTL without frame data")
+            pending_fctl = struct.unpack(">IIIIIHHBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"fdAT":
+            seq = struct.unpack(">I", data[:4])[0]
+            if seq != expect_seq:
+                raise ValueError(
+                    f"APNG sequence gap: fdAT {seq} != {expect_seq}")
+            expect_seq += 1
+            fdat += data[4:]
+        elif typ == b"IEND":
+            break
+        i += 12 + clen
+        # frame boundary: the NEXT chunk being fcTL or IEND closes the
+        # current frame's accumulated data (IDAT for frame 0, fdAT after)
+        nxt = blob[i + 4:i + 8]
+        if pending_fctl is not None and nxt in (b"fcTL", b"IEND"):
+            if not frames and idat:
+                _flush(idat, pending_fctl)
+                idat = bytearray()
+                pending_fctl = None
+            elif fdat:
+                _flush(fdat, pending_fctl)
+                fdat = bytearray()
+                pending_fctl = None
+    if n_frames is None:
+        raise ValueError("not an APNG (no acTL)")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"APNG frame count {len(frames)} != acTL {n_frames}")
+    return w, h, plays, frames
+
+
+# APNG tier corpus: distinct formula (73/29/13/37 mod 199, +8).
+
+_APW = f"(8 + ({_BASE} * 5) % 13)"     # 8..20
+_APH = f"(7 + ({_BASE} * 2) % 9)"      # 7..15
+
+
+def synth_apng_frames(doc_id: int):
+    base = doc_id % PHASH_BASES
+    w, h = 8 + (base * 5) % 13, 7 + (base * 2) % 9
+    nf = 2 + doc_id % 3
+    delays = [(2 + (doc_id + k) % 9, 100) for k in range(nf)]
+    frames = [
+        bytes(8 + (base * 73 + x * 29 + y * 13 + k * 37) % 199
+              for y in range(h) for x in range(w))
+        for k in range(nf)
+    ]
+    return w, h, nf, delays, doc_id % 4, frames
+
+
+_APNG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("plays", LongType()),
+    StructField("delay_num_sum", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("f0_sum", LongType()),
+])
+
+
+def _apng_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_frames", "plays",
+                               "delay_num_sum", "px_sum", "f0_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, nf, delays, plays, frames = synth_apng_frames(d)
+            blob = encode_apng(w, h, frames, delays, plays=plays)
+            ww, hh, got_plays, got = decode_apng(blob)
+            assert (ww, hh) == (w, h)
+            out["doc_id"].append(d)
+            out["n_frames"].append(len(got))
+            out["plays"].append(got_plays)
+            out["delay_num_sum"].append(sum(dn for (dn, _dd), _ in got))
+            out["px_sum"].append(sum(sum(p) for _, p in got))
+            out["f0_sum"].append(sum(got[0][1]))
+        yield pd.DataFrame(out)
+
+
+def pixel_apng(spark, sf_dir: str) -> DataFrame:
+    """Gated query: encode real APNGs (acTL/fcTL/fdAT, varying frame
+    counts, delays, play counts) -> decode every frame's actual deflate
+    bytes -> per-doc frame count, plays, delay-numerator sum, all-frames
+    and first-frame pixel sums — frame iteration, the shared fcTL/fdAT
+    sequence counter, and the IDAT-is-frame-0 rule are value-pinned.
+    Map-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(_apng_batch, _APNG_SCHEMA).orderBy("doc_id")
+
+
+def pixel_apng_oracle_sql(docs: str = "documents") -> str:
+    g = "(8 + (b * 73 + x * 29 + y * 13 + k * 37) % 199)"
+    return f"""
+      with imgs as (
+        select doc_id, {_BASE} as b, {_APW} as w, {_APH} as h,
+               2 + doc_id % 3 as nf
+        from {docs}
+      ),
+      sums as (
+        select im.doc_id,
+               sum({g}) as all_sum,
+               sum(case when k = 0 then {g} else 0 end) as f0
+        from imgs im,
+             unnest(range(0, nf)) as tk(k),
+             unnest(range(0, w)) as tx(x),
+             unnest(range(0, h)) as ty(y)
+        group by im.doc_id
+      ),
+      delays as (
+        select im.doc_id, sum(2 + (im.doc_id + k) % 9) as total
+        from imgs im, unnest(range(0, nf)) as tk(k)
+        group by im.doc_id
+      )
+      select im.doc_id, cast(im.nf as bigint) as n_frames,
+             cast(im.doc_id % 4 as bigint) as plays,
+             cast(d.total as bigint) as delay_num_sum,
+             cast(s.all_sum as bigint) as px_sum,
+             cast(s.f0 as bigint) as f0_sum
+      from imgs im
+      join sums s on s.doc_id = im.doc_id
+      join delays d on d.doc_id = im.doc_id
+      order by im.doc_id
+    """

@@ -308,3 +308,71 @@ def test_audit_lane_map_is_exhaustive():
         except (ValueError, NotImplementedError, ZeroDivisionError):
             ok = 0
         assert (fmt, ok) == expect[d % 12], d
+
+
+# --- APNG (acTL / fcTL / fdAT) -------------------------------------------------
+
+def test_apng_roundtrip_and_metadata():
+    w, h = 7, 5
+    frames = [bytes((x * 3 + y * 5 + 40 * k) % 251
+                    for y in range(h) for x in range(w)) for k in range(3)]
+    blob = P.encode_apng(w, h, frames, [(1, 10), (25, 100), (7, 100)],
+                         plays=4)
+    ww, hh, plays, got = P.decode_apng(blob)
+    assert (ww, hh, plays) == (w, h, 4)
+    assert [d for d, _ in got] == [(1, 10), (25, 100), (7, 100)]
+    assert [p for _, p in got] == frames
+    # a plain PNG (no acTL) is loudly not an APNG
+    with pytest.raises(ValueError, match="acTL"):
+        P.decode_apng(P.encode_png(w, h, frames[0]))
+
+
+def test_apng_sequence_and_count_integrity():
+    w, h = 4, 3
+    frames = [bytes((x + y + 9 * k) % 251 for y in range(h)
+                    for x in range(w)) for k in range(2)]
+    blob = bytearray(P.encode_apng(w, h, frames, [(1, 10), (1, 10)]))
+    # corrupt the fdAT sequence number (and recompute the chunk CRC so
+    # the sequence check, not the CRC check, fires)
+    at = blob.index(b"fdAT")
+    struct.pack_into(">I", blob, at + 4, 9)
+    clen = struct.unpack_from(">I", blob, at - 4)[0]
+    struct.pack_into(">I", blob, at + 4 + clen,
+                     zlib.crc32(bytes(blob[at:at + 4 + clen])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sequence gap"):
+        P.decode_apng(bytes(blob))
+    # acTL frame-count mismatch is loud
+    blob2 = bytearray(P.encode_apng(w, h, frames, [(1, 10), (1, 10)]))
+    at = blob2.index(b"acTL")
+    struct.pack_into(">I", blob2, at + 4, 5)
+    clen = struct.unpack_from(">I", blob2, at - 4)[0]
+    struct.pack_into(">I", blob2, at + 4 + clen,
+                     zlib.crc32(bytes(blob2[at:at + 4 + clen])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="frame count"):
+        P.decode_apng(bytes(blob2))
+
+
+def test_apng_subcanvas_frame_is_loud_scope():
+    w, h = 6, 4
+    frames = [bytes((x * 5 + y) % 251 for y in range(h) for x in range(w))
+              for _ in range(2)]
+    blob = bytearray(P.encode_apng(w, h, frames, [(1, 10), (1, 10)]))
+    # shrink the SECOND fcTL's region
+    at = blob.index(b"fcTL", blob.index(b"fcTL") + 1)
+    struct.pack_into(">II", blob, at + 8, w - 1, h - 1)
+    clen = struct.unpack_from(">I", blob, at - 4)[0]
+    struct.pack_into(">I", blob, at + 4 + clen,
+                     zlib.crc32(bytes(blob[at:at + 4 + clen])) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="sub-canvas"):
+        P.decode_apng(bytes(blob))
+
+
+def test_apng_synth_axes_live():
+    nfs, plays = set(), set()
+    for d in range(24):
+        w, h, nf, delays, pl, frames = P.synth_apng_frames(d)
+        nfs.add(nf)
+        plays.add(pl)
+        assert frames[0] != frames[1]
+    assert nfs == {2, 3, 4}
+    assert plays == {0, 1, 2, 3}
